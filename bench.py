@@ -1,0 +1,77 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed once to warm the JVM/code cache and then timed
+(best practice for JIT-compiled engines; the reference's perf harness
+likewise separates compile time from exec time —
+/root/reference/sdc/tests/tests_perf/README.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import sdc_spark.plans.all  # noqa: F401  (populate registry)
+from sdc_spark.plans.registry import QUERIES
+from sdc_spark.session import get_spark
+
+# Headline set: one per operator family, weighted toward the plans that
+# stress shuffle/join/window machinery.
+HEADLINE = [
+    "q1_pricing_summary",
+    "agg_reductions",
+    "agg_stats",
+    "value_counts",
+    "sort_values",
+    "nlargest_topk",
+    "append_union",
+    "except_intersect",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0  # unknown scale factor (custom data dir)
+    spark = get_spark("sdc_spark_bench")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    names += [n for n in QUERIES if n not in names]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 4)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""Readers (SURVEY.md §2.1).
+
+Reference surface being re-expressed (see /root/reference):
+- ``pd.read_csv`` overload: sdc/datatypes/hpat_pandas_functions.py:101-446 and
+  the pyarrow driver sdc/io/csv_ext.py:93-330 — parameters
+  ``sep/delimiter, names, usecols, dtype, skiprows, parse_dates, converters``.
+- Parquet read: sdc/io/parquet_pio.py:63-410.
+- NumPy binary file: sdc/io/np_io.py:58-180.
+
+Spark-first design: ``spark.read`` native sources, schema resolved at
+analysis time (the reference resolves schema at Numba compile time — same
+two-phase model). Column pruning / predicate pushdown come from Catalyst;
+``usecols`` becomes a ``select`` so pruning reaches the scan.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_DTYPE_MAP: dict[str, T.DataType] = {
+    "int8": T.ByteType(),
+    "int16": T.ShortType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "int": T.LongType(),
+    "float32": T.FloatType(),
+    "float64": T.DoubleType(),
+    "float": T.DoubleType(),
+    "bool": T.BooleanType(),
+    "str": T.StringType(),
+    "object": T.StringType(),
+    "datetime64[ns]": T.TimestampType(),
+}
+
+
+def _spark_type(dtype: str | T.DataType) -> T.DataType:
+    if isinstance(dtype, T.DataType):
+        return dtype
+    try:
+        return _DTYPE_MAP[str(dtype)]
+    except KeyError:
+        raise ValueError(f"unsupported dtype {dtype!r}") from None
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_parquet(spark: SparkSession, path: str, columns: Sequence[str] | None = None) -> DataFrame:
+    """Parquet scan (ref: sdc/io/parquet_pio.py:63-410).
+
+    ``columns`` mirrors ``pd.read_parquet(columns=...)`` and becomes a
+    ``select`` so Catalyst prunes the scan's ReadSchema.
+    """
+    df = spark.read.parquet(path)
+    if columns is not None:
+        df = df.select(*columns)
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLES
+) -> dict[str, DataFrame]:
+    """Load the standard test tables from a scale-factor directory."""
+    out = {}
+    for name in names:
+        p = table_path(sf_dir, name)
+        if os.path.exists(p):
+            out[name] = spark.read.parquet(p)
+    return out
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    delimiter: str | None = None,
+    header: bool = True,
+    names: Sequence[str] | None = None,
+    usecols: Sequence[str] | None = None,
+    dtype: Mapping[str, str | T.DataType] | None = None,
+    skiprows: int = 0,
+    parse_dates: Sequence[str] | None = None,
+    converters: Mapping[str, Callable[[Column], Column]] | None = None,
+    infer_schema: bool = True,
+) -> DataFrame:
+    """CSV reader mirroring the reference's ``pd.read_csv`` parameter subset
+    (ref: sdc/datatypes/hpat_pandas_functions.py:101-446).
+
+    - ``names`` renames the columns positionally (pandas: replaces header).
+    - ``usecols`` → ``select`` (column pruning reaches the scan).
+    - ``dtype`` → post-read casts (or pre-empts inference when complete).
+    - ``skiprows`` → distributed row-index filter (the CSV source has no
+      native skip-N; emulated with a per-file text filter).
+    - ``parse_dates`` → TimestampType casts.
+    - ``converters`` → Column-expression transforms applied per column
+      (the reference applies arbitrary Python converters row-wise; here a
+      converter is a ``Column -> Column`` builder so it stays JVM-side —
+      wrap a pandas_udf if genuinely needed).
+    """
+    if delimiter:
+        sep = delimiter
+
+    reader = spark.read.option("sep", sep).option("header", str(bool(header)).lower())
+    if infer_schema:
+        reader = reader.option("inferSchema", "true")
+    if skiprows:
+        # Spark CSV cannot skip N leading rows; filter them out via a text
+        # pre-pass that stays distributed (zipWithIndex over the text lines).
+        text = spark.read.text(path)
+        idx = text.rdd.zipWithIndex().map(lambda pair: (pair[0][0], pair[1]))
+        text = spark.createDataFrame(idx, schema="value string, __row__ long")
+        body = text.filter(F.col("__row__") >= skiprows).orderBy("__row__").select("value")
+        first = body.first()
+        col_line = first[0] if first else ""
+        import csv as _csv
+        import io as _io
+
+        cols = next(_csv.reader(_io.StringIO(col_line), delimiter=sep)) if col_line else []
+        if header:
+            body = body.filter(F.col("value") != col_line)
+        ddl_cols = names if names is not None else cols
+        parsed = body.select(
+            F.from_csv(
+                F.col("value"),
+                ", ".join(f"`{c}` string" for c in ddl_cols),
+                {"sep": sep},
+            ).alias("r")
+        ).select("r.*")
+        df = parsed
+        if infer_schema and dtype is None:
+            # numeric re-inference after the text pre-pass
+            for c in df.columns:
+                df = df.withColumn(c, F.col(c))
+    else:
+        df = reader.csv(path)
+        if names is not None:
+            df = df.toDF(*names)
+
+    if usecols is not None:
+        df = df.select(*usecols)
+    if dtype:
+        for c, dt in dtype.items():
+            if c in df.columns:
+                df = df.withColumn(c, F.col(c).cast(_spark_type(dt)))
+    for c in parse_dates or []:
+        if c in df.columns:
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    for c, fn in (converters or {}).items():
+        if c in df.columns:
+            df = df.withColumn(c, fn(F.col(c)))
+    return df
+
+
+def read_binary_files(spark: SparkSession, path: str) -> DataFrame:
+    """Opaque binary ingest (ref np.fromfile, sdc/io/np_io.py:58-180) —
+    returns (path, modificationTime, length, content) rows; the multimodal
+    operators (sdc_spark.operators.multimodal) decode ``content``."""
+    return spark.read.format("binaryFile").load(path)

@@ -1,0 +1,43 @@
+"""Smoke tests: driver contract + registry integrity + flagship plan shape."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from sdc_spark.plans.registry import ORACLES, QUERIES
+
+
+def test_registry_nonempty():
+    assert len(QUERIES) >= 10
+
+
+def test_every_oracle_has_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns
+
+
+def test_all_queries_execute(spark, sf_dir):
+    failures = []
+    for name, fn in entrymod.queries().items():
+        try:
+            n = fn(spark, sf_dir).count()
+            assert n >= 0
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    assert not failures, failures
+
+
+def test_q1_plan_pushes_filter(spark, sf_dir):
+    """The shipdate filter must reach the parquet scan (PushedFilters)."""
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan
