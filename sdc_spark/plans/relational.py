@@ -14,11 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sdc_spark.plans.registry import oracle, query
-from sdc_spark.sources.readers import table_path
+from sdc_spark.sources.readers import read_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(table_path(sf_dir, name))
+    return read_table(spark, sf_dir, name)
 
 
 # --------------------------------------------------------------------------

@@ -64,6 +64,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the standard test tables with schema normalization.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS) which Spark's
+    vectorized reader rejects; we read it via the legacy nanos-as-long path
+    and convert to TimestampType at microsecond precision (the reference
+    carries ns in its Timestamp struct — sdc/hiframes/pd_timestamp_ext.py:102-133
+    — but Spark timestamps are µs; SURVEY §1.2 documents the accepted
+    truncation)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
 def read_parquet(spark: SparkSession, path: str, columns: Sequence[str] | None = None) -> DataFrame:
     """Parquet scan (ref: sdc/io/parquet_pio.py:63-410).
 
@@ -84,7 +102,7 @@ def load_tables(
     for name in names:
         p = table_path(sf_dir, name)
         if os.path.exists(p):
-            out[name] = spark.read.parquet(p)
+            out[name] = read_table(spark, sf_dir, name)
     return out
 
 
