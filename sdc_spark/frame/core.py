@@ -1,0 +1,272 @@
+"""SparkFrame — the reference's DataFrameType surface
+(/root/reference/sdc/datatypes/hpat_pandas_dataframe_functions.py, 3,400+
+LoC of @overload methods) over a Spark DataFrame + explicit __index__
+column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdc_spark.frame.series import IDX, VAL, SparkSeries
+from sdc_spark.functions import expressions as sexpr
+
+
+_PD_TO_SPARK = {
+    "int8": "tinyint", "int16": "smallint", "int32": "int", "int64": "bigint",
+    "float32": "float", "float64": "double", "bool": "boolean",
+    "object": "string", "datetime64[ns]": "timestamp",
+}
+
+
+def from_pandas(spark: SparkSession, pdf: pd.DataFrame) -> SparkFrame:
+    """Boxing boundary (ref sdc/hiframes/boxing.py:89-141) — the pandas
+    index becomes the __index__ column. Schema comes from the pandas dtypes
+    (mirrors the reference's unboxing-time schema capture,
+    sdc/hiframes/boxing.py:69-87), so empty frames round-trip too."""
+    p = pdf.copy()
+    p[IDX] = pdf.index.values
+    ddl = ", ".join(
+        f"`{c}` {_PD_TO_SPARK.get(str(t), 'string')}" for c, t in p.dtypes.items()
+    )
+    return SparkFrame(spark.createDataFrame(p, schema=ddl))
+
+
+def read_parquet(spark: SparkSession, path: str, columns: Sequence[str] | None = None) -> SparkFrame:
+    """ref sdc/io/parquet_pio.py. The positional index is materialized only
+    if an op needs it; file order is not a distributed invariant, so ops
+    that require total order use the explicit index."""
+    df = spark.read.parquet(path)
+    if columns:
+        df = df.select(*columns)
+    df = df.withColumn(IDX, F.monotonically_increasing_id())
+    return SparkFrame(df)
+
+
+class SparkFrame:
+    def __init__(self, df: DataFrame):
+        if IDX not in df.columns:
+            df = df.withColumn(IDX, F.monotonically_increasing_id())
+        self._df = df
+
+    # -- attrs (ref …dataframe_functions.py:79-356) ------------------------
+
+    @property
+    def columns(self) -> list[str]:
+        return [c for c in self._df.columns if c != IDX]
+
+    def __len__(self) -> int:
+        return self._df.count()
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (len(self), len(self.columns))
+
+    def to_pandas(self) -> pd.DataFrame:
+        pdf = self._df.orderBy(IDX).toPandas()
+        return pdf.set_index(IDX).rename_axis(None)
+
+    # -- getitem family (ref :1791-2215, rewrite
+    # sdc/rewrites/dataframe_getitem_attribute.py) -------------------------
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return SparkSeries.from_column(self._df, key)
+        if isinstance(key, list):
+            return SparkFrame(self._df.select(IDX, *key))
+        if isinstance(key, SparkSeries):  # boolean mask
+            mask = key._df.select(F.col(IDX), F.col(VAL).alias("__mask__"))
+            kept = self._df.join(mask, IDX).filter(F.col("__mask__")).drop("__mask__")
+            return SparkFrame(kept)
+        if isinstance(key, slice):
+            if key.start is None and key.step is None and key.stop is not None:
+                return self.head(key.stop)
+            raise NotImplementedError("only [:n] slices")
+        raise TypeError(f"unsupported key {type(key)}")
+
+    def __getattr__(self, name: str):
+        # df.A → df['A'] (ref rewrite dataframe_getitem_attribute.py:37-100)
+        if not name.startswith("_") and name in self.columns:
+            return self[name]
+        raise AttributeError(name)
+
+    def set_column(self, name: str, s: SparkSeries | F.Column) -> SparkFrame:
+        """df[c] = s (ref …dataframe_functions.py:3109-3371 — returns a NEW
+        frame, no reflection, matching the reference's no-mutation model)."""
+        if isinstance(s, SparkSeries):
+            v = s._df.select(F.col(IDX), F.col(VAL).alias(name))
+            base = self._df.drop(name) if name in self.columns else self._df
+            return SparkFrame(base.join(v, IDX, "left"))
+        return SparkFrame(self._df.withColumn(name, s))
+
+    def drop(self, columns: Sequence[str] | str) -> SparkFrame:
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        return SparkFrame(self._df.drop(*cols))
+
+    def rename(self, columns: dict[str, str]) -> SparkFrame:
+        return SparkFrame(self._df.withColumnsRenamed(columns))
+
+    def head(self, n: int = 5) -> SparkFrame:
+        return SparkFrame(self._df.orderBy(IDX).limit(n))
+
+    def copy(self) -> SparkFrame:
+        return SparkFrame(self._df)
+
+    def reset_index(self, drop: bool = False) -> SparkFrame:
+        """ref …dataframe_functions.py:3371-3443. Materializing the
+        positional index forces a global sort (SURVEY §7 'hard parts') —
+        kept lazy until here on purpose."""
+        from pyspark.sql import Window as W
+
+        new_idx = (F.row_number().over(W.orderBy(IDX)) - 1).alias("__new__")
+        cols = self.columns
+        if drop:
+            out = self._df.select(new_idx, *cols)
+        else:
+            out = self._df.select(new_idx, F.col(IDX).alias("index"), *cols)
+        return SparkFrame(out.withColumnRenamed("__new__", IDX))
+
+    # -- missing data ------------------------------------------------------
+
+    def isna(self) -> SparkFrame:
+        floats = {c for c, t in self._df.dtypes if t in ("double", "float")}
+        return SparkFrame(
+            self._df.select(
+                IDX, *[sexpr.isna(F.col(c), c in floats).alias(c) for c in self.columns]
+            )
+        )
+
+    def fillna(self, value) -> SparkFrame:
+        floats = {c for c, t in self._df.dtypes if t in ("double", "float")}
+        return SparkFrame(
+            self._df.select(
+                IDX,
+                *[
+                    sexpr.fillna(F.col(c), value, c in floats).alias(c)
+                    if c in floats
+                    else F.col(c)
+                    for c in self.columns
+                ],
+            )
+        )
+
+    def dropna(self, subset: Sequence[str] | None = None) -> SparkFrame:
+        floats = {c for c, t in self._df.dtypes if t in ("double", "float")}
+        cols = list(subset) if subset else self.columns
+        cond = F.lit(True)
+        for c in cols:
+            cond = cond & sexpr.notna(F.col(c), c in floats)
+        return SparkFrame(self._df.filter(cond))
+
+    def isin(self, values) -> SparkFrame:
+        return SparkFrame(
+            self._df.select(IDX, *[F.col(c).isin(*list(values)).alias(c) for c in self.columns])
+        )
+
+    # -- relational (ref §2.3, §2.5, §2.7, §2.8) ---------------------------
+
+    def merge(
+        self,
+        other: SparkFrame,
+        on: Sequence[str] | str,
+        how: str = "inner",
+        suffixes: tuple[str, str] = ("_x", "_y"),
+    ) -> SparkFrame:
+        """pd.merge (legacy-only in the reference, test_join.py:52-414).
+        Result index is reset (pandas semantics for non-index joins)."""
+        keys = [on] if isinstance(on, str) else list(on)
+        left = self._df.drop(IDX)
+        right = other._df.drop(IDX)
+        overlap = (set(left.columns) & set(right.columns)) - set(keys)
+        for c in overlap:
+            left = left.withColumnRenamed(c, f"{c}{suffixes[0]}")
+            right = right.withColumnRenamed(c, f"{c}{suffixes[1]}")
+        joined = left.join(right, on=keys, how=how)
+        return SparkFrame(joined.withColumn(IDX, F.monotonically_increasing_id()))
+
+    def append(self, other: SparkFrame, ignore_index: bool = True) -> SparkFrame:
+        """ref …dataframe_functions.py:357-464 — schema-merging union,
+        missing columns → NULL."""
+        u = self._df.drop(IDX).unionByName(other._df.drop(IDX), allowMissingColumns=True)
+        return SparkFrame(u.withColumn(IDX, F.monotonically_increasing_id()))
+
+    def sort_values(self, by: str | Sequence[str], ascending: bool = True) -> SparkFrame:
+        cols = [by] if isinstance(by, str) else list(by)
+        keys = [
+            F.col(c).asc_nulls_last() if ascending else F.col(c).desc_nulls_last()
+            for c in cols
+        ]
+        return SparkFrame(self._df.orderBy(*keys))
+
+    def groupby(self, by: str | Sequence[str]):
+        from sdc_spark.frame.groupby import FrameGroupBy
+
+        return FrameGroupBy(self, [by] if isinstance(by, str) else list(by))
+
+    def rolling(self, window: int, min_periods: int | None = None):
+        from sdc_spark.frame.rolling import FrameRolling
+
+        return FrameRolling(self, window, window if min_periods is None else min_periods)
+
+    # -- per-column reductions (ref codegen
+    # sdc_pandas_dataframe_reduce_columns, …dataframe_functions.py:465-533) --
+
+    def _numeric_cols(self) -> list[str]:
+        num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        return [c for c, t in self._df.dtypes if c != IDX and t in num]
+
+    def _reduce_all(self, fn) -> pd.Series:
+        cols = self._numeric_cols()
+        row = self._df.agg(*[fn(c).alias(c) for c in cols]).collect()[0]
+        return pd.Series({c: row[c] for c in cols})
+
+    def sum(self):
+        return self._reduce_all(F.sum)
+
+    def mean(self):
+        return self._reduce_all(F.avg)
+
+    def min(self):
+        return self._reduce_all(F.min)
+
+    def max(self):
+        return self._reduce_all(F.max)
+
+    def median(self):
+        return self._reduce_all(F.median)
+
+    def std(self):
+        return self._reduce_all(F.stddev_samp)
+
+    def var(self):
+        return self._reduce_all(F.var_samp)
+
+    def prod(self):
+        return self._reduce_all(F.product)
+
+    def count(self):
+        return self._reduce_all(F.count)
+
+    def describe(self) -> pd.DataFrame:
+        """ref …series_functions.py:4351 lifted per-column."""
+        cols = self._numeric_cols()
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.count(c).alias(f"{c}__count"),
+                F.avg(c).alias(f"{c}__mean"),
+                F.stddev_samp(c).alias(f"{c}__std"),
+                F.min(c).alias(f"{c}__min"),
+                F.percentile(F.col(c), F.lit(0.25)).alias(f"{c}__25%"),
+                F.percentile(F.col(c), F.lit(0.5)).alias(f"{c}__50%"),
+                F.percentile(F.col(c), F.lit(0.75)).alias(f"{c}__75%"),
+                F.max(c).alias(f"{c}__max"),
+            ]
+        row = self._df.agg(*aggs).collect()[0]
+        stats = ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]
+        return pd.DataFrame({c: [row[f"{c}__{s}"] for s in stats] for c in cols}, index=stats)

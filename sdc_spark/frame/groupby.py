@@ -1,0 +1,111 @@
+"""FrameGroupBy — the reference's DataFrameGroupByType surface
+(/root/reference/sdc/datatypes/hpat_pandas_groupby_functions.py:361-481:
+count/max/mean/median/min/prod/std/sum/var).
+
+Reference semantics reproduced: NULL/NaN group keys are DROPPED
+(…dataframe_functions.py:3088); sort=True orders the result by key. The
+position-dict + gather machinery of the reference is replaced by Spark's
+partial+final hash aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sdc_spark.frame.series import IDX
+
+
+class FrameGroupBy:
+    _AGGS = {
+        "count": F.count,
+        "max": F.max,
+        "mean": F.avg,
+        "median": F.median,
+        "min": F.min,
+        "prod": F.product,
+        "std": F.stddev_samp,
+        "sum": F.sum,
+        "var": F.var_samp,
+    }
+
+    def __init__(self, frame, keys: list[str], cols: list[str] | None = None, sort: bool = True):
+        self._frame = frame
+        self._keys = keys
+        self._cols = cols
+        self._sort = sort
+
+    def __getitem__(self, key):
+        cols = [key] if isinstance(key, str) else list(key)
+        return FrameGroupBy(self._frame, self._keys, cols, self._sort)
+
+    def _value_cols(self) -> list[str]:
+        if self._cols:
+            return self._cols
+        num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        return [
+            c
+            for c, t in self._frame._df.dtypes
+            if c not in self._keys and c != IDX and t in num
+        ]
+
+    def _agg(self, kind: str):
+        from sdc_spark.frame.core import SparkFrame
+
+        fn = self._AGGS[kind]
+        df = self._frame._df
+        floats = {c for c, t in df.dtypes if t in ("double", "float")}
+        cond = F.lit(True)
+        for k in self._keys:
+            cond = cond & F.col(k).isNotNull()
+            if k in floats:
+                cond = cond & ~F.isnan(F.col(k))
+        out = (
+            df.filter(cond)
+            .groupBy(*self._keys)
+            .agg(*[fn(c).alias(c) for c in self._value_cols()])
+        )
+        if self._sort:
+            out = out.orderBy(*self._keys)
+        # group keys become the index (single-key frames; multi-key kept as columns)
+        if len(self._keys) == 1:
+            out = out.withColumnRenamed(self._keys[0], IDX)
+        return SparkFrame(out)
+
+    def count(self):
+        return self._agg("count")
+
+    def max(self):
+        return self._agg("max")
+
+    def mean(self):
+        return self._agg("mean")
+
+    def median(self):
+        return self._agg("median")
+
+    def min(self):
+        return self._agg("min")
+
+    def prod(self):
+        return self._agg("prod")
+
+    def std(self):
+        return self._agg("std")
+
+    def sum(self):
+        return self._agg("sum")
+
+    def var(self):
+        return self._agg("var")
+
+    def agg(self, spec: dict[str, str]):
+        """gb.agg({'col': 'sum', ...}) — free Spark extra (SURVEY §2.5)."""
+        from sdc_spark.frame.core import SparkFrame
+
+        out = self._frame._df.groupBy(*self._keys).agg(
+            *[self._AGGS[kind](c).alias(c) for c, kind in spec.items()]
+        )
+        if self._sort:
+            out = out.orderBy(*self._keys)
+        if len(self._keys) == 1:
+            out = out.withColumnRenamed(self._keys[0], IDX)
+        return SparkFrame(out)

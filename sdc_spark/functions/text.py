@@ -1,0 +1,104 @@
+"""Text-analysis functions for training-data pipelines: token counting,
+language ID, quality scoring, document fingerprinting. All JVM-side
+(regex + array expressions); ratios are integer-over-integer divisions so
+results are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from sdc_spark.operators.dedup import normalized_text, word_ngrams
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def ws_token_count(x) -> Column:
+    """Whitespace tokenization count."""
+    t = F.trim(_c(x))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(x) -> Column:
+    """BPE-ish regex token count: letter runs, single digits, punctuation
+    marks — the standard cheap proxy for subword token counts."""
+    return F.regexp_count(_c(x), F.lit(BPE_ISH))
+
+
+# Marker stopwords per language — tiny n-gram/stopword heuristic in the
+# fastText spirit, table-driven so the lang set extends by data, not code.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "with"],
+    "es": ["el", "la", "de", "que", "los", "una"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+    "zh": ["的", "是", "了", "在", "和", "有"],
+}
+
+
+def _marker_hits(x, words: list[str]) -> Column:
+    pat = r"(^| )(" + "|".join(words) + r")( |$)"
+    return F.regexp_count(normalized_text(_c(x)), F.lit(pat))
+
+
+def lang_id(x) -> Column:
+    """Best-scoring language by marker-word hits; 'und' (undetermined)
+    when nothing matches."""
+    c = _c(x)
+    scored = F.array(
+        *[
+            F.struct(_marker_hits(c, ws).alias("hits"), F.lit(lang).alias("lang"))
+            for lang, ws in LANG_MARKERS.items()
+        ]
+    )
+    best = F.array_max(scored)  # struct compare: hits first, then lang
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_components(x) -> dict[str, Column]:
+    """Length/punct/stopword quality signals (Gopher/C4-style filters)."""
+    c = _c(x)
+    n_chars = F.length(c)
+    toks = ws_token_count(c)
+    n_alpha = F.regexp_count(c, F.lit(r"[A-Za-z]"))
+    n_punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
+    n_stop = _marker_hits(c, LANG_MARKERS["en"])
+    return {
+        "n_chars": n_chars,
+        "n_tokens": toks,
+        "alpha_ratio": F.try_divide(n_alpha.cast("double"), n_chars.cast("double")),
+        "punct_ratio": F.try_divide(n_punct.cast("double"), n_chars.cast("double")),
+        "stopword_ratio": F.try_divide(n_stop.cast("double"), toks.cast("double")),
+        "mean_word_len": F.try_divide((n_chars - toks + 1).cast("double"), toks.cast("double")),
+    }
+
+
+def quality_score(x) -> Column:
+    """Single quality scalar in [0,1]-ish: weighted combination of the
+    components (weights fixed; the FILTER decision is a threshold on this)."""
+    q = quality_components(x)
+    return (
+        q["alpha_ratio"] * 0.4
+        + (1.0 - q["punct_ratio"]) * 0.2
+        + F.least(q["stopword_ratio"] * 4.0, F.lit(1.0)) * 0.4
+    )
+
+
+def fingerprint_md5(x) -> Column:
+    """Content fingerprint: md5 of the normalized text."""
+    return F.md5(normalized_text(_c(x)).cast("binary"))
+
+
+def fingerprint_shingle_min(x, ngram: int = 3) -> Column:
+    """Rolling-hash-style robust fingerprint: the lexicographic min of the
+    shingle md5s — stable under small edits away from the minimal shingle
+    (1-hash MinHash)."""
+    return F.array_min(
+        F.transform(word_ngrams(_c(x), ngram), lambda g: F.md5(g.cast("binary")))
+    )

@@ -1,0 +1,313 @@
+"""Distributed deduplication operators for training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): exact dedup,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup. All are
+pure DataFrame compositions — hashing via xxhash64/md5 (JVM, codegen),
+set-similarity via array expressions; no Python in the hot path.
+
+Scale design (100 TB):
+- exact: dedup on a 128-bit content hash, never on the raw text — the
+  shuffle moves 16-byte keys + doc ids, not documents.
+- MinHash+LSH: signatures are computed per-row with array expressions
+  (no explode, no shuffle); only (band_hash → doc_id) pairs shuffle for
+  bucketing. Bands/rows tuned so P(miss | J≥0.8) < 1e-7 at r=4, b=32.
+  Candidate pairs are exact-verified with true Jaccard before reporting.
+- n-gram inverted index: explodes distinct shingles; at web scale add
+  frequency pruning (drop shingles with doc-freq above a cap) — the cap
+  trades recall on boilerplate-heavy corpora; exposed as a parameter.
+- SimHash: 64-bit signature via per-bit majority vote aggregated in one
+  array expression; near-dup = hamming distance ≤ k within LSH buckets on
+  signature chunks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col) -> Column:
+    """Canonical text form for hashing: lowercase, collapsed whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: group on md5(normalized text), keep the lowest id
+    (pandas drop_duplicates(keep='first') order semantics, made
+    deterministic by min-id instead of encounter order — encounter order
+    is not defined on a distributed table)."""
+    h = F.md5(normalized_text(text_col).cast("binary")).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_ngrams(col, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text (the shingle set)."""
+    toks = F.split(normalized_text(col), " ")
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k, F.lit(1)) - 1),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+    )
+    # short docs (< n tokens): single joined gram of what's there
+    return F.array_distinct(F.when(k >= 1, grams).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def minhash_signature(grams: Column, num_hashes: int = 128) -> Column:
+    """MinHash signature: for each seed, min over shingles of
+    xxhash64(shingle, seed). One array expression per row — no shuffle."""
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    return F.transform(seeds, lambda s: F.array_min(F.transform(grams, lambda g: F.xxhash64(g, s))))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays — an integer ratio, so
+    the double result is bit-identical across engines."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))).cast("double")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    ngram: int = 3,
+) -> DataFrame:
+    """MinHash → LSH banding → candidate pairs → exact-Jaccard verification.
+
+    Returns (doc_a, doc_b, jac) for all pairs with true Jaccard ≥ threshold.
+    With r=num_hashes/bands=4 rows per band, P(candidate | J) = 1-(1-J^4)^32:
+    a J=0.8 pair is missed with p≈4e-8 — the verified output matches the
+    exact all-pairs answer with overwhelming probability, at O(n·sig) +
+    bucket-join cost instead of O(n²)."""
+    rows = num_hashes // bands
+    docs = df.select(F.col(id_col).alias("doc"), word_ngrams(text_col, ngram).alias("grams"))
+
+    # Signature via explode → 128-column partial hash-aggregate: stays in
+    # whole-stage codegen (the nested array-expression form falls back to
+    # interpreted eval and is ~50x slower), and the shuffle carries one
+    # 128-long partial state per (partition, doc).
+    exploded = docs.select("doc", F.explode("grams").alias("g"))
+    hashed = exploded.select(
+        "doc", *[F.xxhash64("g", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    sig = hashed.groupBy("doc").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[f"m{b * rows + j}" for j in range(rows)]),
+                            F.lit(b),
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc", "bh.band", "bh.bhash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cands = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+
+    ga = docs.select(F.col("doc").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = docs.select(F.col("doc").alias("doc_b"), F.col("grams").alias("gb"))
+    verified = (
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("jac", jaccard(F.col("ga"), F.col("gb")))
+        .filter(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", "jac")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    ngram: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via an inverted shingle index:
+    explode distinct shingles, self-join on shingle, count intersections,
+    compute J = |∩| / (|A|+|B|−|∩|).
+
+    ``max_doc_freq`` prunes shingles present in more than that many
+    documents (boilerplate) — the standard web-scale mitigation for the
+    quadratic blowup on hot shingles; None = exact."""
+    docs = df.select(F.col(id_col).alias("doc"), word_ngrams(text_col, ngram).alias("grams"))
+    sizes = docs.select("doc", F.size("grams").alias("sz"))
+    inv = docs.select("doc", F.explode("grams").alias("gram"))
+    if max_doc_freq is not None:
+        freq = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+        inv = inv.join(freq.filter(F.col("df") <= max_doc_freq), "gram", "left_semi")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jac",
+            F.col("inter").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", "jac")
+    )
+
+
+def _simhash_bits(g: Column, bits: int) -> Column:
+    """±1 vote vector from the shingle's 64-bit hash (bit positions are
+    Python literals — shift counts must be ints)."""
+    h = F.xxhash64(g)
+    return F.array(
+        *[
+            F.when(
+                F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1).cast("long")
+            ).otherwise(F.lit(-1).cast("long"))
+            for b in range(bits)
+        ]
+    )
+
+
+def simhash_votes(grams: Column, bits: int = 64) -> Column:
+    """Per-bit vote tally over shingle hashes (array<long> of length bits)."""
+    return F.aggregate(
+        grams,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, g: F.zip_with(acc, _simhash_bits(g, bits), lambda a, v: a + v),
+    )
+
+
+def pack_votes(votes: Column, bits: int = 64) -> Column:
+    """Majority votes → packed signed-64 signature. The bit weights are
+    Python-side constants (shiftleft needs a literal shift count); bit 63
+    is long-min to stay in signed range."""
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        weight = (1 << b) if b < 63 else -(1 << 63)
+        sig = sig.bitwiseOR(
+            F.when(F.get(votes, b) > 0, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8, ngram: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: bucket by 16-bit signature chunks (a pair
+    within hamming ≤ 3 of a 64-bit signature must agree on at least one of
+    4 chunks — pigeonhole), verify hamming ≤ max_hamming via bit_count(xor)."""
+    # explode → 64-column hash aggregate (codegen-friendly, same shape as
+    # the minhash signature plan; shuffles one 64-long state per doc)
+    h = F.xxhash64("g")
+    bit = lambda b: F.when(  # noqa: E731
+        F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+    ).otherwise(F.lit(-1))
+    votes = (
+        df.select(F.col(id_col).alias("doc"), F.explode(word_ngrams(text_col, ngram)).alias("g"))
+        .groupBy("doc")
+        .agg(*[F.sum(bit(b)).alias(f"v{b}") for b in range(64)])
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        weight = (1 << b) if b < 63 else -(1 << 63)
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    docs = votes.select("doc", sig.alias("sig"))
+    chunks = docs.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("sig", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ch"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "sig", "c.chunk", "c.ch")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-dup with blocking: all-pairs *within a block*
+    (label, cluster id, LSH bucket…) — the practical scale pattern that
+    turns O(n²) into Σ O(block²). Cosine computed in double."""
+    from sdc_spark.operators.similarity import cosine
+
+    v = df.select(
+        F.col(id_col).alias("vid"), F.col(block_col).alias("blk"), F.col(vec_col).alias("vec")
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vid") < F.col("b.vid")))
+        .select(
+            F.col("a.blk").alias("block"),
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale playbook:
+- ``ann_bruteforce_topk``: exact cosine top-k of every query against the
+  corpus. Queries are broadcast (small side), the corpus is scanned once;
+  ranking happens in a per-query window. Exact, O(N·Q) — the baseline and
+  the correctness oracle for approximate variants.
+- ``ann_lsh_topk``: random-hyperplane LSH — vectors bucketed by the sign
+  pattern of d pseudo-random projections (planes derived deterministically
+  from xxhash64, so the index is reproducible with no stored model);
+  queries only score candidates sharing a bucket (multi-probe over 1-bit
+  flips widens recall). Turns O(N·Q) into O(candidates).
+
+All arithmetic is JVM array expressions in double precision — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def ann_bruteforce_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine. Output (qid, rank, nid) — ids only, so the
+    result is float-noise-proof (ranking gaps dwarf arithmetic noise;
+    ties broken by neighbor id)."""
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    v = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid")
+    )
+
+
+def _bucket(vec: Column, table: int, planes: int, dim: int) -> Column:
+    """Sign-pattern bucket id from `planes` pseudo-random hyperplanes of
+    one LSH table. Plane weights are xxhash64(table, plane, dim-index)
+    mapped to [-1, 1] — deterministic, no stored model, identical on every
+    executor."""
+    def weight(p: int, i) -> Column:
+        return (F.xxhash64(F.lit(table), F.lit(p), i) % 10000).cast("double") / 10000.0
+
+    def proj(p: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: x.cast("double") * weight(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    out = F.lit(0).cast("long")
+    for p in range(planes):
+        out = out + F.when(proj(p) > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 4,
+    tables: int = 8,
+    dim: int = 64,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k with OR-amplified hyperplane LSH: `tables`
+    independent hash tables of `planes` bits each; a corpus vector is a
+    candidate if it shares ANY table's bucket with the query (multiprobe
+    additionally probes all 1-bit-flip buckets). For neighbors at angle θ,
+    P(candidate) = 1 − (1 − (1−θ/π)^planes)^tables — planes/tables trade
+    candidate volume against recall. Output schema matches
+    ann_bruteforce_topk."""
+    v = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")).select(
+        "nid",
+        "nvec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _bucket(F.col("nvec"), t, planes, dim).alias("bkt"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("nid", "nvec", "tb.tbl", "tb.bkt")
+
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    probes = []
+    for t in range(tables):
+        base = _bucket(F.col("qvec"), t, planes, dim)
+        probes.append(F.struct(F.lit(t).alias("tbl"), base.alias("bkt")))
+        if multiprobe:
+            probes += [
+                F.struct(F.lit(t).alias("tbl"), base.bitwiseXOR(F.lit(1 << p)).alias("bkt"))
+                for p in range(planes)
+            ]
+    q = q.select("qid", "qvec", F.explode(F.array(*probes)).alias("tb")).select(
+        "qid", "qvec", "tb.tbl", "tb.bkt"
+    )
+
+    cands = (
+        v.join(F.broadcast(q), ["tbl", "bkt"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "qvec", "nid", "nvec")
+        .distinct()
+    )
+    scored = cands.select("qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos"))
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid")
+    )

@@ -2,6 +2,8 @@
 
 import sdc_spark.plans.groupby  # noqa: F401
 import sdc_spark.plans.joins  # noqa: F401
+import sdc_spark.plans.llm_data  # noqa: F401
 import sdc_spark.plans.relational  # noqa: F401
 import sdc_spark.plans.scalar  # noqa: F401
+import sdc_spark.plans.streaming_q  # noqa: F401
 import sdc_spark.plans.window  # noqa: F401

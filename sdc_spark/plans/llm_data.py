@@ -1,0 +1,335 @@
+"""Training-data pipeline coverage: dedup (exact / MinHash-LSH / n-gram
+Jaccard / SimHash / embedding), similarity search, text analysis,
+multimodal plumbing — the BASELINE.json north-star extensions.
+
+Oracles are exact by construction: probabilistic operators (MinHash LSH)
+emit exact-verified results whose miss probability is < 1e-7, so they
+hash-match the exact all-pairs SQL; float-scored outputs emit ids only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdc_spark.functions import text as stext
+from sdc_spark.operators import dedup as sdedup
+from sdc_spark.operators import multimodal as smm
+from sdc_spark.operators import similarity as ssim
+from sdc_spark.plans.registry import oracle, query
+from sdc_spark.sources.readers import read_table
+
+# Shared DuckDB shingle CTE (word trigrams over normalized text) — the SQL
+# twin of operators.dedup.word_ngrams.
+_GRAMS_SQL = r"""
+    toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS s(i)
+        GROUP BY doc_id, gram
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jac
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+    )
+"""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+@query("dedup_exact")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a 16-byte content hash (shuffles hashes, not text).
+    The corpus has no exact dups, so every 10th doc is re-injected with a
+    shifted id — groups of size 2 must keep the original id."""
+    doc = _t(spark, sf_dir, "documents")
+    dupes = doc.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return sdedup.exact_dedup(doc.unionByName(dupes), "text", "doc_id")
+
+
+oracle(
+    "dedup_exact",
+    r"""
+    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    )
+    GROUP BY 1
+    """,
+)
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) → 32×4 LSH banding → exact-Jaccard verification at 0.8.
+    P(miss | J=0.8) ≈ 4e-8, so the output equals the exact all-pairs
+    answer (the oracle) while scaling ~linearly."""
+    return sdedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.8
+    )
+
+
+oracle(
+    "dedup_minhash_lsh",
+    f"WITH {_GRAMS_SQL} SELECT doc_a, doc_b, jac FROM pairs WHERE jac >= 0.8",
+)
+
+
+@query("dedup_ngram_jaccard")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ 0.5 via the inverted shingle index
+    (document-frequency pruning available for web scale; exact here)."""
+    return sdedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
+    )
+
+
+oracle(
+    "dedup_ngram_jaccard",
+    f"WITH {_GRAMS_SQL} SELECT doc_a, doc_b, jac FROM pairs WHERE jac >= 0.5",
+)
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (chunk-bucketed, hamming ≤ 8). Signature
+    is engine-specific (xxhash64) → rows-only check; cross-validated
+    against minhash pairs in tests/test_llm_data.py."""
+    return sdedup.simhash_near_dups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query("dedup_embedding")
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with label blocking (block join turns
+    O(n²) into Σ O(block²)); ids only — float-noise-proof."""
+    out = sdedup.embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", "label", threshold=0.4
+    )
+    return out.select("block", "vec_a", "vec_b")
+
+
+oracle(
+    "dedup_embedding",
+    """
+    WITH p AS (
+        SELECT a.label AS block, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               a.embedding AS ea, b.embedding AS eb
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    ), d AS (
+        SELECT block, vec_a, vec_b,
+               sum(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+               sqrt(sum(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)))
+                   * sqrt(sum(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))) AS nn
+        FROM p, UNNEST(generate_series(1, len(ea))) AS s(i)
+        GROUP BY 1, 2, 3
+    )
+    SELECT block, vec_a, vec_b FROM d WHERE dot / nn >= 0.4
+    """,
+)
+
+
+@query("ann_cosine_topk")
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 10 query vectors: broadcast
+    queries × one corpus scan → per-query window rank. ids only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ssim.ann_bruteforce_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+oracle(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT qid, v.vec_id AS nid,
+               sum(CAST(qv[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))
+                   / (sqrt(sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+                      * sqrt(sum(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))) AS c
+        FROM q JOIN embeddings v ON v.vec_id <> qid,
+             UNNEST(generate_series(1, len(qv))) AS s(i)
+        GROUP BY qid, nid
+    )
+    SELECT qid, rank, nid FROM (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+
+
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 (multi-probe). Bucket hashes are
+    engine-specific → rows-only; recall vs brute force asserted in
+    tests/test_llm_data.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ssim.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("text_tokens")
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    doc = _t(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        stext.ws_token_count("text").alias("ws_tokens"),
+        stext.bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
+oracle(
+    "text_tokens",
+    r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
+    FROM documents
+    """,
+)
+
+
+@query("text_lang_id")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID (argmax over per-language hit counts;
+    ties broken by language code — mirrored exactly in the oracle)."""
+    doc = _t(spark, sf_dir, "documents")
+    return doc.select("doc_id", "lang", stext.lang_id("text").alias("lang_pred"))
+
+
+_MARKER_ROWS = " UNION ALL ".join(
+    "SELECT '{lang}' AS lang_c, '(^| )({alts})( |$)' AS pat".format(
+        lang=lang, alts="|".join(ws)
+    )
+    for lang, ws in stext.LANG_MARKERS.items()
+)
+
+oracle(
+    "text_lang_id",
+    rf"""
+    WITH markers AS ({_MARKER_ROWS}),
+    scored AS (
+        SELECT d.doc_id, d.lang, m.lang_c,
+               len(regexp_extract_all(
+                   regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g'), m.pat)) AS hits
+        FROM documents d CROSS JOIN markers m
+    ),
+    best AS (
+        SELECT doc_id, lang, lang_c, hits,
+               row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_c DESC) AS rn
+        FROM scored
+    )
+    SELECT doc_id, lang,
+           CASE WHEN hits > 0 THEN lang_c ELSE 'und' END AS lang_pred
+    FROM best WHERE rn = 1
+    """,
+)
+
+
+@query("text_quality")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punct/stopword quality signals + combined score (C4/Gopher-
+    style filter inputs). Integer-ratio doubles — bit-identical."""
+    doc = _t(spark, sf_dir, "documents")
+    q = stext.quality_components("text")
+    return doc.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["alpha_ratio"].alias("alpha_ratio"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        stext.quality_score("text").alias("quality"),
+    )
+
+
+oracle(
+    "text_quality",
+    r"""
+    WITH c AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+               len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+               len(regexp_extract_all(
+                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                   '(^| )(the|and|of|to|is|with)( |$)')) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)  AS alpha_ratio,
+           CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)  AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)  AS stopword_ratio,
+           (CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.4
+             + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.2
+             + least((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 4.0, 1.0) * 0.4
+           AS quality
+    FROM c
+    """,
+)
+
+
+@query("text_fingerprint")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of normalized text + 1-hash MinHash
+    (lexicographic-min shingle md5, stable under small edits)."""
+    doc = _t(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        stext.fingerprint_md5("text").alias("fp_md5"),
+        stext.fingerprint_shingle_min("text").alias("fp_shingle"),
+    )
+
+
+oracle(
+    "text_fingerprint",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t,
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS s(i)
+        GROUP BY doc_id, gram
+    )
+    SELECT n.doc_id, md5(n.norm) AS fp_md5, min(md5(g.gram)) AS fp_shingle
+    FROM toks n JOIN grams g ON n.doc_id = g.doc_id
+    GROUP BY n.doc_id, n.norm
+    """,
+)
+
+
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary modality plumbing: attach binary payload + typed metadata,
+    decode/featurize via Arrow mapInPandas (deterministic stub — real
+    codecs absent in container; schema/batching are production-shaped).
+    Rows-only check (pseudo-features aren't SQL-expressible)."""
+    doc = _t(spark, sf_dir, "documents")
+    return smm.decode_and_featurize(smm.attach_binary(doc, "text", "doc_id"))

@@ -1,0 +1,86 @@
+"""Streaming-semantics coverage queries (batch twins, DuckDB-oracled).
+
+The streaming execution of the same expressions is exercised in
+tests/test_streaming.py (memory sink + processAllAvailable); here the
+batch twins pin the window/session semantics against SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdc_spark.plans.registry import oracle, query
+from sdc_spark.sources.readers import read_table
+from sdc_spark.streaming.windows import session_agg_batch, tumbling_agg_batch
+
+
+@query("window_tumbling_agg")
+def window_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling event-time windows per event_type (streaming twin:
+    sdc_spark.streaming.windows.tumbling_agg)."""
+    ev = read_table(spark, sf_dir, "events")
+    out = tumbling_agg_batch(ev, window="5 minutes")
+    return out.select(
+        F.col("win_start").cast("string").alias("win_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+oracle(
+    "window_tumbling_agg",
+    """
+    SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR) AS win_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+
+
+@query("window_session_agg")
+def window_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session) —
+    batch twin of F.session_window, built from lag + running sum."""
+    ev = read_table(spark, sf_dir, "events")
+    out = session_agg_batch(ev, gap_minutes=30)
+    # session bounds as exact epoch-microsecond longs (timestamp string
+    # formatting differs across engines on trailing fractional zeros)
+    return out.select(
+        "user_id",
+        "sess_id",
+        F.unix_micros("sess_start").alias("start_us"),
+        F.unix_micros("sess_end").alias("end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+oracle(
+    "window_session_agg",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000 THEN 1
+                    ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id, sess_id,
+           epoch_us(CAST(min(ts) AS TIMESTAMP)) AS start_us,
+           epoch_us(CAST(max(ts) AS TIMESTAMP)) AS end_us,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM sess GROUP BY 1, 2
+    """,
+)

@@ -1,0 +1,142 @@
+"""Event-time windowed aggregation: tumbling / sliding / session, with
+watermarks for late data.
+
+Streaming entry points take a streaming DataFrame (spark.readStream…);
+the *_batch twins compute identical results on a batch frame — used by the
+correctness oracle and as the semantic spec.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+DEFAULT_AGGS: tuple[tuple[str, str], ...] = (("count", "*"), ("sum", "value"))
+
+
+def _agg_exprs(aggs: Sequence[tuple[str, str]]) -> list[Column]:
+    out = []
+    for kind, col in aggs:
+        if kind == "count":
+            out.append(F.count(F.lit(1)).alias("n_events"))
+        elif kind == "sum":
+            out.append(F.round(F.sum(col), 4).alias(f"sum_{col}"))
+        elif kind == "avg":
+            out.append(F.round(F.avg(col), 4).alias(f"avg_{col}"))
+        else:
+            raise ValueError(f"unsupported agg {kind!r}")
+    return out
+
+
+def tumbling_agg(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("event_type",),
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    aggs: Sequence[tuple[str, str]] = DEFAULT_AGGS,
+) -> DataFrame:
+    """Tumbling event-time windows with a late-data watermark. In streaming
+    mode the watermark bounds state: windows older than max(event time) −
+    watermark are finalized and evicted."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), *keys)
+        .agg(*_agg_exprs(aggs))
+        .select(
+            F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"), *keys,
+            *[c for c in ["n_events", "sum_value", "avg_value"]][: len(aggs)],
+        )
+    )
+
+
+def sliding_agg(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("event_type",),
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+    aggs: Sequence[tuple[str, str]] = DEFAULT_AGGS,
+) -> DataFrame:
+    """Sliding (hopping) windows — each event lands in window/slide panes."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("win"), *keys)
+        .agg(*_agg_exprs(aggs))
+        .select(
+            F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"), *keys,
+            *[c for c in ["n_events", "sum_value", "avg_value"]][: len(aggs)],
+        )
+    )
+
+
+def session_agg_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("user_id",),
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows (gap-based) in streaming mode via F.session_window."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("win"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"), *keys,
+            "n_events", "sum_value",
+        )
+    )
+
+
+def tumbling_agg_batch(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("event_type",),
+    window: str = "5 minutes",
+    aggs: Sequence[tuple[str, str]] = DEFAULT_AGGS,
+) -> DataFrame:
+    """Batch twin of tumbling_agg (F.window works on batch frames too)."""
+    return (
+        df.groupBy(F.window(ts_col, window).alias("win"), *keys)
+        .agg(*_agg_exprs(aggs))
+        .select(
+            F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"), *keys,
+            *[c for c in ["n_events", "sum_value", "avg_value"]][: len(aggs)],
+        )
+    )
+
+
+def session_agg_batch(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Batch sessionization: lag-gap flag → cumulative session id → per-
+    session aggregate. Semantically identical to session_window on a
+    closed batch (every session's gap has elapsed)."""
+    w = W.partitionBy(key).orderBy(ts_col, "event_id")
+    # gap compared in exact integer microseconds (unix_timestamp truncates
+    # to seconds, which shifts events near the gap boundary)
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev = F.lag(ts_col, 1).over(w)
+    flagged = df.withColumn(
+        "new_sess",
+        F.when(prev.isNull(), 1)
+        .when((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)) > gap_us, 1)
+        .otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sessions.groupBy(key, "sess_id").agg(
+        F.min(ts_col).alias("sess_start"),
+        F.max(ts_col).alias("sess_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

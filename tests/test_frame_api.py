@@ -1,0 +1,197 @@
+"""Differential tests: SparkFrame/SparkSeries vs real pandas — the
+reference's own test strategy (SURVEY §5: jit result vs interpreted pandas,
+sdc/tests/test_base.py:32-58) with Spark in place of the JIT."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from sdc_spark.frame import from_pandas
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    rng = np.random.RandomState(42)
+    n = 200
+    df = pd.DataFrame(
+        {
+            "A": rng.randn(n) * 10,
+            "B": rng.randint(0, 5, n).astype("int64"),
+            "C": rng.choice(["x", "y", "z", "ww"], n),
+            "D": rng.rand(n),
+        }
+    )
+    df.loc[df.sample(20, random_state=1).index, "A"] = np.nan
+    return df
+
+
+@pytest.fixture(scope="module")
+def sf(spark, pdf):
+    return from_pandas(spark, pdf)
+
+
+def eq_series(got, exp, **kw):
+    pd.testing.assert_series_equal(
+        got.to_pandas(), exp, check_names=False, check_dtype=False, **kw
+    )
+
+
+def test_reductions(sf, pdf):
+    for op in ("sum", "mean", "min", "max", "median", "std", "var"):
+        got = getattr(sf["A"], op)()
+        exp = getattr(pdf["A"], op)()
+        assert got == pytest.approx(exp, rel=1e-12), op
+
+
+def test_count_nunique_idx(sf, pdf):
+    assert sf["A"].count() == pdf["A"].count()
+    assert sf["B"].nunique() == pdf["B"].nunique()
+    assert sf["D"].idxmax() == pdf["D"].idxmax()
+    assert sf["D"].idxmin() == pdf["D"].idxmin()
+    assert sf["A"].quantile(0.3) == pytest.approx(pdf["A"].quantile(0.3), rel=1e-12)
+    assert sf["A"].skew() == pytest.approx(pdf["A"].skew(), rel=1e-9)
+
+
+def test_binop_alignment(spark, pdf):
+    s1 = pd.Series([1.0, 2.0, 3.0], index=[0, 1, 2])
+    s2 = pd.Series([10.0, 20.0, 30.0], index=[1, 2, 3])
+    f1 = from_pandas(spark, s1.to_frame("v"))["v"]
+    f2 = from_pandas(spark, s2.to_frame("v"))["v"]
+    eq_series(f1 + f2, s1 + s2)
+    eq_series(f1.add(f2, fill_value=0), s1.add(s2, fill_value=0))
+    eq_series(f1 * f2, s1 * s2)
+
+
+def test_arith_and_compare(sf, pdf):
+    eq_series(sf["D"] * 2 + 1, pdf["D"] * 2 + 1)
+    eq_series(sf["B"] // 2, (pdf["B"] // 2).astype(float))
+    eq_series(sf["B"] % 3, (pdf["B"] % 3).astype(float))
+    eq_series(sf["D"] > 0.5, pdf["D"] > 0.5)
+
+
+def test_missing_ops(sf, pdf):
+    eq_series(sf["A"].isna(), pdf["A"].isna())
+    eq_series(sf["A"].fillna(-1.0), pdf["A"].fillna(-1.0))
+    got = sf["A"].dropna().to_pandas()
+    pd.testing.assert_series_equal(got, pdf["A"].dropna(), check_names=False, check_dtype=False)
+
+
+def test_shift_cumsum(sf, pdf):
+    eq_series(sf["D"].shift(1), pdf["D"].shift(1))
+    eq_series(sf["A"].cumsum(), pdf["A"].cumsum())
+    eq_series(sf["D"].pct_change(), pdf["D"].pct_change())
+
+
+def test_value_counts_head_nlargest(sf, pdf):
+    got = sf["C"].value_counts().to_pandas()
+    exp = pdf["C"].value_counts()
+    pd.testing.assert_index_equal(got.index, exp.index, check_names=False)
+    assert got.tolist() == exp.tolist()
+    assert sf["D"].nlargest(7).to_pandas().tolist() == pdf["D"].nlargest(7).tolist()
+    assert sorted(sf["B"].unique()) == sorted(pdf["B"].unique())
+
+
+def test_str_accessor(sf, pdf):
+    eq_series(sf["C"].str.upper(), pdf["C"].str.upper())
+    eq_series(sf["C"].str.len(), pdf["C"].str.len())
+    eq_series(sf["C"].str.contains("w", regex=False), pdf["C"].str.contains("w", regex=False))
+    eq_series(sf["C"].str.center(5, "*"), pdf["C"].str.center(5, "*"))
+
+
+def test_frame_ops(sf, pdf):
+    mask = sf["D"] > 0.5
+    got = sf[mask].to_pandas()[["A", "B", "C", "D"]]
+    pd.testing.assert_frame_equal(got, pdf[pdf["D"] > 0.5], check_dtype=False)
+
+    got2 = sf[["A", "B"]].to_pandas()
+    pd.testing.assert_frame_equal(got2, pdf[["A", "B"]], check_dtype=False)
+
+    got3 = sf.head(7).to_pandas()[["A", "B", "C", "D"]]
+    pd.testing.assert_frame_equal(got3, pdf.head(7), check_dtype=False)
+
+    got4 = sf.set_column("E", sf["D"] * 10).to_pandas()
+    exp4 = pdf.copy()
+    exp4["E"] = pdf["D"] * 10
+    pd.testing.assert_frame_equal(got4[["A", "B", "C", "D", "E"]], exp4, check_dtype=False)
+
+
+def test_frame_dropna_fillna(sf, pdf):
+    got = sf.dropna().to_pandas()[["A", "B", "C", "D"]]
+    pd.testing.assert_frame_equal(got, pdf.dropna(), check_dtype=False)
+    got2 = sf.fillna(0.0).to_pandas()[["A", "B", "C", "D"]]
+    pd.testing.assert_frame_equal(got2, pdf.fillna(0.0), check_dtype=False)
+
+
+def test_groupby(sf, pdf):
+    for op in ("sum", "mean", "count", "min", "max", "std"):
+        got = getattr(sf.groupby("B")[["A", "D"]], op)().to_pandas()
+        exp = getattr(pdf.groupby("B")[["A", "D"]], op)()
+        pd.testing.assert_frame_equal(
+            got, exp, check_dtype=False, check_names=False, check_index_type=False
+        )
+
+
+def test_groupby_drops_nan_keys(spark):
+    p = pd.DataFrame({"k": [1.0, np.nan, 1.0, 2.0], "v": [1.0, 2.0, 3.0, 4.0]})
+    got = from_pandas(spark, p).groupby("k")[["v"]].sum().to_pandas()
+    exp = p.groupby("k")[["v"]].sum()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_names=False)
+
+
+def test_merge(spark):
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "a": list("wxyz")})
+    right = pd.DataFrame({"k": [2, 3, 5], "b": [20.0, 30.0, 50.0]})
+    for how in ("inner", "left", "outer"):
+        got = (
+            from_pandas(spark, left)
+            .merge(from_pandas(spark, right), on="k", how=how)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        exp = left.merge(right, on="k", how=how).sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+
+
+def test_append(spark):
+    a = pd.DataFrame({"x": [1, 2], "y": ["a", "b"]})
+    b = pd.DataFrame({"x": [3], "z": [9.0]})
+    got = from_pandas(spark, a).append(from_pandas(spark, b)).to_pandas()
+    assert sorted(got.columns) == ["x", "y", "z"]
+    assert sorted(got["x"].tolist()) == [1, 2, 3]
+
+
+def test_rolling(sf, pdf):
+    for op in ("sum", "mean", "std", "min", "max", "median"):
+        got = getattr(sf["D"].rolling(7, min_periods=3), op)()
+        exp = getattr(pdf["D"].rolling(7, min_periods=3), op)()
+        eq_series(got, exp)
+
+
+def test_rolling_corr_apply(sf, pdf):
+    got = sf["D"].rolling(10, min_periods=5).corr(sf["A"])
+    exp = pdf["D"].rolling(10, min_periods=5).corr(pdf["A"])
+    pd.testing.assert_series_equal(
+        got.to_pandas(), exp, check_names=False, check_dtype=False, atol=1e-9
+    )
+    got2 = sf["D"].rolling(5, min_periods=5).apply(lambda a: a.max() - a.min())
+    exp2 = pdf["D"].rolling(5, min_periods=5).apply(lambda a: a.max() - a.min(), raw=True)
+    eq_series(got2, exp2)
+
+
+def test_map_apply(sf, pdf):
+    eq_series(sf["B"].map({0: "zero", 1: "one"}), pdf["B"].map({0: "zero", 1: "one"}))
+    eq_series(sf["D"].map(lambda x: x * 3.5), pdf["D"].map(lambda x: x * 3.5))
+
+
+def test_describe(sf, pdf):
+    got = sf.describe()
+    exp = pdf.describe()
+    for c in ("A", "B", "D"):
+        np.testing.assert_allclose(got[c].values.astype(float), exp[c].values, rtol=1e-9)

@@ -1,0 +1,72 @@
+"""Quality/property tests for the LLM-data operators (the parts a DuckDB
+oracle can't check): LSH recall, simhash precision, multimodal plumbing."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from sdc_spark.operators import dedup as sdedup
+from sdc_spark.operators import multimodal as smm
+from sdc_spark.operators import similarity as ssim
+from sdc_spark.sources.readers import read_table
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    """Multi-probe hyperplane LSH must recover most of the exact top-5."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.qid, r.nid) for r in ssim.ann_bruteforce_topk(emb, q, k=5).collect()}
+    approx = {(r.qid, r.nid) for r in ssim.ann_lsh_topk(emb, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_simhash_pairs_are_similar(spark, sf_dir):
+    """SimHash candidates (hamming<=8) should overwhelmingly be true
+    near-dups by n-gram Jaccard (precision check)."""
+    doc = read_table(spark, sf_dir, "documents")
+    sim = sdedup.simhash_near_dups(doc, "text", "doc_id", max_hamming=8)
+    true_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in sdedup.ngram_jaccard_pairs(doc, "text", "doc_id", threshold=0.5).collect()
+    }
+    sim_pairs = {(r.doc_a, r.doc_b) for r in sim.collect()}
+    assert sim_pairs, "simhash found nothing"
+    precision = len(sim_pairs & true_pairs) / len(sim_pairs)
+    assert precision >= 0.8, f"simhash precision too low: {precision}"
+
+
+def test_minhash_equals_exact(spark, sf_dir):
+    """LSH-accelerated minhash output == exact all-pairs at threshold 0.8."""
+    doc = read_table(spark, sf_dir, "documents")
+    mh = {
+        (r.doc_a, r.doc_b)
+        for r in sdedup.minhash_lsh_pairs(doc, "text", "doc_id", threshold=0.8).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in sdedup.ngram_jaccard_pairs(doc, "text", "doc_id", threshold=0.8).collect()
+    }
+    assert mh == exact
+
+
+def test_multimodal_stub_deterministic(spark, sf_dir):
+    doc = read_table(spark, sf_dir, "documents").limit(50)
+    feats = smm.decode_and_featurize(smm.attach_binary(doc, "text", "doc_id"))
+    a = {r.id: (r.n_bytes, r.byte_mean, tuple(r.feat)) for r in feats.collect()}
+    b = {r.id: (r.n_bytes, r.byte_mean, tuple(r.feat)) for r in feats.collect()}
+    assert a == b
+    assert all(len(v[2]) == 8 for v in a.values())
+
+
+def test_multimodal_real_path_raises(spark, sf_dir):
+    import pytest
+
+    doc = read_table(spark, sf_dir, "documents").limit(2)
+    df = smm.decode_and_featurize(smm.attach_binary(doc, "text", "doc_id"), stub=False)
+    with pytest.raises(Exception, match="NotImplementedError|real image"):
+        df.collect()
