@@ -33,6 +33,18 @@ HEADLINE = [
     "nlargest_topk",
     "append_union",
     "except_intersect",
+    "join_inner_broadcast",
+    "join_multikey",
+    "merge_asof_backward",
+    "groupby_agg_core",
+    "window_topk_per_group",
+    "rolling_corr_cov",
+    "window_tumbling_agg",
+    "window_session_agg",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "text_quality",
 ]
 
 

@@ -46,15 +46,47 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def word_ngrams(col, n: int = 3) -> Column:
-    """Distinct word n-grams of the normalized text (the shingle set)."""
+    """Distinct word n-grams of the normalized text (the shingle set).
+
+    PERFORMANCE: only use this inline form on pre-materialized short
+    inputs. The lambda below captures ``toks`` as a sub-expression; if that
+    sub-expression is the full normalize+split pipeline, Spark re-evaluates
+    it per array element — O(tokens²) regex work per document. Pipelines
+    must materialize tokens first (``with_grams``), which made shingling
+    ~10x faster at sf0.1."""
     toks = F.split(normalized_text(col), " ")
+    return ngrams_of_tokens(toks, n)
+
+
+def ngrams_of_tokens(toks: Column, n: int = 3) -> Column:
+    """n-gram set from a token array, built with chained zip_with: each
+    shifted copy of the array is evaluated ONCE and then walked — unlike a
+    transform-with-F.get lambda, where the captured array expression is
+    re-evaluated per element (CollapseProject inlines any 'materialized'
+    token column right back, so that form is O(tokens²) in regex work —
+    observed 10x slowdown at sf0.1)."""
+    grams = toks
+    for j in range(1, n):
+        # NB: slice's start+length must stay within int32 — a "huge length"
+        # sentinel silently overflows and returns [] (observed)
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(1)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
     k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(k, F.lit(1)) - 1),
-        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+    # zip_with pads with null and concat_ws drops nulls → trim the bogus
+    # short tail grams; short docs (< n tokens) → one joined gram
+    full = F.slice(grams, 1, F.greatest(k, F.lit(0)))
+    return F.array_distinct(
+        F.when(k >= 1, full).otherwise(F.array(F.concat_ws(" ", toks)))
     )
-    # short docs (< n tokens): single joined gram of what's there
-    return F.array_distinct(F.when(k >= 1, grams).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def with_grams(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id → doc, grams) with tokens materialized between the two stages so
+    the normalize+split pipeline runs once per row, not once per element."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.split(normalized_text(text_col), " ").alias("__toks__")
+    )
+    return toks.select("doc", ngrams_of_tokens(F.col("__toks__"), n).alias("grams"))
 
 
 def minhash_signature(grams: Column, num_hashes: int = 128) -> Column:
@@ -88,7 +120,7 @@ def minhash_lsh_pairs(
     exact all-pairs answer with overwhelming probability, at O(n·sig) +
     bucket-join cost instead of O(n²)."""
     rows = num_hashes // bands
-    docs = df.select(F.col(id_col).alias("doc"), word_ngrams(text_col, ngram).alias("grams"))
+    docs = with_grams(df, text_col, id_col, ngram)
 
     # Signature via explode → 128-column partial hash-aggregate: stays in
     # whole-stage codegen (the nested array-expression form falls back to
@@ -160,7 +192,7 @@ def ngram_jaccard_pairs(
     ``max_doc_freq`` prunes shingles present in more than that many
     documents (boilerplate) — the standard web-scale mitigation for the
     quadratic blowup on hot shingles; None = exact."""
-    docs = df.select(F.col(id_col).alias("doc"), word_ngrams(text_col, ngram).alias("grams"))
+    docs = with_grams(df, text_col, id_col, ngram)
     sizes = docs.select("doc", F.size("grams").alias("sz"))
     inv = docs.select("doc", F.explode("grams").alias("gram"))
     if max_doc_freq is not None:
@@ -237,7 +269,7 @@ def simhash_near_dups(
         F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
     ).otherwise(F.lit(-1))
     votes = (
-        df.select(F.col(id_col).alias("doc"), F.explode(word_ngrams(text_col, ngram)).alias("g"))
+        with_grams(df, text_col, id_col, ngram).select("doc", F.explode("grams").alias("g"))
         .groupBy("doc")
         .agg(*[F.sum(bit(b)).alias(f"v{b}") for b in range(64)])
     )
@@ -290,14 +322,26 @@ def embedding_near_dups(
     id_col: str,
     block_col: str,
     threshold: float = 0.4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup with blocking: all-pairs *within a block*
     (label, cluster id, LSH bucket…) — the practical scale pattern that
     turns O(n²) into Σ O(block²). Cosine computed in double."""
-    from sdc_spark.operators.similarity import cosine
+    from sdc_spark.operators.similarity import dot, dot_fixed, norm
 
+    # dim=None → zip_with/aggregate dot (measured faster than the unrolled
+    # dot_fixed here: 64 unrolled gets per pair blow up codegen)
+    pair_dot = (lambda x, y: dot_fixed(x, y, dim)) if dim else dot
+
+    # precompute each vector's norm ONCE before the quadratic stage (norms
+    # per pair triple the higher-order-function work); dot/(na*nb) keeps
+    # the arithmetic identical to the naive formula, so results stay
+    # bit-comparable with the oracle
     v = df.select(
-        F.col(id_col).alias("vid"), F.col(block_col).alias("blk"), F.col(vec_col).alias("vec")
+        F.col(id_col).alias("vid"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
     )
     a = v.alias("a")
     b = v.alias("b")
@@ -307,7 +351,9 @@ def embedding_near_dups(
             F.col("a.blk").alias("block"),
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+            F.try_divide(
+                pair_dot(F.col("a.vec"), F.col("b.vec")), F.col("a.nrm") * F.col("b.nrm")
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -29,6 +29,18 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Dot product unrolled over a known dimensionality: a flat chain of
+    gets/multiplies/adds stays in whole-stage codegen, where the
+    zip_with+aggregate form is evaluated as interpreted higher-order
+    lambdas (~5x slower in the quadratic stage of pairwise scoring).
+    Summation order (left-to-right) matches ``dot``."""
+    out = F.lit(0.0)
+    for i in range(dim):
+        out = out + F.get(a, i).cast("double") * F.get(b, i).cast("double")
+    return out
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
 

@@ -118,23 +118,40 @@ oracle(
 @query("window_pct_change")
 def window_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """series.pct_change (ref …series_functions.py:4233): v/lag(v) - 1 per
-    user over time."""
+    user over time, with pandas zero-division semantics (prev=0 → ±inf/NaN
+    — plain division raises under ANSI and returns NULL in DuckDB)."""
+    from sdc_spark.functions.expressions import pandas_div
+
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("value", 1).over(w)
     return ev.select(
         "user_id",
         "event_id",
-        (F.round(F.col("value") / prev - 1, 6) + 0.0).alias("pct_change"),
+        (
+            F.round(
+                F.when(prev.isNotNull(), pandas_div(F.col("value"), prev) - 1), 6
+            )
+            + 0.0
+        ).alias("pct_change"),
     )
 
 
 oracle(
     "window_pct_change",
     """
+    WITH t AS (
+        SELECT user_id, event_id, value,
+               lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    )
     SELECT user_id, event_id,
-           round(value / lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1, 6) + 0.0 AS pct_change
-    FROM events
+           round(CASE WHEN prev IS NULL THEN NULL
+                      WHEN prev <> 0 THEN value / prev - 1
+                      WHEN value > 0 THEN CAST('infinity' AS DOUBLE)
+                      WHEN value < 0 THEN CAST('-infinity' AS DOUBLE)
+                      ELSE CAST('nan' AS DOUBLE) END, 6) + 0.0 AS pct_change
+    FROM t
     """,
 )
 
