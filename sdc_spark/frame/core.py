@@ -131,6 +131,35 @@ class SparkFrame:
             out = self._df.select(new_idx, F.col(IDX).alias("index"), *cols)
         return SparkFrame(out.withColumnRenamed("__new__", IDX))
 
+    # -- label/positional access (ref iloc/loc accessors,
+    # …dataframe_functions.py:2216-2502) -----------------------------------
+
+    def loc(self, index_value) -> SparkFrame:
+        """Label access on the __index__ column."""
+        return SparkFrame(self._df.filter(F.col(IDX) == F.lit(index_value)))
+
+    def loc_range(self, start, stop) -> SparkFrame:
+        """Label slice (pandas .loc is stop-INCLUSIVE)."""
+        return SparkFrame(
+            self._df.filter((F.col(IDX) >= F.lit(start)) & (F.col(IDX) <= F.lit(stop)))
+        )
+
+    def iloc(self, pos: int) -> dict:
+        """Positional row access — a total order over __index__ defines
+        position (forces an ordered limit; O(pos) rows move)."""
+        rows = self._df.orderBy(IDX).offset(pos).limit(1).take(1)
+        if not rows:
+            raise IndexError(pos)
+        d = rows[0].asDict()
+        d.pop(IDX, None)
+        return d
+
+    def at(self, index_value, col: str):
+        rows = self._df.filter(F.col(IDX) == F.lit(index_value)).select(col).take(1)
+        if not rows:
+            raise KeyError(index_value)
+        return rows[0][0]
+
     # -- missing data ------------------------------------------------------
 
     def isna(self) -> SparkFrame:

@@ -58,10 +58,44 @@ class SeriesRolling:
         return self._roll(lambda w: F.percentile(F.col(VAL), F.lit(q)).over(w))
 
     def skew(self):
-        return self._roll(lambda w: F.skewness(VAL).over(w))
+        """pandas sample-adjusted skew G1 = sqrt(n(n-1))/(n-2) · g1, from
+        raw power sums over the window (Spark's skewness() is the
+        population g1 — reference formula sdc/functions/statistics.py:32-40
+        is the pandas one)."""
+        w = self._w
+        x = F.col(VAL)
+        n = F.count(VAL).over(w).cast("double")
+        m = F.avg(VAL).over(w)
+        ex2 = F.avg(x * x).over(w)
+        ex3 = F.avg(x * x * x).over(w)
+        m2 = ex2 - m * m
+        m3 = ex3 - 3 * m * ex2 + 2 * m * m * m
+        g1 = F.try_divide(m3, F.pow(m2, 1.5))
+        adj = F.try_divide(F.sqrt(n * (n - 1)), n - 2)
+        return self._roll_named(F.when(F.count(VAL).over(w) >= F.greatest(F.lit(self._minp), F.lit(3)), g1 * adj))
 
     def kurt(self):
-        return self._roll(lambda w: F.kurtosis(VAL).over(w))
+        """pandas sample excess kurtosis from power sums:
+        ((n+1)·g2 + 6) · (n−1)/((n−2)(n−3)) with g2 = m4/m2² − 3."""
+        w = self._w
+        x = F.col(VAL)
+        n = F.count(VAL).over(w).cast("double")
+        m = F.avg(VAL).over(w)
+        ex2 = F.avg(x * x).over(w)
+        ex3 = F.avg(x * x * x).over(w)
+        ex4 = F.avg(x * x * x * x).over(w)
+        m2 = ex2 - m * m
+        m4 = ex4 - 4 * m * ex3 + 6 * m * m * ex2 - 3 * m * m * m * m
+        g2 = F.try_divide(m4, m2 * m2) - 3
+        adj = F.try_divide((n + 1) * g2 + 6, (n - 2) * (n - 3)) * (n - 1)
+        return self._roll_named(
+            F.when(F.count(VAL).over(w) >= F.greatest(F.lit(self._minp), F.lit(4)), adj)
+        )
+
+    def _roll_named(self, expr) -> SparkSeries:
+        return SparkSeries(
+            self._s._df.select(IDX, expr.alias(VAL)), name=self._s.name, floating=True
+        )
 
     def corr(self, other: SparkSeries):
         return self._pair(other, "corr")

@@ -237,6 +237,28 @@ class SparkSeries:
     def idxmin(self):
         return self._reduce(F.min_by(IDX, VAL))
 
+    def where(self, cond: SparkSeries, other=None) -> SparkSeries:
+        """Keep values where cond holds, else ``other`` (default null/NaN) —
+        pandas Series.where."""
+        if isinstance(other, SparkSeries):
+            raise NotImplementedError("Series-valued other not supported yet")
+        c = cond._df.select(F.col(IDX), F.col(VAL).alias("__c__"))
+        j = self._df.join(c, IDX, "left")
+        return SparkSeries(
+            j.select(IDX, F.when(F.col("__c__"), F.col(VAL)).otherwise(F.lit(other)).alias(VAL)),
+            name=self.name,
+            floating=self._floating,
+        )
+
+    def mask(self, cond: SparkSeries, other=None) -> SparkSeries:
+        return self.where(~cond, other)
+
+    def set_where(self, cond: SparkSeries, value) -> SparkSeries:
+        """series[cond] = value (ref setitem overloads
+        …series_functions.py:500-833) — immutable result, reference-style
+        no-reflection semantics."""
+        return self.mask(cond, value)
+
     # -- order-dependent ops ----------------------------------------------
 
     def shift(self, periods: int = 1, fill_value=None) -> SparkSeries:

@@ -1,5 +1,6 @@
 """Import every plan module so the registry is fully populated."""
 
+import sdc_spark.plans.extended  # noqa: F401
 import sdc_spark.plans.groupby  # noqa: F401
 import sdc_spark.plans.joins  # noqa: F401
 import sdc_spark.plans.llm_data  # noqa: F401

@@ -1,0 +1,227 @@
+"""Extended coverage: CSV source round-trip, describe, categorical codes,
+approx sketches, and the reference's two macro-benchmark pipelines
+re-expressed on the test tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdc_spark.functions.categorical import encode
+from sdc_spark.functions.expressions import pandas_floordiv
+from sdc_spark.plans.registry import oracle, query
+from sdc_spark.sources.readers import read_csv, read_table
+from sdc_spark.sources.writers import to_csv
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+@query("src_read_csv")
+def src_read_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.read_csv surface (ref sdc/datatypes/hpat_pandas_functions.py:
+    101-446): materialize orders as CSV once, read it back through the
+    engine's read_csv with usecols + dtype + parse_dates, aggregate.
+    The oracle runs on the original parquet — a full round-trip check."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/sdc_spark_csv_{tag}/orders"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        ord_ = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+        )
+        to_csv(ord_, path, header=True)
+    df = read_csv(
+        spark,
+        path,
+        usecols=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+        dtype={"o_orderkey": "int64", "o_custkey": "int64", "o_totalprice": "float64"},
+        parse_dates=["o_orderdate"],
+    )
+    return (
+        df.groupBy(F.year("o_orderdate").alias("y"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+        )
+    )
+
+
+oracle(
+    "src_read_csv",
+    """
+    SELECT year(o_orderdate) AS y, count(*) AS n,
+           round(sum(o_totalprice), 4) AS total,
+           count(DISTINCT o_custkey) AS n_cust
+    FROM orders GROUP BY 1
+    """,
+)
+
+
+@query("stats_describe")
+def stats_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """series.describe (ref …series_functions.py:4351) as stat rows."""
+    ord_ = _t(spark, sf_dir, "orders")
+    agg = ord_.agg(
+        F.count("o_totalprice").cast("double").alias("count"),
+        F.round(F.avg("o_totalprice"), 4).alias("mean"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("std"),
+        F.round(F.min("o_totalprice"), 4).alias("min"),
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.max("o_totalprice"), 4).alias("max"),
+    )
+    stats = ["count", "mean", "std", "min", "p25", "p50", "p75", "max"]
+    pairs = F.array(*[F.struct(F.lit(s).alias("stat"), F.col(s).alias("value")) for s in stats])
+    return agg.select(F.explode(pairs).alias("kv")).select("kv.stat", "kv.value")
+
+
+oracle(
+    "stats_describe",
+    """
+    WITH a AS (
+        SELECT CAST(count(o_totalprice) AS DOUBLE)            AS "count",
+               round(avg(o_totalprice), 4)                    AS mean,
+               round(stddev_samp(o_totalprice), 4)            AS std,
+               round(min(o_totalprice), 4)                    AS "min",
+               round(quantile_cont(o_totalprice, 0.25), 4)    AS p25,
+               round(quantile_cont(o_totalprice, 0.5), 4)     AS p50,
+               round(quantile_cont(o_totalprice, 0.75), 4)    AS p75,
+               round(max(o_totalprice), 4)                    AS "max"
+        FROM orders
+    )
+    SELECT 'count' AS stat, "count" AS value FROM a UNION ALL
+    SELECT 'mean', mean FROM a UNION ALL
+    SELECT 'std', std FROM a UNION ALL
+    SELECT 'min', "min" FROM a UNION ALL
+    SELECT 'p25', p25 FROM a UNION ALL
+    SELECT 'p50', p50 FROM a UNION ALL
+    SELECT 'p75', p75 FROM a UNION ALL
+    SELECT 'max', "max" FROM a
+    """,
+)
+
+
+@query("categorical_codes")
+def categorical_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.Categorical codes (ref sdc/datatypes/categorical/types.py:43-110):
+    dictionary-encode two string columns via broadcast category dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = encode(encode(li, "l_returnflag"), "l_linestatus")
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_returnflag_code",
+        "l_linestatus", "l_linestatus_code",
+    )
+
+
+oracle(
+    "categorical_codes",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           dense_rank() OVER (ORDER BY l_returnflag) - 1 AS l_returnflag_code,
+           l_linestatus,
+           dense_rank() OVER (ORDER BY l_linestatus) - 1 AS l_linestatus_code
+    FROM lineitem
+    """,
+)
+
+
+@query("census_style_etl")
+def census_style_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's census macro-benchmark shape
+    (/root/reference/benchmarks/census_benchmark.py:31-120: column filter →
+    NaN drop → derived columns → _set_column → reduction) on orders:
+    derive order age/value bands, drop incomplete rows, aggregate."""
+    ord_ = _t(spark, sf_dir, "orders")
+    derived = (
+        ord_.select("o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus")
+        .withColumn("order_year", F.year("o_orderdate"))
+        .withColumn("price_k", F.round(F.col("o_totalprice") / 1000.0, 4))
+        .withColumn(
+            "band",
+            F.when(F.col("o_totalprice") < 100000, "low")
+            .when(F.col("o_totalprice") < 300000, "mid")
+            .otherwise("high"),
+        )
+        .dropna()
+    )
+    return derived.groupBy("order_year", "band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("price_k"), 4).alias("avg_price_k"),
+    )
+
+
+oracle(
+    "census_style_etl",
+    """
+    WITH derived AS (
+        SELECT year(o_orderdate) AS order_year,
+               round(o_totalprice / 1000.0, 4) AS price_k,
+               CASE WHEN o_totalprice < 100000 THEN 'low'
+                    WHEN o_totalprice < 300000 THEN 'mid'
+                    ELSE 'high' END AS band
+        FROM orders
+        WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+          AND o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL
+    )
+    SELECT order_year, band, count(*) AS n, round(avg(price_k), 4) AS avg_price_k
+    FROM derived GROUP BY 1, 2
+    """,
+)
+
+
+@query("exchange_style_chain")
+def exchange_style_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's NYSE exchange macro-benchmark chain
+    (/root/reference/benchmarks/exchange_benchmark.py:27-80:
+    (open+close).sum, volume.mean, fillna(-1), max, abs, min, floordiv)
+    mapped onto lineitem price/quantity columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    spread = F.col("l_extendedprice") * F.col("l_discount")
+    fd = pandas_floordiv(F.col("l_extendedprice"), F.col("l_quantity"))
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") + spread), 4).alias("sum_open_close"),
+        F.round(F.avg("l_quantity"), 4).alias("mean_volume"),
+        F.round(F.max(F.coalesce(F.col("l_tax"), F.lit(-1.0))), 4).alias("max_filled"),
+        F.round(F.min(F.abs(F.col("l_discount") - 0.05)), 4).alias("min_abs_centered"),
+        F.round(F.sum(fd), 4).alias("sum_floordiv"),
+    )
+
+
+oracle(
+    "exchange_style_chain",
+    """
+    SELECT round(sum(l_extendedprice + l_extendedprice * l_discount), 4) AS sum_open_close,
+           round(avg(l_quantity), 4)                                     AS mean_volume,
+           round(max(coalesce(l_tax, -1.0)), 4)                          AS max_filled,
+           round(min(abs(l_discount - 0.05)), 4)                         AS min_abs_centered,
+           round(sum(CASE WHEN l_quantity <> 0 THEN floor(l_extendedprice / l_quantity)
+                          WHEN l_extendedprice > 0 THEN CAST('infinity' AS DOUBLE)
+                          WHEN l_extendedprice < 0 THEN CAST('-infinity' AS DOUBLE)
+                          ELSE CAST('nan' AS DOUBLE) END), 4)            AS sum_floordiv
+    FROM lineitem
+    """,
+)
+
+
+@query("agg_approx_sketch")
+def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate fast path (SURVEY §2.4 'approx variant behind a
+    flag'): HLL distinct + approx quantiles. Sketch values are
+    implementation-specific → rows-only check; the exact twins are
+    oracle-checked in agg_reductions/agg_stats."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.round(F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)), 4).alias(
+            "approx_median_price"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

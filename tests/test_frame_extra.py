@@ -1,0 +1,70 @@
+"""Differential tests for the second wave of frame API surface:
+where/mask/setitem, loc/iloc/at, rolling skew/kurt, astype."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from sdc_spark.frame import from_pandas
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    rng = np.random.RandomState(7)
+    return pd.DataFrame({"v": rng.randn(120) * 5 + 3, "k": rng.randint(0, 4, 120)})
+
+
+@pytest.fixture(scope="module")
+def sf(spark, pdf):
+    return from_pandas(spark, pdf)
+
+
+def eq(got, exp, **kw):
+    pd.testing.assert_series_equal(got.to_pandas(), exp, check_names=False, check_dtype=False, **kw)
+
+
+def test_where_mask_setitem(sf, pdf):
+    cond_s = sf["v"] > 0
+    cond_p = pdf["v"] > 0
+    eq(sf["v"].where(cond_s), pdf["v"].where(cond_p))
+    eq(sf["v"].where(cond_s, -1.0), pdf["v"].where(cond_p, -1.0))
+    eq(sf["v"].mask(cond_s, 0.0), pdf["v"].mask(cond_p, 0.0))
+    exp = pdf["v"].copy()
+    exp[cond_p] = 9.5
+    eq(sf["v"].set_where(cond_s, 9.5), exp)
+
+
+def test_loc_iloc_at(sf, pdf):
+    got = sf.loc(5).to_pandas()
+    assert got.iloc[0]["v"] == pytest.approx(pdf.loc[5, "v"])
+    got_rng = sf.loc_range(10, 20).to_pandas()
+    pd.testing.assert_frame_equal(got_rng[["v", "k"]], pdf.loc[10:20], check_dtype=False)
+    assert sf.iloc(7)["v"] == pytest.approx(pdf.iloc[7]["v"])
+    assert sf.at(3, "v") == pytest.approx(pdf.at[3, "v"])
+    with pytest.raises(IndexError):
+        sf.iloc(10_000)
+
+
+def test_rolling_skew_kurt(sf, pdf):
+    got_s = sf["v"].rolling(12, min_periods=6).skew()
+    exp_s = pdf["v"].rolling(12, min_periods=6).skew()
+    pd.testing.assert_series_equal(
+        got_s.to_pandas(), exp_s, check_names=False, check_dtype=False, atol=1e-7
+    )
+    got_k = sf["v"].rolling(12, min_periods=6).kurt()
+    exp_k = pdf["v"].rolling(12, min_periods=6).kurt()
+    pd.testing.assert_series_equal(
+        got_k.to_pandas(), exp_k, check_names=False, check_dtype=False, atol=1e-7
+    )
+
+
+def test_astype(sf, pdf):
+    eq(sf["v"].astype("int"), pdf["v"].astype("int64"))
+    eq(sf["k"].astype("float"), pdf["k"].astype("float64"))
+    eq(sf["k"].astype("str"), pdf["k"].astype(str))
