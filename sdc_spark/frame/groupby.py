@@ -97,6 +97,20 @@ class FrameGroupBy:
     def var(self):
         return self._agg("var")
 
+    def apply(self, func, schema: str):
+        """gb.apply via applyInPandas (absent in the reference — SURVEY
+    §2.10 marks applyInPandas as our extension point): ``func`` takes a
+        per-group pandas DataFrame (without the engine's index column) and
+        returns one."""
+
+        def runner(pdf):
+            return func(pdf.drop(columns=[IDX], errors="ignore"))
+
+        from sdc_spark.frame.core import SparkFrame
+
+        out = self._frame._df.groupBy(*self._keys).applyInPandas(runner, schema)
+        return SparkFrame(out)
+
     def agg(self, spec: dict[str, str]):
         """gb.agg({'col': 'sum', ...}) — free Spark extra (SURVEY §2.5)."""
         from sdc_spark.frame.core import SparkFrame

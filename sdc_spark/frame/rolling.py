@@ -17,9 +17,13 @@ from sdc_spark.operators.rolling import _AGGS, _pairwise
 
 
 class SeriesRolling:
-    def __init__(self, s: SparkSeries, window: int, min_periods: int):
+    def __init__(self, s: SparkSeries, window: int, min_periods: int, center: bool = False):
         self._s = s
-        self._w = W.orderBy(IDX).rowsBetween(-(window - 1), 0)
+        if center:
+            # pandas centered window: (window-1)//2 behind, window//2 ahead
+            self._w = W.orderBy(IDX).rowsBetween(-((window - 1) // 2), window // 2)
+        else:
+            self._w = W.orderBy(IDX).rowsBetween(-(window - 1), 0)
         self._minp = min_periods
 
     def _roll(self, expr_fn, floating: bool = True) -> SparkSeries:

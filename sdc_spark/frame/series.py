@@ -342,10 +342,15 @@ class SparkSeries:
 
     # -- rolling / map / apply --------------------------------------------
 
-    def rolling(self, window: int, min_periods: int | None = None):
+    def rolling(self, window: int, min_periods: int | None = None, center: bool = False):
+        """ref RollingType carries `center` (sdc/datatypes/
+        hpat_pandas_rolling_types.py:36-72) though its kernels only do
+        trailing windows — we support both."""
         from sdc_spark.frame.rolling import SeriesRolling
 
-        return SeriesRolling(self, window, window if min_periods is None else min_periods)
+        return SeriesRolling(
+            self, window, window if min_periods is None else min_periods, center
+        )
 
     def map(self, arg) -> SparkSeries:
         """dict → literal map lookup (JVM); callable → Arrow pandas UDF

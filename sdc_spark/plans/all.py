@@ -7,4 +7,5 @@ import sdc_spark.plans.llm_data  # noqa: F401
 import sdc_spark.plans.relational  # noqa: F401
 import sdc_spark.plans.scalar  # noqa: F401
 import sdc_spark.plans.streaming_q  # noqa: F401
+import sdc_spark.plans.tpch_like  # noqa: F401
 import sdc_spark.plans.window  # noqa: F401

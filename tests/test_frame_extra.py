@@ -68,3 +68,24 @@ def test_astype(sf, pdf):
     eq(sf["v"].astype("int"), pdf["v"].astype("int64"))
     eq(sf["k"].astype("float"), pdf["k"].astype("float64"))
     eq(sf["k"].astype("str"), pdf["k"].astype(str))
+
+
+def test_rolling_center(sf, pdf):
+    got = sf["v"].rolling(7, min_periods=3, center=True).mean()
+    exp = pdf["v"].rolling(7, min_periods=3, center=True).mean()
+    eq(got, exp)
+
+
+def test_groupby_apply(sf, pdf):
+    got = (
+        sf.groupby("k")
+        .apply(
+            lambda p: p.assign(vdm=p["v"] - p["v"].mean())[["k", "vdm"]],
+            schema="k bigint, vdm double",
+        )
+        .to_pandas()
+        .groupby("k")["vdm"]
+        .sum()
+    )
+    exp = pdf.groupby("k")["v"].apply(lambda s: (s - s.mean()).sum())
+    np.testing.assert_allclose(sorted(got.values), sorted(exp.values), atol=1e-9)
