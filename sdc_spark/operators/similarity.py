@@ -74,29 +74,43 @@ def ann_bruteforce_topk(
     )
 
 
-def _bucket(vec: Column, table: int, planes: int, dim: int) -> Column:
-    """Sign-pattern bucket id from `planes` pseudo-random hyperplanes of
-    one LSH table. Plane weights are xxhash64(table, plane, dim-index)
-    mapped to [-1, 1] — deterministic, no stored model, identical on every
-    executor."""
-    def weight(p: int, i) -> Column:
-        return (F.xxhash64(F.lit(table), F.lit(p), i) % 10000).cast("double") / 10000.0
+def _bucket_ids(
+    vdf: DataFrame, id_col: str, vec_col: str, planes: int, tables: int, dim: int
+) -> DataFrame:
+    """(id, tbl, bkt) bucket assignments for every LSH table.
 
-    def proj(p: int) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, i: x.cast("double") * weight(p, i),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    Formulated as posexplode → broadcast join against a generated
+    (tbl, plane, i) → weight grid → two hash aggregations. Everything stays
+    in whole-stage codegen; the earlier per-row expression form (one
+    interpreted zip_with/aggregate per table×plane) was ~4x slower. Weights
+    are xxhash64(tbl, plane, i) mapped to [-1, 1] — deterministic, no
+    stored model, identical on every executor."""
+    spark = vdf.sparkSession
+    grid = (
+        spark.range(tables)
+        .withColumnRenamed("id", "tbl")
+        .crossJoin(spark.range(planes).withColumnRenamed("id", "plane"))
+        .crossJoin(spark.range(dim).withColumnRenamed("id", "i"))
+    )
+    weights = grid.select(
+        "tbl",
+        "plane",
+        "i",
+        ((F.xxhash64("tbl", "plane", "i") % 10000).cast("double") / 10000.0).alias("w"),
+    )
+    ex = vdf.select(F.col(id_col), F.posexplode(vec_col).alias("i", "x"))
+    proj = (
+        ex.join(F.broadcast(weights), "i")
+        .groupBy(id_col, "tbl", "plane")
+        .agg(F.sum(F.col("x").cast("double") * F.col("w")).alias("p"))
+    )
+    return proj.groupBy(id_col, "tbl").agg(
+        F.sum(
+            F.when(F.col("p") > 0, F.pow(F.lit(2.0), F.col("plane"))).otherwise(F.lit(0.0))
         )
-
-    out = F.lit(0).cast("long")
-    for p in range(planes):
-        out = out + F.when(proj(p) > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+        .cast("long")
+        .alias("bkt")
+    )
 
 
 def ann_lsh_topk(
@@ -117,38 +131,18 @@ def ann_lsh_topk(
     P(candidate) = 1 − (1 − (1−θ/π)^planes)^tables — planes/tables trade
     candidate volume against recall. Output schema matches
     ann_bruteforce_topk."""
-    v = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")).select(
-        "nid",
-        "nvec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        _bucket(F.col("nvec"), t, planes, dim).alias("bkt"),
-                    )
-                    for t in range(tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("nid", "nvec", "tb.tbl", "tb.bkt")
+    v = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    vb = _bucket_ids(v, "nid", "nvec", planes, tables, dim).join(v, "nid")
 
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
-    probes = []
-    for t in range(tables):
-        base = _bucket(F.col("qvec"), t, planes, dim)
-        probes.append(F.struct(F.lit(t).alias("tbl"), base.alias("bkt")))
-        if multiprobe:
-            probes += [
-                F.struct(F.lit(t).alias("tbl"), base.bitwiseXOR(F.lit(1 << p)).alias("bkt"))
-                for p in range(planes)
-            ]
-    q = q.select("qid", "qvec", F.explode(F.array(*probes)).alias("tb")).select(
-        "qid", "qvec", "tb.tbl", "tb.bkt"
-    )
+    qb = _bucket_ids(q, "qid", "qvec", planes, tables, dim)
+    if multiprobe:
+        probes = F.array(F.col("bkt"), *[F.col("bkt").bitwiseXOR(F.lit(1 << p)) for p in range(planes)])
+        qb = qb.select("qid", "tbl", F.explode(probes).alias("bkt"))
+    qb = qb.join(q, "qid")
 
     cands = (
-        v.join(F.broadcast(q), ["tbl", "bkt"])
+        vb.join(F.broadcast(qb), ["tbl", "bkt"])
         .filter(F.col("qid") != F.col("nid"))
         .select("qid", "qvec", "nid", "nvec")
         .distinct()

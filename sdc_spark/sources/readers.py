@@ -72,7 +72,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and convert to TimestampType at microsecond precision (the reference
     carries ns in its Timestamp struct — sdc/hiframes/pd_timestamp_ext.py:102-133
     — but Spark timestamps are µs; SURVEY §1.2 documents the accepted
-    truncation)."""
+    truncation).
+
+    The session timezone is pinned to UTC here because the engine's
+    timestamp semantics (epoch-microsecond outputs, oracle comparisons
+    against naive-UTC engines) require it, and the caller's session may
+    have been built elsewhere with a different default."""
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
