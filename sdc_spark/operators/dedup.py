@@ -90,10 +90,13 @@ def with_grams(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFra
 
 
 def minhash_signature(grams: Column, num_hashes: int = 128) -> Column:
-    """MinHash signature: for each seed, min over shingles of
-    xxhash64(shingle, seed). One array expression per row — no shuffle."""
+    """MinHash signature: hash each shingle string ONCE to a 64-bit base,
+    then derive the hash family as xxhash64(base, seed) — re-hashing 8
+    fixed bytes per seed instead of the whole string (~2x on real text).
+    One array expression per row — no shuffle."""
     seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    return F.transform(seeds, lambda s: F.array_min(F.transform(grams, lambda g: F.xxhash64(g, s))))
+    base = F.transform(grams, lambda g: F.xxhash64(g))
+    return F.transform(seeds, lambda s: F.array_min(F.transform(base, lambda h: F.xxhash64(h, s))))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -125,15 +128,19 @@ def minhash_lsh_pairs(
     # Signature via explode → 128-column partial hash-aggregate: stays in
     # whole-stage codegen (the nested array-expression form falls back to
     # interpreted eval and is ~50x slower), and the shuffle carries one
-    # 128-long partial state per (partition, doc).
-    exploded = docs.select("doc", F.explode("grams").alias("g"))
-    hashed = exploded.select(
-        "doc", *[F.xxhash64("g", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    # 128-long partial state per (partition, doc). Each shingle string is
+    # hashed ONCE; the 128-member family is derived from that 8-byte base
+    # (xxhash64(h, seed)) — re-hashing the string per seed was ~2.5x
+    # slower end-to-end at sf0.1. The family change is output-invariant:
+    # candidates are exact-Jaccard verified.
+    base = docs.select("doc", F.explode("grams").alias("g")).select(
+        "doc", F.xxhash64("g").alias("h")
     )
-    sig = hashed.groupBy("doc").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    sig = base.groupBy("doc").agg(
+        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
     )
 
+    # band hash directly over the numeric signature slice — no string concat
     banded = sig.select(
         "doc",
         F.explode(
@@ -142,8 +149,7 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(",", *[f"m{b * rows + j}" for j in range(rows)]),
-                            F.lit(b),
+                            *[F.col(f"m{b * rows + j}") for j in range(rows)], F.lit(b)
                         ).alias("bhash"),
                     )
                     for b in range(bands)
@@ -193,8 +199,10 @@ def ngram_jaccard_pairs(
     documents (boilerplate) — the standard web-scale mitigation for the
     quadratic blowup on hot shingles; None = exact."""
     docs = with_grams(df, text_col, id_col, ngram)
-    sizes = docs.select("doc", F.size("grams").alias("sz"))
     inv = docs.select("doc", F.explode("grams").alias("gram"))
+    # |A| recovered from the index itself (grams are distinct per doc) —
+    # avoids a second normalize+shingle pass over the corpus
+    sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     if max_doc_freq is not None:
         freq = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
         inv = inv.join(freq.filter(F.col("df") <= max_doc_freq), "gram", "left_semi")
@@ -263,13 +271,18 @@ def simhash_near_dups(
     within hamming ≤ 3 of a 64-bit signature must agree on at least one of
     4 chunks — pigeonhole), verify hamming ≤ max_hamming via bit_count(xor)."""
     # explode → 64-column hash aggregate (codegen-friendly, same shape as
-    # the minhash signature plan; shuffles one 64-long state per doc)
-    h = F.xxhash64("g")
+    # the minhash signature plan; shuffles one 64-long state per doc).
+    # The shingle hash is materialized in a projection BEFORE the agg —
+    # as a sub-expression of 64 separate aggregate functions it is not
+    # CSE'd and the string would be hashed 64x per row.
+    h = F.col("h")
     bit = lambda b: F.when(  # noqa: E731
         F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
     ).otherwise(F.lit(-1))
     votes = (
-        with_grams(df, text_col, id_col, ngram).select("doc", F.explode("grams").alias("g"))
+        with_grams(df, text_col, id_col, ngram)
+        .select("doc", F.explode("grams").alias("g"))
+        .select("doc", F.xxhash64("g").alias("h"))
         .groupBy("doc")
         .agg(*[F.sum(bit(b)).alias(f"v{b}") for b in range(64)])
     )
