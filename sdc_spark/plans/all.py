@@ -1,5 +1,6 @@
 """Import every plan module so the registry is fully populated."""
 
+import sdc_spark.plans.coverage2  # noqa: F401
 import sdc_spark.plans.extended  # noqa: F401
 import sdc_spark.plans.groupby  # noqa: F401
 import sdc_spark.plans.joins  # noqa: F401
@@ -8,4 +9,5 @@ import sdc_spark.plans.relational  # noqa: F401
 import sdc_spark.plans.scalar  # noqa: F401
 import sdc_spark.plans.streaming_q  # noqa: F401
 import sdc_spark.plans.tpch_like  # noqa: F401
+import sdc_spark.plans.tpch_more  # noqa: F401
 import sdc_spark.plans.window  # noqa: F401
