@@ -28,15 +28,12 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped more than 60 days after the order date), order counts per
     priority class. The semi-join shuffles only (orderkey) pairs."""
     ord_ = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    late = li.join(
-        ord_.select("o_orderkey", "o_orderdate"),
-        li.l_orderkey == F.col("o_orderkey"),
-    ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     return (
         ord_.join(
-            late.select(F.col("l_orderkey").alias("k")).distinct(),
-            ord_.o_orderkey == F.col("k"),
+            li,
+            (ord_.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > ord_.o_orderdate + F.expr("INTERVAL 60 DAYS")),
             "left_semi",
         )
         .groupBy("o_orderpriority")
