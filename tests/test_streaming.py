@@ -81,3 +81,66 @@ def test_stateful_ema(spark, events_stream_dir):
             ema = float(v) if ema is None else 0.2 * float(v) + 0.8 * ema
         assert r.n_seen == len(vals)
         assert abs(r.ema - ema) < 1e-9
+
+
+def test_streaming_exact_dedup(spark, sf_dir, tmp_path_factory):
+    """Streaming dedup emits one row per distinct content hash (all test
+    events fit inside the watermark, so it must equal batch distinct)."""
+    from sdc_spark.streaming.dedup_join import streaming_exact_dedup
+
+    out_dir = str(tmp_path_factory.mktemp("docs_stream"))
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    )
+    docs.write.mode("overwrite").parquet(out_dir)
+    batch_df = spark.read.parquet(out_dir)
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(out_dir)
+
+    got = _run_stream(
+        spark, streaming_exact_dedup(stream_df, watermark="10 minutes"), "dedup_out"
+    ).collect()
+
+    from sdc_spark.operators.dedup import exact_dedup
+
+    n_distinct = exact_dedup(batch_df, "text", "doc_id").count()
+    assert len(got) == n_distinct
+    assert len({r.content_hash for r in got}) == len(got)
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path_factory):
+    """Stream-stream equi+interval join matches the batch join with the
+    same predicate (closed input, generous watermark)."""
+    from sdc_spark.streaming.dedup_join import stream_stream_interval_join
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    left_dir = str(tmp_path_factory.mktemp("ss_left"))
+    right_dir = str(tmp_path_factory.mktemp("ss_right"))
+    ev.write.mode("overwrite").parquet(left_dir)
+    ev.select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("r_ts"),
+    ).write.mode("overwrite").parquet(right_dir)
+
+    lb = spark.read.parquet(left_dir)
+    rb = spark.read.parquet(right_dir)
+    ls = spark.readStream.schema(lb.schema).parquet(left_dir)
+    rs = spark.readStream.schema(rb.schema).parquet(right_dir)
+
+    joined = stream_stream_interval_join(
+        ls, rs, "ts", "r_ts", on="user_id", horizon="10 minutes", watermark="4 hours"
+    ).select("event_id", "r_event_id")
+    got = _run_stream(spark, joined, "ssj_out").count()
+
+    exp = (
+        lb.alias("l")
+        .join(
+            rb.alias("r"),
+            F.expr(
+                "l.user_id = r.user_id AND r.r_ts >= l.ts "
+                "AND r.r_ts <= l.ts + INTERVAL 10 minutes"
+            ),
+        )
+        .count()
+    )
+    assert got == exp > 0
