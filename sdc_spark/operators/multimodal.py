@@ -87,3 +87,79 @@ def decode_and_featurize(df: DataFrame, stub: bool = True) -> DataFrame:
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "id long, width int, height int, content binary"
+
+
+def resize_images(
+    df: DataFrame, width: int = 64, height: int = 64, stub: bool = True
+) -> DataFrame:
+    """mapInPandas image-resize stage over {id, content, meta} rows.
+
+    ``stub=False`` is the real-codec path (PIL) — unimplemented in this
+    container. The stub emits a deterministic byte-resample of the payload
+    to exactly width*height bytes (nearest-index gather), so output size,
+    schema and Arrow batch shape match what a real resampler produces."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not stub:
+                raise NotImplementedError("real image resize requires PIL — not in container")
+
+            def resample(buf: bytes) -> bytes:
+                a = np.frombuffer(buf, dtype=np.uint8)
+                if a.size == 0:
+                    return bytes(target)
+                idx = (np.arange(target) * a.size) // target
+                return a[idx].tobytes()
+
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "width": np.full(len(pdf), width, dtype=np.int32),
+                    "height": np.full(len(pdf), height, dtype=np.int32),
+                    "content": pdf["content"].map(resample),
+                }
+            )
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "id long, frame_idx int, frame binary"
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, frame_bytes: int = 256, stub: bool = True
+) -> DataFrame:
+    """mapInPandas video frame-sampling stage: one output row per sampled
+    frame (row explosion happens INSIDE the Arrow batch, not via a Python
+    UDF per row).
+
+    ``stub=False`` is the real path (ffmpeg/pyav) — unimplemented here. The
+    stub treats the payload as a concatenation of equal 'frames' and takes
+    n_frames evenly-spaced slices, preserving the real operator's fan-out
+    shape (id multiplicity, frame ordering, bounded frame size)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not stub:
+                raise NotImplementedError("real frame sampling requires ffmpeg — not in container")
+            ids, idxs, frames = [], [], []
+            for i, buf in zip(pdf["id"], pdf["content"]):
+                a = np.frombuffer(buf, dtype=np.uint8)
+                for k in range(n_frames):
+                    start = (k * max(a.size - frame_bytes, 0)) // max(n_frames - 1, 1)
+                    ids.append(i)
+                    idxs.append(k)
+                    frames.append(a[start : start + frame_bytes].tobytes())
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return df.mapInPandas(run, FRAME_SCHEMA)

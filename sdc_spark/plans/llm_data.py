@@ -328,8 +328,20 @@ oracle(
 @query("multimodal_features")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary modality plumbing: attach binary payload + typed metadata,
-    decode/featurize via Arrow mapInPandas (deterministic stub — real
-    codecs absent in container; schema/batching are production-shaped).
-    Rows-only check (pseudo-features aren't SQL-expressible)."""
+    decode/featurize, resize, and frame-sample via Arrow mapInPandas
+    (deterministic stubs — real codecs absent in container;
+    schema/batching/fan-out are production-shaped). The three stages join
+    back on id: features ⋈ resize ⋈ per-id frame count. Rows-only check
+    (pseudo-features aren't SQL-expressible)."""
     doc = _t(spark, sf_dir, "documents")
-    return smm.decode_and_featurize(smm.attach_binary(doc, "text", "doc_id"))
+    binm = smm.attach_binary(doc, "text", "doc_id")
+    feats = smm.decode_and_featurize(binm)
+    sizes = smm.resize_images(binm, width=16, height=16).select(
+        "id", F.length("content").alias("resized_bytes")
+    )
+    nframes = (
+        smm.sample_frames(binm, n_frames=4, frame_bytes=128)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    return feats.join(sizes, "id").join(nframes, "id")

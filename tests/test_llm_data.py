@@ -70,3 +70,25 @@ def test_multimodal_real_path_raises(spark, sf_dir):
     df = smm.decode_and_featurize(smm.attach_binary(doc, "text", "doc_id"), stub=False)
     with pytest.raises(Exception, match="NotImplementedError|real image"):
         df.collect()
+
+
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    """Resize emits exactly width*height bytes per row; frame sampling
+    fans out n_frames rows per id with bounded frame size — both
+    deterministic across runs (stub codecs, real plumbing)."""
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    binm = smm.attach_binary(docs, "text", "doc_id")
+
+    resized = smm.resize_images(binm, width=16, height=16).collect()
+    assert len(resized) == 50
+    assert all(len(r.content) == 256 for r in resized)
+    assert all(r.width == 16 and r.height == 16 for r in resized)
+
+    frames = smm.sample_frames(binm, n_frames=3, frame_bytes=64)
+    pdf = frames.toPandas()
+    assert len(pdf) == 150
+    assert set(pdf.frame_idx.unique()) == {0, 1, 2}
+    assert pdf.frame.map(len).max() <= 64
+    # deterministic: second run identical
+    pdf2 = smm.sample_frames(binm, n_frames=3, frame_bytes=64).toPandas()
+    assert pdf.frame.tolist() == pdf2.frame.tolist()
