@@ -154,3 +154,95 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "nid")
     )
+
+
+def ivf_assign(
+    v: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Assign each vector to its max-cosine cell (broadcast the centroid
+    table, argmax via lexicographic max over (score, cell) — deterministic
+    under ties)."""
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell"),
+        cosine(F.col(vec_col), F.col("cvec")).alias("cscore"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("cscore"), F.col("cell"))).alias("b")
+    )
+    return scored.join(best, id_col).filter(
+        (F.col("cscore") == F.col("b.cscore")) & (F.col("cell") == F.col("b.cell"))
+    ).select(id_col, vec_col, "cell")
+
+
+def ann_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the coarse-quantizer scale path next to
+    LSH: vectors are partitioned into n_cells Voronoi cells; each query
+    scores only the vectors of its nprobe nearest cells, turning O(N·Q)
+    into O(N·Q·nprobe/n_cells) expected work.
+
+    Everything is deterministic and model-free: centroid seeds are the
+    n_cells vectors with the smallest xxhash64(id) (a reproducible
+    pseudo-random sample), sharpened by ONE Lloyd step (element-wise mean
+    per cell via posexplode → (cell,pos) average — a hash aggregation, no
+    per-row Python). At cluster scale the centroid table is tiny and
+    broadcast; the only data shuffle is the one hash partition by cell.
+    Output schema matches ann_bruteforce_topk; recall is tested against it."""
+    v = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+
+    seeds = (
+        v.withColumn("h", F.xxhash64("nid"))
+        .orderBy("h", "nid")
+        .limit(n_cells)
+        .select(
+            # unpartitioned window is safe here: it runs on the post-limit
+            # n_cells-row frame, not the corpus
+            F.row_number().over(W.orderBy("h", "nid")).alias("cell"),
+            F.col("nvec").alias("cvec"),
+        )
+    )
+    assigned0 = ivf_assign(v, seeds, "nid", "nvec")
+    centroids = (
+        assigned0.select("cell", F.posexplode("nvec").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("cvec")
+        )
+    )
+    assigned = ivf_assign(v, centroids, "nid", "nvec")
+
+    qscored = q.crossJoin(F.broadcast(centroids)).select(
+        "qid", "qvec", "cell", cosine(F.col("qvec"), F.col("cvec")).alias("cscore")
+    )
+    wprobe = W.partitionBy("qid").orderBy(F.col("cscore").desc(), "cell")
+    probes = (
+        qscored.withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= nprobe)
+        .select("qid", "qvec", "cell")
+    )
+
+    cands = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos"))
+    )
+    wk = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        cands.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid")
+    )

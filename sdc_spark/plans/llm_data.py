@@ -187,6 +187,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ssim.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (coarse-quantizer) approximate top-5 — deterministic seeded
+    centroids + one Lloyd step, nprobe-cell search. Cell boundaries are
+    engine-specific → rows-only; recall vs brute force asserted in
+    tests/test_llm_data.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ssim.ann_ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4
+    )
+
+
 @query("text_tokens")
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counting."""

@@ -92,3 +92,17 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     # deterministic: second run identical
     pdf2 = smm.sample_frames(binm, n_frames=3, frame_bytes=64).toPandas()
     assert pdf.frame.tolist() == pdf2.frame.tolist()
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    """IVF with nprobe=4/16 cells must recover most of the exact top-5 and
+    be deterministic across runs (seeded centroids, tie-broken argmax)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.qid, r.nid) for r in ssim.ann_bruteforce_topk(emb, q, k=5).collect()}
+    run1 = ssim.ann_ivf_topk(emb, q, k=5, n_cells=16, nprobe=4).collect()
+    approx = {(r.qid, r.nid) for r in run1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    run2 = {(r.qid, r.rank, r.nid) for r in ssim.ann_ivf_topk(emb, q, k=5, n_cells=16, nprobe=4).collect()}
+    assert {(r.qid, r.rank, r.nid) for r in run1} == run2
