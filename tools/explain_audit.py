@@ -24,7 +24,7 @@ def audit(plan: str) -> dict:
         "smj": len(re.findall(r"SortMergeJoin", plan)),
         "shuffles": len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan)),
         "wscg_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
-        "full_readschema": len(re.findall(r"ReadSchema: struct<[^>]{400,}", plan)),
+        "full_readschema": len(re.findall(r"ReadSchema: struct<[^>\n]{400,}", plan)),
     }
 
 
