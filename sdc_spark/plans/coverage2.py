@@ -381,3 +381,55 @@ oracle(
     FROM g
     """,
 )
+
+
+@query("groupby_transform")
+def groupby_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gb.transform (absent in the reference — SURVEY §2.5 'free in
+    Spark'): per-group mean/count broadcast back onto every row as a
+    partition-wide window aggregate (no self-join), plus the derived
+    z-score. Integer co-moment variance for cross-engine exactness
+    (acctbal is 2-decimal)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    xv = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    n = F.count("c_acctbal").over(w)
+    sx = F.sum(xv).over(w)
+    sxx = F.sum(xv * xv).over(w)
+    var = F.try_divide((n * sxx - sx * sx).cast("double"), (n * (n - 1)).cast("double"))
+    std = F.sqrt(var)
+    mean = sx.cast("double") / n.cast("double")
+    z = F.try_divide(xv.cast("double") - mean, std)
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        n.alias("seg_n"),
+        F.round(mean / 100.0, 4).alias("seg_mean"),
+        z.alias("zscore"),
+    )
+
+
+oracle(
+    "groupby_transform",
+    """
+    WITH t AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(round(c_acctbal * 100, 0) AS BIGINT) AS xv
+        FROM customer
+    ), s AS (
+        SELECT c_custkey, c_mktsegment, xv,
+               count(xv) OVER w AS n,
+               sum(xv) OVER w AS sx,
+               sum(xv * xv) OVER w AS sxx
+        FROM t
+        WINDOW w AS (PARTITION BY c_mktsegment)
+    )
+    SELECT c_custkey, c_mktsegment,
+           n AS seg_n,
+           round((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 4) AS seg_mean,
+           (CAST(xv AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+           AS zscore
+    FROM s
+    """,
+)
