@@ -161,19 +161,27 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its max-cosine cell (broadcast the centroid
     table, argmax via lexicographic max over (score, cell) — deterministic
-    under ties)."""
+    under ties).
+
+    ``v`` must carry a precomputed ``nrm`` column and ``centroids`` a
+    ``cnrm`` column: norms are O(dim) higher-order-function work and
+    recomputing them per (vector, centroid) pair multiplied the assignment
+    cost by n_cells. The argmax is a single hash aggregate (any_value picks
+    the vector payload, which is constant per id) — no join-back pass."""
     scored = v.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("cell"),
-        cosine(F.col(vec_col), F.col("cvec")).alias("cscore"),
+        F.try_divide(dot(F.col(vec_col), F.col("cvec")), F.col("nrm") * F.col("cnrm")).alias(
+            "cscore"
+        ),
+        F.col("nrm"),
     )
-    best = scored.groupBy(id_col).agg(
-        F.max(F.struct(F.col("cscore"), F.col("cell"))).alias("b")
+    return scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("cscore"), F.col("cell")))["cell"].alias("cell"),
+        F.any_value(F.col(vec_col)).alias(vec_col),
+        F.any_value(F.col("nrm")).alias("nrm"),
     )
-    return scored.join(best, id_col).filter(
-        (F.col("cscore") == F.col("b.cscore")) & (F.col("cell") == F.col("b.cell"))
-    ).select(id_col, vec_col, "cell")
 
 
 def ann_ivf_topk(
@@ -197,8 +205,16 @@ def ann_ivf_topk(
     per-row Python). At cluster scale the centroid table is tiny and
     broadcast; the only data shuffle is the one hash partition by cell.
     Output schema matches ann_bruteforce_topk; recall is tested against it."""
-    v = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    v = vectors.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnrm"),
+    )
 
     seeds = (
         v.withColumn("h", F.xxhash64("nid"))
@@ -209,6 +225,7 @@ def ann_ivf_topk(
             # n_cells-row frame, not the corpus
             F.row_number().over(W.orderBy("h", "nid")).alias("cell"),
             F.col("nvec").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
         )
     )
     assigned0 = ivf_assign(v, seeds, "nid", "nvec")
@@ -222,23 +239,36 @@ def ann_ivf_topk(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
             ).alias("cvec")
         )
+        .withColumn("cnrm", norm(F.col("cvec")))
     )
     assigned = ivf_assign(v, centroids, "nid", "nvec")
 
     qscored = q.crossJoin(F.broadcast(centroids)).select(
-        "qid", "qvec", "cell", cosine(F.col("qvec"), F.col("cvec")).alias("cscore")
+        "qid",
+        "qvec",
+        "qnrm",
+        "cell",
+        F.try_divide(dot(F.col("qvec"), F.col("cvec")), F.col("qnrm") * F.col("cnrm")).alias(
+            "cscore"
+        ),
     )
     wprobe = W.partitionBy("qid").orderBy(F.col("cscore").desc(), "cell")
     probes = (
         qscored.withColumn("pr", F.row_number().over(wprobe))
         .filter(F.col("pr") <= nprobe)
-        .select("qid", "qvec", "cell")
+        .select("qid", "qvec", "qnrm", "cell")
     )
 
     cands = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos"))
+        .select(
+            "qid",
+            "nid",
+            F.try_divide(
+                dot(F.col("qvec"), F.col("nvec")), F.col("qnrm") * F.col("nrm")
+            ).alias("cos"),
+        )
     )
     wk = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
