@@ -199,7 +199,13 @@ def ngram_jaccard_pairs(
     documents (boilerplate) — the standard web-scale mitigation for the
     quadratic blowup on hot shingles; None = exact."""
     docs = with_grams(df, text_col, id_col, ngram)
-    inv = docs.select("doc", F.explode("grams").alias("gram"))
+    # the index carries the 64-bit gram hash, not the gram string: the
+    # self-join shuffles 8-byte keys instead of ~n·word-length strings
+    # (collision odds for D distinct shingles ≈ D²/2^65 — immaterial, and
+    # the exact-Jaccard formula is unchanged)
+    inv = docs.select("doc", F.explode("grams").alias("g")).select(
+        "doc", F.xxhash64("g").alias("gram")
+    )
     # |A| recovered from the index itself (grams are distinct per doc) —
     # avoids a second normalize+shingle pass over the corpus
     sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
