@@ -144,3 +144,30 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path_factory):
         .count()
     )
     assert got == exp > 0
+
+
+def test_sliding_stream_matches_batch(spark, events_stream_dir):
+    """Sliding (hopping) windows: stream result must agree with the batch
+    twin on every emitted pane (window=10m, slide=5m → 2 panes/event)."""
+    from sdc_spark.streaming.windows import sliding_agg
+
+    batch_df = spark.read.parquet(events_stream_dir)
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(events_stream_dir)
+
+    got = _run_stream(spark, sliding_agg(stream_df), "sliding_out").collect()
+    exp = (
+        batch_df.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n_events", "sum_value"
+        )
+        .collect()
+    )
+    key = lambda r: (r.win_start, r.event_type)  # noqa: E731
+    got_m = {key(r): (r.n_events, r.sum_value) for r in got}
+    exp_m = {key(r): (r.n_events, r.sum_value) for r in exp}
+    assert got_m, "stream emitted nothing"
+    assert all(got_m[k] == exp_m[k] for k in got_m)
+    assert len(got_m) >= 0.8 * len(exp_m)
