@@ -376,3 +376,50 @@ def embedding_near_dups(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def dedup_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over duplicate pairs — the grouping step that
+    turns pairwise near-dup hits into dedup clusters (keep min-id per
+    component, drop the rest).
+
+    Pregel-lite min-label propagation: every node starts labeled with its
+    own id; each round takes the min of its label and its neighbors',
+    until a fixpoint (driver-side convergence check — the loop count is
+    the cluster diameter, tiny for dup clusters). Each iteration is one
+    shuffle (join + groupBy on node); ``localCheckpoint`` truncates the
+    lineage so plans don't grow exponentially. Deterministic: component
+    id = min doc id in the component."""
+    sym = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = sym.union(
+        pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select("u").distinct().select("u", F.col("u").alias("lbl"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("lbl").alias("vlbl")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("vlbl").alias("nlbl"))
+        )
+        new = (
+            labels.join(nbr, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+                "lbl",
+            )
+        )
+        changed = new.filter(F.col("new_lbl") != F.col("lbl")).count()
+        labels = new.select("u", F.col("new_lbl").alias("lbl")).localCheckpoint(
+            eager=True
+        )
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc"), F.col("lbl").alias("component"))

@@ -357,3 +357,34 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_frames"))
     )
     return feats.join(sizes, "id").join(nframes, "id")
+
+
+@query("dedup_components")
+def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over verified near-dup pairs (J ≥ 0.8) — the
+    cluster-grouping step after pair finding: iterative min-label
+    propagation (Pregel-lite, one shuffle per round, lineage truncated per
+    iteration). Oracle: DuckDB recursive-CTE transitive closure."""
+    pairs = sdedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.8
+    )
+    return sdedup.dedup_components(pairs)
+
+
+oracle(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_GRAMS_SQL},
+    e AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs WHERE jac >= 0.8
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs WHERE jac >= 0.8
+    ),
+    walk(u, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        UNION
+        SELECT e.u, w.lbl FROM e JOIN walk w ON e.v = w.u
+    )
+    SELECT u AS doc, min(lbl) AS component FROM walk GROUP BY u
+    """,
+)

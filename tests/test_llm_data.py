@@ -106,3 +106,20 @@ def test_ann_ivf_recall(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
     run2 = {(r.qid, r.rank, r.nid) for r in ssim.ann_ivf_topk(emb, q, k=5, n_cells=16, nprobe=4).collect()}
     assert {(r.qid, r.rank, r.nid) for r in run1} == run2
+
+
+def test_dedup_components_chain(spark):
+    """Min-label propagation must traverse chains (1-2, 2-3, 3-4 → one
+    component labeled 1) and keep disjoint clusters apart."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc, r.component) for r in sdedup.dedup_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
