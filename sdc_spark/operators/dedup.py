@@ -406,7 +406,10 @@ def dedup_components(
             .groupBy("u")
             .agg(F.min("vlbl").alias("nlbl"))
         )
-        new = (
+        # one materialization per round carrying BOTH labels: the
+        # convergence count then reads the checkpointed snapshot instead of
+        # re-running the propagation join a second time
+        snap = (
             labels.join(nbr, "u", "left")
             .select(
                 "u",
@@ -415,11 +418,10 @@ def dedup_components(
                 ),
                 "lbl",
             )
+            .localCheckpoint(eager=True)
         )
-        changed = new.filter(F.col("new_lbl") != F.col("lbl")).count()
-        labels = new.select("u", F.col("new_lbl").alias("lbl")).localCheckpoint(
-            eager=True
-        )
+        changed = snap.filter(F.col("new_lbl") != F.col("lbl")).count()
+        labels = snap.select("u", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break
     return labels.select(F.col("u").alias("doc"), F.col("lbl").alias("component"))
