@@ -125,7 +125,20 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     docs = with_grams(df, text_col, id_col, ngram)
 
-    # Signature via explode → 128-column partial hash-aggregate: stays in
+    # The hashed shingle index (doc, xxhash64(gram)) is materialized ONCE
+    # (localCheckpoint; on a cluster, persist(MEMORY_AND_DISK) or a real
+    # checkpoint dir) and feeds all three consumers — signature, and both
+    # sides of the verification join. Spark shares no subplan across join
+    # inputs, so the un-materialized plan re-runs normalize+shingle 3x:
+    # equal within noise at sf0.1 local (input is page-cached), but at
+    # corpus scale that is two extra full scans of the raw text.
+    base = (
+        docs.select("doc", F.explode("grams").alias("g"))
+        .select("doc", F.xxhash64("g").alias("h"))
+        .localCheckpoint(eager=True)
+    )
+
+    # Signature via the index → 128-column partial hash-aggregate: stays in
     # whole-stage codegen (the nested array-expression form falls back to
     # interpreted eval and is ~50x slower), and the shuffle carries one
     # 128-long partial state per (partition, doc). Each shingle string is
@@ -133,9 +146,6 @@ def minhash_lsh_pairs(
     # (xxhash64(h, seed)) — re-hashing the string per seed was ~2.5x
     # slower end-to-end at sf0.1. The family change is output-invariant:
     # candidates are exact-Jaccard verified.
-    base = docs.select("doc", F.explode("grams").alias("g")).select(
-        "doc", F.xxhash64("g").alias("h")
-    )
     sig = base.groupBy("doc").agg(
         *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
     )
@@ -171,8 +181,13 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    ga = docs.select(F.col("doc").alias("doc_a"), F.col("grams").alias("ga"))
-    gb = docs.select(F.col("doc").alias("doc_b"), F.col("grams").alias("gb"))
+    # exact verification on the hashed index: Jaccard over gram-hash sets
+    # equals Jaccard over gram strings up to 64-bit collisions (≈ D²/2^65 —
+    # immaterial), and the arrays shuffled to the verify join carry 8-byte
+    # elements instead of word strings
+    hsets = base.groupBy("doc").agg(F.collect_set("h").alias("hs"))
+    ga = hsets.select(F.col("doc").alias("doc_a"), F.col("hs").alias("ga"))
+    gb = hsets.select(F.col("doc").alias("doc_b"), F.col("hs").alias("gb"))
     verified = (
         cands.join(ga, "doc_a")
         .join(gb, "doc_b")
