@@ -281,8 +281,45 @@ class SparkFrame:
     def count(self):
         return self._reduce_all(F.count)
 
-    def describe(self) -> pd.DataFrame:
-        """ref …series_functions.py:4351 lifted per-column."""
+    def describe(self, include: str | None = None) -> pd.DataFrame:
+        """ref …series_functions.py:4351 lifted per-column. Numeric columns
+        get count/mean/std/min/quartiles/max; ``include='object'`` switches
+        to the reference's string-series shape count/unique/top/freq
+        (pandas tie-break on ``top`` is encounter order, which a
+        distributed table doesn't define — we pin max-count then min-value,
+        the same convention as value_counts)."""
+        if include == "object":
+            cols = [
+                f.name
+                for f in self._df.schema.fields
+                if f.name != "__index__" and f.dataType.simpleString() == "string"
+            ]
+            aggs = []
+            for c in cols:
+                aggs += [
+                    F.count(c).alias(f"{c}__count"),
+                    F.count_distinct(F.col(c)).alias(f"{c}__unique"),
+                ]
+            row = self._df.agg(*aggs).collect()[0]
+            tops = {}
+            for c in cols:
+                t = (
+                    self._df.filter(F.col(c).isNotNull())
+                    .groupBy(c)
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .orderBy(F.col("n").desc(), F.col(c))
+                    .limit(1)
+                    .collect()
+                )
+                tops[c] = (t[0][c], t[0]["n"]) if t else (None, None)
+            stats = ["count", "unique", "top", "freq"]
+            return pd.DataFrame(
+                {
+                    c: [row[f"{c}__count"], row[f"{c}__unique"], tops[c][0], tops[c][1]]
+                    for c in cols
+                },
+                index=stats,
+            )
         cols = self._numeric_cols()
         aggs = []
         for c in cols:

@@ -195,3 +195,16 @@ def test_describe(sf, pdf):
     exp = pdf.describe()
     for c in ("A", "B", "D"):
         np.testing.assert_allclose(got[c].values.astype(float), exp[c].values, rtol=1e-9)
+
+
+def test_describe_object(sf, pdf):
+    got = sf.describe(include="object")
+    exp = pdf[["C"]].describe()
+    assert list(got.index) == ["count", "unique", "top", "freq"]
+    assert got["C"]["count"] == exp["C"]["count"]
+    assert got["C"]["unique"] == exp["C"]["unique"]
+    assert got["C"]["freq"] == exp["C"]["freq"]
+    # top must be A most-frequent value; pandas breaks ties by encounter
+    # order, we pin min-value — equal when the mode is unique
+    vc = pdf["C"].value_counts()
+    assert vc[got["C"]["top"]] == vc.max()
