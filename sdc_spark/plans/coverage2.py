@@ -433,3 +433,47 @@ oracle(
     FROM s
     """,
 )
+
+
+@query("event_funnel")
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel over the event stream (view → click → purchase
+    per user, event-time ordered): per-step first-occurrence timestamps via
+    conditional min, conversion = each step's time must follow the
+    previous step's. One shuffle (groupBy user); the pattern is the
+    batch twin of a streaming sessionized funnel."""
+    ev = _t(spark, sf_dir, "events")
+    first_ts = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return per_user.select(
+        "user_id",
+        F.col("t_view").isNotNull().alias("did_view"),
+        (F.col("t_click") > F.col("t_view")).alias("clicked_after_view"),
+        (
+            (F.col("t_click") > F.col("t_view"))
+            & (F.col("t_purchase") > F.col("t_click"))
+        ).alias("full_funnel"),
+    )
+
+
+oracle(
+    "event_funnel",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           t_view IS NOT NULL AS did_view,
+           t_click > t_view AS clicked_after_view,
+           (t_click > t_view AND t_purchase > t_click) AS full_funnel
+    FROM per_user
+    """,
+)
