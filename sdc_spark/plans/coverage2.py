@@ -477,3 +477,43 @@ oracle(
     FROM per_user
     """,
 )
+
+
+@query("retention_cohort")
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, distinct
+    active users counted per (cohort, weeks-since-cohort) cell. Two
+    shuffles (first-seen per user, then the cohort-cell aggregate) — the
+    standard warehouse retention matrix, fully distributive."""
+    ev = _t(spark, sf_dir, "events")
+    wk = lambda c: F.date_trunc("week", F.col(c))  # noqa: E731
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(
+            F.col("cohort_week"),
+            F.floor(
+                F.datediff(wk("ts"), F.col("cohort_week")) / F.lit(7)
+            ).alias("weeks_since"),
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("active_users"))
+    )
+
+
+oracle(
+    "retention_cohort",
+    """
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT cohort_week,
+           CAST(floor(date_diff('day', cohort_week, date_trunc('week', ts)) / 7)
+                AS BIGINT) AS weeks_since,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first_seen USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
