@@ -48,6 +48,16 @@ _DTYPE_MAP: dict[str, T.DataType] = {
     "str": T.StringType(),
     "object": T.StringType(),
     "datetime64[ns]": T.TimestampType(),
+    # Spark DDL spellings, accepted alongside the pandas ones
+    "tinyint": T.ByteType(),
+    "smallint": T.ShortType(),
+    "bigint": T.LongType(),
+    "long": T.LongType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "string": T.StringType(),
+    "timestamp": T.TimestampType(),
+    "date": T.DateType(),
 }
 
 
