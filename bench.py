@@ -72,15 +72,27 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    n_err = sum(1 for t in timings.values() if t < 0)
+
+    # Full per-query map goes to a file; stdout gets ONE compact line
+    # (headline subset only) so the driver's capture never truncates.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
+        json.dump({"total_sec": total, "n_queries": len(timings), "errors": n_err,
+                   "queries": timings, "sf": sf}, f)
+
+    headline = {n: round(timings[n], 3) for n in HEADLINE if n in timings}
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": headline,
+                "n_queries": len(timings),
+                "errors": n_err,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -1,25 +1,35 @@
-"""Distributed as-of (backward nearest-key) join.
+"""Distributed as-of (nearest-key) join.
 
 Reference: ``pd.merge_asof`` existed only in SDC's legacy MPI layer
 (tests at /root/reference/sdc/tests/test_join.py:238-263, all skipped);
 semantics follow pandas: for each left row, take the last right row whose
-key is <= the left key (``allow_exact_matches=True``), optionally within
-``by`` groups.
+key is <= the left key (``backward``, ``allow_exact_matches=True``), the
+first right row whose key is >= (``forward``), or the closer of the two
+(``nearest``, ties -> backward, matching pandas), optionally within ``by``
+groups.
 
-Spark has no native as-of join. The scalable formulation used here is the
-union-and-carry-forward plan:
+Spark has no native as-of join. The scalable formulation is
+union-and-carry-forward:
 
 1. tag right rows 0 and left rows 1, union them on the key column;
-2. sort by (by…, key, tag) — a range-partitioned shuffle sort, no
-   all-pairs comparison, no broadcast requirement on either side;
-3. ``last(right_value, ignorenulls=True)`` over the window
-   ``partitionBy(by).orderBy(key, tag).rowsBetween(unboundedPreceding, 0)``
-   carries the most recent right payload onto every left row;
+2. sort by (group, key, tag) — right rows sort before left rows at equal
+   keys, so exact matches are allowed;
+3. ``last(right_value, ignorenulls=True)`` over a running window carries
+   the most recent right payload onto every left row;
 4. keep tag==1 rows.
 
-Cost: one shuffle of |L|+|R| rows keyed by (by, key) — the same order of
-work as a sort-merge join, and AQE handles skewed ``by`` groups. This beats
-a windowed range-join (which explodes) and stays fully JVM-side.
+With ``by``: the window partitions on the by-keys — one shuffle of
+|L|+|R| rows, AQE handles skewed groups.
+
+Without ``by`` (the scale trap: an empty ``partitionBy()`` funnels ALL
+rows through one task): ``repartitionByRange`` on the key, carry within
+each range partition via a window on ``spark_partition_id()``, then a
+boundary fix-up — each partition's last right-row payload (a P-row
+summary, P = shuffle partitions) is carried across partitions with a tiny
+window and broadcast-joined back; rows whose partition saw no earlier
+right row coalesce to the previous partition's boundary value. Full-data
+movement: the range exchange plus one pid-hash exchange — no
+SinglePartition anywhere.
 """
 
 from __future__ import annotations
@@ -30,6 +40,80 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+_RKEY = "__rkey__"
+
+
+def _with_carries(
+    unioned: DataFrame,
+    payload: Sequence[str],
+    by: Sequence[str],
+    directions: Sequence[tuple[str, bool]],
+) -> DataFrame:
+    """Add as-of carry columns ``{prefix}{a}`` for each payload column and
+    each requested (prefix, backward) direction. All directions share one
+    partitioning: the second direction only adds an in-partition re-sort.
+    """
+    if by:
+        cur = unioned
+        for prefix, backward in directions:
+            ordk = F.col("__key__").asc() if backward else F.col("__key__").desc()
+            w = (
+                W.partitionBy(*by)
+                .orderBy(ordk, F.col("__tag__").asc())
+                .rowsBetween(W.unboundedPreceding, 0)
+            )
+            cur = cur.select(
+                "*",
+                *[F.last(a, ignorenulls=True).over(w).alias(f"{prefix}{a}") for a in payload],
+            )
+        return cur
+
+    part = unioned.repartitionByRange(F.col("__key__")).withColumn(
+        "__pid__", F.spark_partition_id()
+    )
+    cur = part
+    for prefix, backward in directions:
+        ordk = F.col("__key__").asc() if backward else F.col("__key__").desc()
+        w = (
+            W.partitionBy("__pid__")
+            .orderBy(ordk, F.col("__tag__").asc())
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        cur = cur.select(
+            "*", *[F.last(a, ignorenulls=True).over(w).alias(f"__c_{a}") for a in payload]
+        )
+        # Per-partition boundary: last (backward) / first (forward) right-row
+        # payload by key, per column skipping nulls (mirrors ignorenulls
+        # carry). This P-row table is the ONLY single-partition step.
+        pick = F.max_by if backward else F.min_by
+        summary = (
+            part.filter(F.col("__tag__") == 0)
+            .groupBy("__pid__")
+            .agg(
+                *[
+                    pick(F.col(a), F.when(F.col(a).isNotNull(), F.col("__key__"))).alias(a)
+                    for a in payload
+                ]
+            )
+        )
+        # Dense pid axis (partitions with no right rows still need a boundary
+        # from their predecessor), then running carry over the P-row table.
+        pid_axis = part.select("__pid__").distinct()
+        ordp = F.col("__pid__").asc() if backward else F.col("__pid__").desc()
+        w2 = W.partitionBy(F.lit(0)).orderBy(ordp).rowsBetween(W.unboundedPreceding, -1)
+        prev = pid_axis.join(summary, "__pid__", "left").select(
+            "__pid__",
+            *[F.last(a, ignorenulls=True).over(w2).alias(f"__p_{a}") for a in payload],
+        )
+        cur = cur.join(F.broadcast(prev), "__pid__", "left").select(
+            *[c for c in cur.columns if not c.startswith("__c_") and not c.startswith("__p_")],
+            *[
+                F.coalesce(F.col(f"__c_{a}"), F.col(f"__p_{a}")).alias(f"{prefix}{a}")
+                for a in payload
+            ],
+        )
+    return cur
+
 
 def merge_asof(
     left: DataFrame,
@@ -39,14 +123,20 @@ def merge_asof(
     direction: str = "backward",
     suffix: str = "_right",
 ) -> DataFrame:
-    """pandas.merge_asof equivalent; ``direction`` in {backward, forward}."""
-    if direction not in ("backward", "forward"):
+    """pandas.merge_asof equivalent; ``direction`` in {backward, forward,
+    nearest}. ``nearest`` picks the closer of the backward/forward matches
+    row-wise (ties -> backward, as pandas does)."""
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unsupported direction {direction!r}")
     by = list(by or [])
+    nearest = direction == "nearest"
 
     lcols = left.columns
     rcols = [c for c in right.columns if c != on and c not in by]
     rpayload = {c: (f"{c}{suffix}" if c in lcols else c) for c in rcols}
+    payload = list(rpayload.values())
+    if nearest:
+        payload = payload + [_RKEY]
 
     lu = left.select(
         *[F.col(c) for c in by],
@@ -54,6 +144,7 @@ def merge_asof(
         F.lit(1).alias("__tag__"),
         *[F.col(c) for c in lcols if c != on and c not in by],
         *[F.lit(None).cast(right.schema[c].dataType).alias(a) for c, a in rpayload.items()],
+        *([F.lit(None).cast(right.schema[on].dataType).alias(_RKEY)] if nearest else []),
     )
     ru = right.select(
         *[F.col(c) for c in by],
@@ -61,30 +152,31 @@ def merge_asof(
         F.lit(0).alias("__tag__"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on and c not in by],
         *[F.col(c).alias(a) for c, a in rpayload.items()],
+        *([F.col(on).alias(_RKEY)] if nearest else []),
     )
     unioned = lu.unionByName(ru)
 
-    if direction == "backward":
-        # right rows sort before left rows at equal keys → exact matches allowed
-        w = (
-            W.partitionBy(*by)
-            .orderBy(F.col("__key__").asc(), F.col("__tag__").asc())
-            .rowsBetween(W.unboundedPreceding, 0)
-        )
-        carried = [F.last(a, ignorenulls=True).over(w).alias(a) for a in rpayload.values()]
-    else:
-        w = (
-            W.partitionBy(*by)
-            .orderBy(F.col("__key__").desc(), F.col("__tag__").asc())
-            .rowsBetween(W.unboundedPreceding, 0)
-        )
-        carried = [F.last(a, ignorenulls=True).over(w).alias(a) for a in rpayload.values()]
+    keep = [c for c in lcols if c != on and c not in by]
 
-    out = unioned.select(
-        *by,
-        F.col("__key__").alias(on),
-        "__tag__",
-        *[c for c in lcols if c != on and c not in by],
-        *carried,
-    )
-    return out.filter(F.col("__tag__") == 1).drop("__tag__")
+    def finalize(frame: DataFrame, cols) -> DataFrame:
+        out = frame.select(
+            *by, F.col("__key__").alias(on), "__tag__", *keep, *cols
+        )
+        return out.filter(F.col("__tag__") == 1).drop("__tag__")
+
+    if not nearest:
+        backward = direction == "backward"
+        carried = _with_carries(unioned, payload, by, [("__a_", backward)])
+        return finalize(carried, [F.col(f"__a_{a}").alias(a) for a in payload])
+
+    # nearest: both carries on one frame (shared partitioning), then choose
+    # row-wise by key distance; ties -> backward (pandas semantics).
+    both = _with_carries(unioned, payload, by, [("__b_", True), ("__f_", False)])
+    bk, fk = F.col(f"__b_{_RKEY}"), F.col(f"__f_{_RKEY}")
+    choose_b = fk.isNull() | (bk.isNotNull() & ((F.col("__key__") - bk) <= (fk - F.col("__key__"))))
+    cols = [
+        F.when(choose_b, F.col(f"__b_{a}")).otherwise(F.col(f"__f_{a}")).alias(a)
+        for a in payload
+        if a != _RKEY
+    ]
+    return finalize(both, cols)

@@ -56,6 +56,42 @@ oracle(
 )
 
 
+@query("merge_asof_nearest")
+def merge_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.merge_asof(direction='nearest'): closer of the backward/forward
+    matches, ties -> backward (pandas tie rule). Both carries run over one
+    shared range partitioning (operators/asof.py)."""
+    ord_ = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    daily = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").alias("ship_ts"))
+        .agg(F.round(F.sum("l_quantity"), 4).alias("day_qty"))
+    )
+    out = merge_asof(
+        ord_.withColumnRenamed("o_orderdate", "ts"),
+        daily.withColumnRenamed("ship_ts", "ts"),
+        on="ts",
+        direction="nearest",
+    )
+    return out.select("o_orderkey", F.col("ts").alias("o_orderdate"), "day_qty")
+
+
+oracle(
+    "merge_asof_nearest",
+    """
+    WITH d AS (
+        SELECT l_shipdate AS ship_ts, round(sum(l_quantity), 4) AS day_qty
+        FROM lineitem GROUP BY l_shipdate
+    )
+    SELECT o.o_orderkey, o.o_orderdate,
+           (SELECT d.day_qty FROM d
+            ORDER BY abs(date_diff('day', o.o_orderdate, d.ship_ts)), d.ship_ts
+            LIMIT 1) AS day_qty
+    FROM orders o
+    """,
+)
+
+
 @query("window_rank_family")
 def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank / percent_rank / ntile — absent in the reference
@@ -286,9 +322,9 @@ oracle(
     SELECT event_type,
            regexp_extract(event_type, '([a-z]+)', 1) AS ev_word,
            count(*) AS n,
-           sum(CAST(props->>'k' AS BIGINT)) AS k_sum,
-           min(CAST(props->>'k' AS BIGINT)) AS k_min,
-           max(CAST(props->>'k' AS BIGINT)) AS k_max
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_max
     FROM events
     GROUP BY event_type, ev_word
     """,

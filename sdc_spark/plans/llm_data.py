@@ -344,10 +344,20 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic stubs — real codecs absent in container;
     schema/batching/fan-out are production-shaped). The three stages join
     back on id: features ⋈ resize ⋈ per-id frame count. Rows-only check
-    (pseudo-features aren't SQL-expressible)."""
+    (pseudo-features aren't SQL-expressible). Output is scalar-only —
+    the driver's canonicalizer can't sort array<float> columns, so the
+    feature vector is projected to first element / sum / L2 norm."""
     doc = _t(spark, sf_dir, "documents")
     binm = smm.attach_binary(doc, "text", "doc_id")
-    feats = smm.decode_and_featurize(binm)
+    acc = lambda a, x: a + x.cast("double")  # noqa: E731
+    feats = smm.decode_and_featurize(binm).select(
+        "id",
+        "n_bytes",
+        F.round("byte_mean", 4).alias("byte_mean"),
+        F.round("byte_std", 4).alias("byte_std"),
+        F.round(F.element_at("feat", 1).cast("double"), 4).alias("feat0"),
+        F.round(F.aggregate("feat", F.lit(0.0), acc), 4).alias("feat_sum"),
+    )
     sizes = smm.resize_images(binm, width=16, height=16).select(
         "id", F.length("content").alias("resized_bytes")
     )

@@ -123,6 +123,87 @@ def load_tables(
     return out
 
 
+def _pandas_ddl(dt) -> str:
+    """pandas inferred dtype -> Spark DDL type for the from_csv parse."""
+    s = str(dt)
+    if s.startswith("int") or s.startswith("uint"):
+        return "bigint"
+    if s.startswith("float"):
+        return "double"
+    if s == "bool":
+        return "boolean"
+    if s.startswith("datetime64"):
+        return "timestamp"
+    return "string"
+
+
+def _head_sample(
+    spark: SparkSession,
+    path: str,
+    sep: str,
+    skiprows: int,
+    header: bool,
+    names: Sequence[str] | None,
+    n_sample: int = 1000,
+):
+    """Bounded head-read of a CSV file: returns (preamble lines to drop,
+    pandas-inferred sample frame). Local files are read directly; non-local
+    paths fall back to a Spark ``head`` (single-file head order)."""
+    import io as _io
+    import itertools as _it
+
+    import pandas as _pd
+
+    n_pre = skiprows + (1 if header else 0)
+    try:
+        with open(path, newline="") as f:
+            head = list(_it.islice(f, n_pre + n_sample))
+    except OSError:
+        head = [r[0] + "\n" for r in spark.read.text(path).head(n_pre + n_sample)]
+    pre = [ln.rstrip("\r\n") for ln in head[:n_pre]]
+    if names is not None:
+        sample = _pd.read_csv(
+            _io.StringIO("".join(head[n_pre:])), sep=sep, header=None, names=list(names)
+        )
+    else:
+        sample = _pd.read_csv(
+            _io.StringIO("".join(head[skiprows:])), sep=sep, header=0 if header else None
+        )
+    return pre, sample
+
+
+def _drop_preamble(spark: SparkSession, text: DataFrame, pre_lines: Sequence[str]) -> DataFrame:
+    """Remove exactly the preamble multiset from a text-lines DataFrame.
+
+    Non-colliding rows stream through a plain filter; rows whose text equals
+    some preamble line get occurrence numbers (window over the tiny
+    colliding subset only) and the first k occurrences per value are
+    dropped, k = that value's preamble multiplicity. Multiset-exact: a data
+    row byte-identical to the header survives (indistinguishable rows, so
+    which occurrence is dropped is immaterial)."""
+    from collections import Counter
+
+    from pyspark.sql import Window
+
+    cnt = Counter(pre_lines)
+    if not cnt:
+        return text
+    pre_vals = list(cnt)
+    clean = text.filter(~F.col("value").isin(pre_vals))
+    k_df = spark.createDataFrame(
+        [(v, k) for v, k in cnt.items()], "value string, __k__ int"
+    )
+    w = Window.partitionBy("value").orderBy(F.monotonically_increasing_id())
+    kept = (
+        text.filter(F.col("value").isin(pre_vals))
+        .withColumn("__occ__", F.row_number().over(w))
+        .join(F.broadcast(k_df), "value")
+        .filter(F.col("__occ__") > F.col("__k__"))
+        .select("value")
+    )
+    return clean.unionByName(kept)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -158,33 +239,30 @@ def read_csv(
     if infer_schema:
         reader = reader.option("inferSchema", "true")
     if skiprows:
-        # Spark CSV cannot skip N leading rows; filter them out via a text
-        # pre-pass that stays distributed (zipWithIndex over the text lines).
-        text = spark.read.text(path)
-        idx = text.rdd.zipWithIndex().map(lambda pair: (pair[0][0], pair[1]))
-        text = spark.createDataFrame(idx, schema="value string, __row__ long")
-        body = text.filter(F.col("__row__") >= skiprows).orderBy("__row__").select("value")
-        first = body.first()
-        col_line = first[0] if first else ""
-        import csv as _csv
-        import io as _io
-
-        cols = next(_csv.reader(_io.StringIO(col_line), delimiter=sep)) if col_line else []
-        if header:
-            body = body.filter(F.col("value") != col_line)
-        ddl_cols = names if names is not None else cols
-        parsed = body.select(
-            F.from_csv(
-                F.col("value"),
-                ", ".join(f"`{c}` string" for c in ddl_cols),
-                {"sep": sep},
-            ).alias("r")
+        # Spark CSV cannot skip N leading rows. pandas' file model here is a
+        # single logical file with a small leading preamble, so:
+        #   1) bounded driver-side head-read — the preamble lines (to drop)
+        #      and a sample the schema is inferred from with pandas' own
+        #      inference (sample-based, like Spark's samplingRatio model);
+        #   2) distributed body — drop exactly the preamble MULTISET from
+        #      the text lines (value-equality alone would also drop any data
+        #      row whose raw text coincides with a preamble/header line;
+        #      occurrence-counted dropping keeps those), then ``from_csv``
+        #      with the typed schema. Stays JVM-side — no RDD detour; the
+        #      occurrence window runs only over the (tiny) colliding subset.
+        pre_lines, sample = _head_sample(spark, path, sep, skiprows, header, names)
+        body = _drop_preamble(spark, spark.read.text(path), pre_lines)
+        ddl_cols = [str(c) for c in (names if names is not None else sample.columns)]
+        if infer_schema:
+            ddl = ", ".join(
+                f"`{c}` {_pandas_ddl(sample[o].dtype)}"
+                for c, o in zip(ddl_cols, sample.columns)
+            )
+        else:
+            ddl = ", ".join(f"`{c}` string" for c in ddl_cols)
+        df = body.select(
+            F.from_csv(F.col("value"), ddl, {"sep": sep}).alias("r")
         ).select("r.*")
-        df = parsed
-        if infer_schema and dtype is None:
-            # numeric re-inference after the text pre-pass
-            for c in df.columns:
-                df = df.withColumn(c, F.col(c))
     else:
         df = reader.csv(path)
         if names is not None:

@@ -89,3 +89,28 @@ def test_groupby_apply(sf, pdf):
     )
     exp = pdf.groupby("k")["v"].apply(lambda s: (s - s.mean()).sum())
     np.testing.assert_allclose(sorted(got.values), sorted(exp.values), atol=1e-9)
+
+
+def test_merge_asof_nearest_differential(spark):
+    from sdc_spark.operators.asof import merge_asof
+
+    lp = pd.DataFrame({"t": [1, 5, 10, 14, 20, 3], "lv": list("abcdef")}).sort_values("t")
+    rp = pd.DataFrame({"t": [2, 6, 12, 18], "rv": [10, 20, 30, 40]}).sort_values("t")
+    for direction in ("backward", "forward", "nearest"):
+        exp = pd.merge_asof(lp, rp, on="t", direction=direction)
+        got = (
+            merge_asof(spark.createDataFrame(lp), spark.createDataFrame(rp), on="t", direction=direction)
+            .toPandas().sort_values("t").reset_index(drop=True)
+        )
+        a = got["rv"].where(got["rv"].notna(), -1).tolist()
+        b = exp["rv"].where(exp["rv"].notna(), -1).tolist()
+        assert a == b, (direction, a, b)
+    # by-grouped nearest
+    lp2 = pd.DataFrame({"g": ["x", "x", "y", "y"], "t": [1, 9, 4, 7], "lv": [1, 2, 3, 4]}).sort_values("t")
+    rp2 = pd.DataFrame({"g": ["x", "x", "y"], "t": [3, 8, 5], "rv": [100, 200, 300]}).sort_values("t")
+    exp2 = pd.merge_asof(lp2, rp2, on="t", by="g", direction="nearest")
+    got2 = merge_asof(
+        spark.createDataFrame(lp2), spark.createDataFrame(rp2), on="t", by=["g"], direction="nearest"
+    ).toPandas().set_index(["g", "t"]).sort_index()
+    e2 = exp2.set_index(["g", "t"]).sort_index()
+    assert e2["rv"].tolist() == got2.loc[e2.index, "rv"].tolist()

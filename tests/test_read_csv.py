@@ -75,24 +75,38 @@ def test_read_csv_parse_dates_converters(spark, csv_path):
 
 
 def test_read_csv_skiprows_names(spark, csv_path):
-    got = (
-        read_csv(
-            spark,
-            csv_path,
-            skiprows=2,
-            header=False,
-            names=["a", "b", "c", "d", "e"],
-            infer_schema=True,
-        )
-        .toPandas()
-        .sort_values("a", key=lambda s: s.astype(int))
-        .reset_index(drop=True)
+    sdf = read_csv(
+        spark,
+        csv_path,
+        skiprows=2,
+        header=False,
+        names=["a", "b", "c", "d", "e"],
+        infer_schema=True,
     )
     exp = (
         pd.read_csv(csv_path, skiprows=2, header=None, names=["a", "b", "c", "d", "e"])
         .sort_values("a")
         .reset_index(drop=True)
     )
+    # dtypes must be re-inferred after the text pre-pass (not left string)
+    types = dict(sdf.dtypes)
+    assert types["a"] == "bigint" and types["b"] == "bigint"
+    assert types["d"] == "double"
+    assert types["c"] == "string" and types["e"] == "string"
+    got = sdf.toPandas().sort_values("a").reset_index(drop=True)
     assert len(got) == len(exp)
-    assert got["a"].astype(int).tolist() == exp["a"].astype(int).tolist()
+    assert got["a"].tolist() == exp["a"].tolist()
     assert got["c"].tolist() == exp["c"].tolist()
+    assert got["d"].tolist() == pytest.approx(exp["d"].tolist())
+
+
+def test_read_csv_skiprows_header_keeps_colliding_rows(spark, tmp_path):
+    # a data row byte-identical to the header must NOT be dropped
+    p = tmp_path / "tricky.csv"
+    p.write_text("# preamble junk\nx,y\n1,2\nx,y\n3,4\n")
+    sdf = read_csv(spark, str(p), skiprows=1, header=True)
+    got = sdf.toPandas()
+    assert len(got) == 3  # rows: (1,2), (x,y), (3,4)
+    exp = pd.read_csv(str(p), skiprows=1)
+    assert len(exp) == 3
+    assert sorted(got["x"].astype(str).tolist()) == sorted(exp["x"].astype(str).tolist())
