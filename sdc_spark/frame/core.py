@@ -118,18 +118,21 @@ class SparkFrame:
         return SparkFrame(self._df)
 
     def reset_index(self, drop: bool = False) -> SparkFrame:
-        """ref …dataframe_functions.py:3371-3443. Materializing the
-        positional index forces a global sort (SURVEY §7 'hard parts') —
-        kept lazy until here on purpose."""
-        from pyspark.sql import Window as W
+        """ref …dataframe_functions.py:3371-3443. The positional index is
+        materialized with the distributed position machinery
+        (operators/order.py) — range partition + P-row offset broadcast,
+        no full-data single partition."""
+        from sdc_spark.operators import order as sorder
 
-        new_idx = (F.row_number().over(W.orderBy(IDX)) - 1).alias("__new__")
         cols = self.columns
+        pos = sorder.with_position(self._df, [IDX], "__new__")
         if drop:
-            out = self._df.select(new_idx, *cols)
+            out = pos.select(F.col("__new__").alias(IDX), *cols)
         else:
-            out = self._df.select(new_idx, F.col(IDX).alias("index"), *cols)
-        return SparkFrame(out.withColumnRenamed("__new__", IDX))
+            out = pos.select(
+                F.col("__new__").alias(IDX), F.col(IDX).alias("index"), *cols
+            )
+        return SparkFrame(out)
 
     # -- label/positional access (ref iloc/loc accessors,
     # …dataframe_functions.py:2216-2502) -----------------------------------
@@ -193,6 +196,50 @@ class SparkFrame:
         return SparkFrame(self._df.filter(cond))
 
     def isin(self, values) -> SparkFrame:
+        """ref …dataframe_functions.py:2894-2992 — iterable, dict
+        {col: iterable}, index-aligned Series, or column+index-aligned
+        DataFrame."""
+        if isinstance(values, dict):
+            return SparkFrame(
+                self._df.select(
+                    IDX,
+                    *[
+                        F.col(c).isin(*list(values[c])).alias(c)
+                        if c in values
+                        else F.lit(False).alias(c)
+                        for c in self.columns
+                    ],
+                )
+            )
+        if isinstance(values, SparkSeries):
+            v = values._df.select(F.col(IDX), F.col(VAL).alias("__v__"))
+            j = self._df.join(v, IDX, "left")
+            return SparkFrame(
+                j.select(
+                    IDX,
+                    *[
+                        F.coalesce(F.col(c) == F.col("__v__"), F.lit(False)).alias(c)
+                        for c in self.columns
+                    ],
+                )
+            )
+        if isinstance(values, SparkFrame):
+            other_cols = set(values.columns)
+            v = values._df.select(
+                F.col(IDX), *[F.col(c).alias(f"__o_{c}") for c in values.columns]
+            )
+            j = self._df.join(v, IDX, "left")
+            return SparkFrame(
+                j.select(
+                    IDX,
+                    *[
+                        F.coalesce(F.col(c) == F.col(f"__o_{c}"), F.lit(False)).alias(c)
+                        if c in other_cols
+                        else F.lit(False).alias(c)
+                        for c in self.columns
+                    ],
+                )
+            )
         return SparkFrame(
             self._df.select(IDX, *[F.col(c).isin(*list(values)).alias(c) for c in self.columns])
         )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from sdc_spark.functions import expressions as sexpr
 from sdc_spark.functions import strings as sstr
+from sdc_spark.operators import order as sorder
 
 IDX = "__index__"
 VAL = "__value__"
@@ -177,6 +178,29 @@ class SparkSeries:
     def __invert__(self):
         return self._unary(lambda c: ~c)
 
+    # reflected ops: scalar `other` only (2 + s, 3.0 / s, ...) — Series
+    # lhs always dispatches to the normal methods first
+    def __radd__(self, other):
+        return self._unary(lambda c: F.lit(other) + c)
+
+    def __rsub__(self, other):
+        return self._unary(lambda c: F.lit(other) - c)
+
+    def __rmul__(self, other):
+        return self._unary(lambda c: F.lit(other) * c)
+
+    def __rtruediv__(self, other):
+        return self._unary(lambda c: sexpr.pandas_div(F.lit(other), c), floating=True)
+
+    def __rfloordiv__(self, other):
+        return self._unary(lambda c: sexpr.pandas_floordiv(F.lit(other), c))
+
+    def __rmod__(self, other):
+        return self._unary(lambda c: sexpr.pandas_mod(F.lit(other), c))
+
+    def __rpow__(self, other):
+        return self._unary(lambda c: sexpr.pandas_pow(F.lit(other), c))
+
     # -- reductions (ref §2.4) --------------------------------------------
 
     def _reduce(self, expr) -> Any:
@@ -210,7 +234,13 @@ class SparkSeries:
         return self._reduce(F.count(F.when(sexpr.notna(F.col(VAL), self._floating), 1)))
 
     def nunique(self, dropna: bool = True) -> int:
-        return self._reduce(F.countDistinct(VAL))
+        """ref …series_functions.py:3513 — dropna=False counts the null/NaN
+        group as one extra distinct value when present."""
+        valid = F.countDistinct(F.when(sexpr.notna(F.col(VAL), self._floating), F.col(VAL)))
+        if dropna:
+            return self._reduce(valid)
+        has_na = F.max(sexpr.isna(F.col(VAL), self._floating).cast("int"))
+        return self._reduce(valid + F.coalesce(has_na, F.lit(0)))
 
     def quantile(self, q: float):
         return self._reduce(F.percentile(F.col(VAL), F.lit(q)))
@@ -259,32 +289,56 @@ class SparkSeries:
         no-reflection semantics."""
         return self.mask(cond, value)
 
-    # -- order-dependent ops ----------------------------------------------
+    # -- order-dependent ops (distributed total order: operators/order.py —
+    # range partition + boundary fix-up, never a full-data single
+    # partition) ------------------------------------------------------------
 
     def shift(self, periods: int = 1, fill_value=None) -> SparkSeries:
-        w = W.orderBy(IDX)
-        return self._unary(lambda c: F.lag(c, periods, fill_value).over(w))
+        out = sorder.shifted(
+            self._df.drop("__ord__") if "__ord__" in self._df.columns else self._df,
+            [IDX],
+            F.col(VAL),
+            periods,
+            "__sh__",
+            fill_value,
+        )
+        return SparkSeries(
+            out.select(IDX, F.col("__sh__").alias(VAL)),
+            name=self.name,
+            floating=self._floating,
+        )
 
     def cumsum(self) -> SparkSeries:
-        w = W.orderBy(IDX).rowsBetween(W.unboundedPreceding, 0)
         if self._floating:
             # pandas: NaN stays NaN but doesn't poison the running sum
-            return self._unary(
-                lambda c: F.when(
-                    sexpr.notna(c, True),
-                    F.sum(F.when(sexpr.notna(c, True), c)).over(w),
-                ).otherwise(F.lit(float("nan")))
+            val = F.when(sexpr.notna(F.col(VAL), True), F.col(VAL))
+            out = sorder.scan_sum(self._df, [IDX], val, "__cs__")
+            keep = F.when(
+                sexpr.notna(F.col(VAL), True), F.col("__cs__")
+            ).otherwise(F.lit(float("nan")))
+            return SparkSeries(
+                out.select(IDX, keep.alias(VAL)), name=self.name, floating=True
             )
-        return self._unary(lambda c: F.sum(c).over(w))
+        out = sorder.scan_sum(self._df, [IDX], F.col(VAL), "__cs__")
+        return SparkSeries(
+            out.select(IDX, F.col("__cs__").alias(VAL)), name=self.name
+        )
 
     def pct_change(self, periods: int = 1) -> SparkSeries:
-        w = W.orderBy(IDX)
-        return self._unary(lambda c: c / F.lag(c, periods).over(w) - 1, floating=True)
+        out = sorder.shifted(self._df, [IDX], F.col(VAL), periods, "__sh__")
+        return SparkSeries(
+            out.select(IDX, (F.col(VAL) / F.col("__sh__") - 1).alias(VAL)),
+            name=self.name,
+            floating=True,
+        )
 
     def _ordered(self, *keys) -> SparkSeries:
-        out = self._df.drop("__ord__").select(
-            IDX, VAL, F.row_number().over(W.orderBy(*keys)).alias("__ord__")
-        )
+        """Attach a 1-based global rank column __ord__ in (keys) order."""
+        out = sorder.with_position(
+            self._df.drop("__ord__") if "__ord__" in self._df.columns else self._df,
+            list(keys),
+            "__ord__",
+        ).select(IDX, VAL, (F.col("__ord__") + 1).alias("__ord__"))
         return SparkSeries(out, name=self.name, floating=self._floating)
 
     def sort_values(self, ascending: bool = True) -> SparkSeries:
@@ -296,19 +350,21 @@ class SparkSeries:
             return self._ordered(nan_last, key, F.col(IDX))
         return self._ordered(key, F.col(IDX))
 
-    def nlargest(self, n: int = 5) -> SparkSeries:
+    def _topk(self, n: int, keys) -> SparkSeries:
+        """orderBy + limit is Spark's TakeOrdered — per-partition top-n then
+        a driver merge of P candidate sets; the rank window runs over the n
+        surviving rows only."""
         s = self.dropna() if self._floating else self
-        out = s._ordered(F.col(VAL).desc_nulls_last(), F.col(IDX))
-        return SparkSeries(
-            out._df.orderBy("__ord__").limit(n), name=self.name, floating=self._floating
-        )
+        top = s._df.orderBy(*keys).limit(n)
+        w = W.partitionBy(F.lit(0)).orderBy(*keys)
+        out = top.select(IDX, VAL, F.row_number().over(w).alias("__ord__"))
+        return SparkSeries(out, name=self.name, floating=self._floating)
+
+    def nlargest(self, n: int = 5) -> SparkSeries:
+        return self._topk(n, [F.col(VAL).desc_nulls_last(), F.col(IDX)])
 
     def nsmallest(self, n: int = 5) -> SparkSeries:
-        s = self.dropna() if self._floating else self
-        out = s._ordered(F.col(VAL).asc_nulls_last(), F.col(IDX))
-        return SparkSeries(
-            out._df.orderBy("__ord__").limit(n), name=self.name, floating=self._floating
-        )
+        return self._topk(n, [F.col(VAL).asc_nulls_last(), F.col(IDX)])
 
     def head(self, n: int = 5) -> SparkSeries:
         return SparkSeries(
@@ -318,25 +374,41 @@ class SparkSeries:
     def unique(self) -> list:
         return [r[0] for r in self._df.select(VAL).distinct().collect()]
 
-    def value_counts(self, ascending: bool = False):
+    def value_counts(
+        self, sort: bool = True, ascending: bool = False, dropna: bool = True
+    ):
         """Returns a SparkSeries keyed by value. pandas tie order is first
         appearance (hashtable insertion order) — reproduced distributively
-        as min(original index) per value (ref …series_functions.py:1375)."""
-        base = self._df.filter(sexpr.notna(F.col(VAL), self._floating)).select(
-            F.col(VAL).alias("__key__"), F.col(IDX).alias("__oi__")
+        as min(original index) per value (ref …series_functions.py:1375).
+        ``sort=False`` keeps first-appearance order; ``dropna=False`` adds
+        the null/NaN group (NaN normalized to null so it forms ONE group).
+        """
+        base = self._df
+        if dropna:
+            base = base.filter(sexpr.notna(F.col(VAL), self._floating))
+        key = (
+            F.when(sexpr.notna(F.col(VAL), self._floating), F.col(VAL))
+            if self._floating
+            else F.col(VAL)
         )
-        order = [
-            F.col("__cnt__").asc() if ascending else F.col("__cnt__").desc(),
-            F.col("__first__").asc(),
-        ]
-        counted = (
-            base.groupBy("__key__")
-            .agg(F.count(F.lit(1)).alias("__cnt__"), F.min("__oi__").alias("__first__"))
-            .select(
-                F.col("__key__").alias(IDX),
-                F.col("__cnt__").alias(VAL),
-                F.row_number().over(W.orderBy(*order)).alias("__ord__"),
-            )
+        base = base.select(key.alias("__key__"), F.col(IDX).alias("__oi__"))
+        if sort:
+            order = [
+                F.col("__cnt__").asc() if ascending else F.col("__cnt__").desc(),
+                F.col("__first__").asc(),
+            ]
+        else:
+            order = [F.col("__first__").asc()]
+        counted = sorder.with_position(
+            base.groupBy("__key__").agg(
+                F.count(F.lit(1)).alias("__cnt__"), F.min("__oi__").alias("__first__")
+            ),
+            order,
+            "__ord__",
+        ).select(
+            F.col("__key__").alias(IDX),
+            F.col("__cnt__").alias(VAL),
+            (F.col("__ord__") + 1).alias("__ord__"),
         )
         return SparkSeries(counted, name="count", floating=False)
 
@@ -352,24 +424,126 @@ class SparkSeries:
             self, window, window if min_periods is None else min_periods, center
         )
 
-    def map(self, arg) -> SparkSeries:
+    def map(self, arg, dtype: str | None = None) -> SparkSeries:
         """dict → literal map lookup (JVM); callable → Arrow pandas UDF
-        (ref pandas_series_functions/map.py:38-115)."""
+        (ref pandas_series_functions/map.py:38-115).
+
+        ``dtype`` declares the callable's return type (Spark DDL). Default
+        None reuses the input column's type — no driver-side probe action
+        at expression-build time; pass dtype explicitly for
+        type-changing callables (pandas infers from the materialized
+        result, which a lazy engine must not compute eagerly)."""
         if isinstance(arg, dict):
             mapping = F.create_map(*[F.lit(x) for kv in arg.items() for x in kv])
             return self._unary(lambda c: mapping.getItem(c))
-        first = self._df.select(VAL).first()
-        probe = arg(first[0]) if first is not None else 0.0
-        rt = "double" if isinstance(probe, float) else "long" if isinstance(probe, int) else "string"
+        rt = dtype if dtype is not None else dict(self._df.dtypes)[VAL]
 
         @F.pandas_udf(rt)
         def udf(s: pd.Series) -> pd.Series:
             return s.map(arg)
 
-        return self._unary(udf)
+        return self._unary(udf, floating=rt in ("double", "float"))
 
-    def apply(self, func) -> SparkSeries:
-        return self.map(func)
+    def apply(self, func, dtype: str | None = None) -> SparkSeries:
+        return self.map(func, dtype)
+
+    # -- positional / label access (ref …series_functions.py:85-499,
+    # 834-1085, 2651, 3735) -------------------------------------------------
+
+    def _with_pos(self) -> DataFrame:
+        """(IDX, VAL, __pos__): 0-based position in __index__ order via the
+        distributed position machinery."""
+        return sorder.with_position(self._df.select(IDX, VAL), [IDX], "__pos__")
+
+    def _pos_rows(self, cond) -> SparkSeries:
+        out = self._with_pos().filter(cond)
+        return SparkSeries(
+            out.select(IDX, VAL, F.col("__pos__").alias("__ord__")),
+            name=self.name,
+            floating=self._floating,
+        )
+
+    @property
+    def iloc(self):
+        return _SeriesILoc(self)
+
+    @property
+    def loc(self):
+        return _SeriesLoc(self)
+
+    def iat(self, pos: int):
+        rows = self._with_pos().filter(F.col("__pos__") == pos).select(VAL).take(1)
+        if not rows:
+            raise IndexError(pos)
+        return rows[0][0]
+
+    def at(self, label):
+        rows = self._df.filter(F.col(IDX) == F.lit(label)).select(VAL).take(1)
+        if not rows:
+            raise KeyError(label)
+        return rows[0][0]
+
+    def take(self, indices) -> SparkSeries:
+        """Positional gather preserving the given order (ref
+        …series_functions.py:2651). The positions list is driver-side
+        (pandas signature) — broadcast as a literal pos→rank map."""
+        idx = list(indices)
+        rank = F.create_map(
+            *[F.lit(x) for p, r in zip(idx, range(len(idx))) for x in (p, r)]
+        )
+        out = (
+            self._with_pos()
+            .filter(F.col("__pos__").isin(idx))
+            .select(IDX, VAL, rank.getItem(F.col("__pos__")).alias("__ord__"))
+        )
+        return SparkSeries(out, name=self.name, floating=self._floating)
+
+    def argsort(self) -> SparkSeries:
+        """ref …series_functions.py:3735 / pandas 2.x: result position i
+        holds the original POSITION of the i-th smallest value, NaNs sorted
+        last (numpy convention), index labels unchanged."""
+        base = self._with_pos()
+        nan_last = (
+            [F.when(F.isnan(VAL) | F.col(VAL).isNull(), 1).otherwise(0).asc()]
+            if self._floating
+            else []
+        )
+        ranked = sorder.with_position(
+            base,
+            [*nan_last, F.col(VAL).asc_nulls_last(), F.col("__pos__").asc()],
+            "__r__",
+        )
+        a = base.select(F.col(IDX), F.col("__pos__").alias("__j__"))
+        b = ranked.select(F.col("__r__").alias("__j__"), F.col("__pos__").alias(VAL))
+        out = a.join(b, "__j__").select(
+            IDX, VAL, F.col("__j__").alias("__ord__")
+        )
+        return SparkSeries(out, name=self.name, floating=False)
+
+    def __getitem__(self, key):
+        if isinstance(key, SparkSeries):  # boolean mask, aligned on index
+            m = key._df.select(F.col(IDX), F.col(VAL).alias("__m__"))
+            kept = self._df.join(m, IDX, "inner").filter(F.col("__m__")).drop("__m__")
+            return SparkSeries(kept, name=self.name, floating=self._floating)
+        if isinstance(key, slice):  # positional, pandas s[a:b] semantics
+            return self.iloc[key]
+        if isinstance(key, list):  # label list
+            return self.loc[key]
+        return self.at(key)
+
+    # -- groupby (ref …series_functions.py:4720) ----------------------------
+
+    def groupby(self, by: SparkSeries):
+        """series.groupby(by=series): align on __index__ (inner), group on
+        the by-series values; null/NaN keys dropped (pandas default)."""
+        k = by._df.select(
+            F.col(IDX),
+            F.when(sexpr.notna(F.col(VAL), by._floating), F.col(VAL)).alias("__key__"),
+        )
+        j = self._df.select(IDX, VAL).join(k, IDX, "inner").filter(
+            F.col("__key__").isNotNull()
+        )
+        return SeriesGroupBy(j, self.name, self._floating)
 
     # -- accessors ---------------------------------------------------------
 
@@ -464,3 +638,116 @@ class _StrAccessor:
 
     def istitle(self):
         return self._wrap(sstr.istitle)
+
+    def isnumeric(self):
+        return self._wrap(sstr.isnumeric)
+
+    def isdecimal(self):
+        return self._wrap(sstr.isdecimal)
+
+
+class _SeriesILoc:
+    """series.iloc — positional access (ref …series_functions.py:834-961)."""
+
+    def __init__(self, s: SparkSeries):
+        self._s = s
+
+    def __getitem__(self, key):
+        s = self._s
+        if isinstance(key, int):
+            return s.iat(key)
+        if isinstance(key, slice):
+            start, stop, step = key.start or 0, key.stop, key.step or 1
+            if start < 0 or (stop is not None and stop < 0) or step <= 0:
+                raise NotImplementedError("negative/reverse iloc slices")
+            cond = F.col("__pos__") >= start
+            if stop is not None:
+                cond = cond & (F.col("__pos__") < stop)
+            if step != 1:
+                cond = cond & ((F.col("__pos__") - start) % step == 0)
+            return s._pos_rows(cond)
+        if isinstance(key, (list, tuple)):
+            return s.take(list(key))
+        if isinstance(key, SparkSeries):  # boolean mask by position order
+            return s[key]
+        raise TypeError(f"unsupported iloc key {type(key)}")
+
+
+class _SeriesLoc:
+    """series.loc — label access (ref …series_functions.py:962-1085)."""
+
+    def __init__(self, s: SparkSeries):
+        self._s = s
+
+    def __getitem__(self, key):
+        s = self._s
+        if isinstance(key, slice):  # label slice, stop-INCLUSIVE (pandas)
+            cond = F.lit(True)
+            if key.start is not None:
+                cond = cond & (F.col(IDX) >= F.lit(key.start))
+            if key.stop is not None:
+                cond = cond & (F.col(IDX) <= F.lit(key.stop))
+            return SparkSeries(s._df.filter(cond), name=s.name, floating=s._floating)
+        if isinstance(key, (list, tuple)):
+            out = s._df.filter(F.col(IDX).isin(list(key)))
+            return SparkSeries(out, name=s.name, floating=s._floating)
+        if isinstance(key, SparkSeries):  # boolean mask
+            return s[key]
+        return s.at(key)
+
+
+class SeriesGroupBy:
+    """Grouped series aggregations (ref …series_functions.py:4720-4875):
+    one hash-shuffle groupBy on the key values; result is a SparkSeries
+    indexed by group key."""
+
+    def __init__(self, df: DataFrame, name: str | None, floating: bool):
+        self._df = df  # columns: __index__, __value__, __key__
+        self._name = name
+        self._floating = floating
+
+    def _agg(self, expr, floating: bool | None = None) -> SparkSeries:
+        out = self._df.groupBy("__key__").agg(expr.alias("__v__")).select(
+            F.col("__key__").alias(IDX), F.col("__v__").alias(VAL)
+        )
+        return SparkSeries(
+            out,
+            name=self._name,
+            floating=self._floating if floating is None else floating,
+        )
+
+    def sum(self):
+        return self._agg(F.sum(VAL))
+
+    def prod(self):
+        return self._agg(F.product(VAL))
+
+    def min(self):
+        return self._agg(F.min(VAL))
+
+    def max(self):
+        return self._agg(F.max(VAL))
+
+    def mean(self):
+        return self._agg(F.avg(VAL), floating=True)
+
+    def median(self):
+        return self._agg(F.median(VAL), floating=True)
+
+    def count(self):
+        return self._agg(
+            F.count(F.when(sexpr.notna(F.col(VAL), self._floating), 1)), floating=False
+        )
+
+    def std(self, ddof: int = 1):
+        return self._agg(
+            F.stddev_samp(VAL) if ddof == 1 else F.stddev_pop(VAL), floating=True
+        )
+
+    def var(self, ddof: int = 1):
+        return self._agg(
+            F.var_samp(VAL) if ddof == 1 else F.var_pop(VAL), floating=True
+        )
+
+    def nunique(self):
+        return self._agg(F.countDistinct(VAL), floating=False)

@@ -1,0 +1,159 @@
+"""Distributed total-order machinery.
+
+The pandas surface (positional iloc, shift/cumsum, sort ranks,
+reset_index) needs a global row order. The naive Spark spelling —
+``row_number().over(Window.orderBy(...))`` with no partitionBy — funnels
+every row through ONE task. These helpers provide the same semantics at
+scale: ``repartitionByRange`` on the order keys, per-partition window
+work, and a P-row boundary/offset fix-up (P = shuffle partitions), so
+the only single-partition step is over the tiny per-partition summary
+table.
+
+Reference parity: the reference's positional kernels (take/iloc/argsort,
+sdc/datatypes/hpat_pandas_series_functions.py:85-499, 2651, 3735) assume
+a single-node array; this is their distributed re-expression.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+PID = "__pid__"
+POS = "__pos__"
+CTX = "__ctx__"
+
+
+def _cols(order_cols: Sequence[str | Column]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+
+def range_partitioned(df: DataFrame, order_cols: Sequence[str | Column]) -> DataFrame:
+    """Range-partition by the order keys and materialize the partition id
+    (partition ids are ascending in key order)."""
+    return df.repartitionByRange(*_cols(order_cols)).withColumn(
+        PID, F.spark_partition_id()
+    )
+
+
+def _offsets(part: DataFrame, agg: Column, alias: str) -> DataFrame:
+    """P-row table: for each pid, the running total of ``agg`` over all
+    PRIOR pids. The only single-partition window — over P rows."""
+    per = part.groupBy(PID).agg(agg.alias("__t__"))
+    w = W.partitionBy(F.lit(0)).orderBy(PID).rowsBetween(W.unboundedPreceding, -1)
+    return per.select(PID, F.coalesce(F.sum("__t__").over(w), F.lit(0)).alias(alias))
+
+
+def with_position(
+    df: DataFrame, order_cols: Sequence[str | Column], pos_col: str = POS
+) -> DataFrame:
+    """Add a 0-based global position column in (order_cols) order.
+
+    Two full-data exchanges (range + pid-hash for the window); offsets via
+    a P-row broadcast. No full-data single partition.
+    """
+    part = range_partitioned(df, order_cols)
+    offs = _offsets(part, F.count(F.lit(1)), "__off__")
+    w = W.partitionBy(PID).orderBy(*_cols(order_cols))
+    return (
+        part.join(F.broadcast(offs), PID)
+        .withColumn(pos_col, F.row_number().over(w) + F.col("__off__") - 1)
+        .drop(PID, "__off__")
+    )
+
+
+def scan_sum(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    value: Column,
+    out_col: str,
+) -> DataFrame:
+    """Global running sum of ``value`` in (order_cols) order — the
+    distributed prefix-scan: per-partition running sums plus a broadcast
+    of prior-partition totals."""
+    part = range_partitioned(df, order_cols)
+    offs = _offsets(part, F.sum(value), "__soff__")
+    w = (
+        W.partitionBy(PID)
+        .orderBy(*_cols(order_cols))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        part.join(F.broadcast(offs), PID)
+        .withColumn(out_col, F.sum(value).over(w) + F.col("__soff__"))
+        .drop(PID, "__soff__")
+    )
+
+
+def with_context(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    before: int = 0,
+    after: int = 0,
+) -> DataFrame:
+    """Replicate each partition's boundary rows into the neighbor
+    partition so bounded windows (lag/lead/rolling) can run per-partition:
+    the last ``before`` rows of partition p are copied into p+1 (and the
+    first ``after`` rows into p-1), flagged ``__ctx__`` = true. Run the
+    window over ``partitionBy(__pid__)``, then drop flagged rows.
+
+    Correct when before/after <= every partition's row count (window
+    lengths are tiny relative to partition sizes at scale; a 100-row
+    window against multi-million-row range partitions).
+    """
+    part = range_partitioned(df, order_cols)
+    asc = _cols(order_cols)
+    pieces = [part.withColumn(CTX, F.lit(False))]
+    if before:
+        rn = F.row_number().over(W.partitionBy(PID).orderBy(*[c.desc() for c in asc]))
+        pieces.append(
+            part.withColumn("__rn__", rn)
+            .filter(F.col("__rn__") <= before)
+            .drop("__rn__")
+            .withColumn(PID, F.col(PID) + 1)
+            .withColumn(CTX, F.lit(True))
+        )
+    if after:
+        rn = F.row_number().over(W.partitionBy(PID).orderBy(*asc))
+        pieces.append(
+            part.withColumn("__rn__", rn)
+            .filter(F.col("__rn__") <= after)
+            .drop("__rn__")
+            .withColumn(PID, F.col(PID) - 1)
+            .withColumn(CTX, F.lit(True))
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def shifted(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    value: Column,
+    periods: int,
+    out_col: str,
+    fill_value=None,
+) -> DataFrame:
+    """Global lag (periods > 0) / lead (periods < 0) of ``value`` in
+    (order_cols) order via boundary-context replication — no
+    single-partition window, no self-join."""
+    if periods == 0:
+        return df.withColumn(out_col, value)
+    ctx = with_context(
+        df,
+        order_cols,
+        before=periods if periods > 0 else 0,
+        after=-periods if periods < 0 else 0,
+    )
+    w = W.partitionBy(PID).orderBy(*_cols(order_cols))
+    sh = (
+        F.lag(value, periods, fill_value).over(w)
+        if periods > 0
+        else F.lead(value, -periods, fill_value).over(w)
+    )
+    return ctx.withColumn(out_col, sh).filter(~F.col(CTX)).drop(PID, CTX)

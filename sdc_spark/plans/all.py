@@ -7,6 +7,7 @@ import sdc_spark.plans.joins  # noqa: F401
 import sdc_spark.plans.llm_data  # noqa: F401
 import sdc_spark.plans.relational  # noqa: F401
 import sdc_spark.plans.scalar  # noqa: F401
+import sdc_spark.plans.series_api  # noqa: F401
 import sdc_spark.plans.streaming_q  # noqa: F401
 import sdc_spark.plans.tpch_like  # noqa: F401
 import sdc_spark.plans.tpch_more  # noqa: F401

@@ -1,0 +1,73 @@
+"""Driver queries exercising the SparkSeries API surface added in round 2:
+positional gather (iloc slice — ref …series_functions.py:834-961) and
+series.groupby(by=series) (ref …series_functions.py:4720).
+
+Both run through the frame layer (sdc_spark.frame.series), not plain
+DataFrame code, so the driver gate checks the library path end-to-end.
+Positions use the distributed order machinery (operators/order.py): range
+partition + P-row offset broadcast — no full-data single partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdc_spark.frame.series import IDX, VAL, SparkSeries
+from sdc_spark.plans.registry import oracle, query
+from sdc_spark.sources.readers import read_table
+
+
+@query("series_gather")
+def series_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """series.iloc[100:10000:7]: positional slice over the events value
+    series indexed by event_id."""
+    ev = read_table(spark, sf_dir, "events")
+    s = SparkSeries.from_column(ev, "value", index_col="event_id")
+    out = s.iloc[100:10000:7]
+    return out._df.select(
+        F.col(IDX).alias("event_id"), F.round(F.col(VAL), 4).alias("value")
+    )
+
+
+oracle(
+    "series_gather",
+    """
+    WITH p AS (
+        SELECT event_id, value,
+               row_number() OVER (ORDER BY event_id) - 1 AS pos
+        FROM events
+    )
+    SELECT event_id, round(value, 4) AS value
+    FROM p
+    WHERE pos >= 100 AND pos < 10000 AND (pos - 100) % 7 = 0
+    """,
+)
+
+
+@query("series_groupby")
+def series_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """series.groupby(by=series).sum()/count(): events value grouped by the
+    user_id series (index-aligned on event_id). Values pre-scaled to
+    integers (round(v*10000) as long) so the cross-engine sum is exact."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "v4", F.round(F.col("value") * 10000).cast("long")
+    )
+    v = SparkSeries.from_column(ev, "v4", index_col="event_id")
+    k = SparkSeries.from_column(ev, "user_id", index_col="event_id")
+    g = v.groupby(k)
+    su = g.sum()._df.select(F.col(IDX).alias("user_id"), F.col(VAL).alias("v4_sum"))
+    ct = g.count()._df.select(F.col(IDX).alias("user_id"), F.col(VAL).alias("n"))
+    return su.join(ct, "user_id")
+
+
+oracle(
+    "series_groupby",
+    """
+    SELECT user_id,
+           sum(CAST(round(value * 10000) AS BIGINT)) AS v4_sum,
+           count(value) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+)

@@ -114,3 +114,110 @@ def test_merge_asof_nearest_differential(spark):
     ).toPandas().set_index(["g", "t"]).sort_index()
     e2 = exp2.set_index(["g", "t"]).sort_index()
     assert e2["rv"].tolist() == got2.loc[e2.index, "rv"].tolist()
+
+
+def test_series_positional_accessors(spark):
+    ps = pd.Series([30.0, 10.0, 20.0, 40.0, 5.0], index=[2, 4, 6, 8, 10], name="v")
+    sf2 = from_pandas(spark, ps.to_frame())
+    s = sf2["v"]
+    # iat / at scalars
+    assert s.iat(2) == ps.iat[2]
+    assert s.at(6) == ps.at[6]
+    assert s.iloc[3] == ps.iloc[3]
+    assert s.loc[6] == ps.loc[6]
+    # iloc slices (positional) and loc slices (label, stop-inclusive)
+    eq(s.iloc[1:4], ps.iloc[1:4])
+    eq(s.iloc[0:5:2], ps.iloc[0:5:2])
+    eq(s.loc[4:8], ps.loc[4:8])
+    eq(s.loc[[2, 8]], ps.loc[[2, 8]])
+    # take preserves the given order
+    got = s.take([3, 0, 2]).to_pandas()
+    exp = ps.take([3, 0, 2])
+    assert got.tolist() == exp.tolist() and got.index.tolist() == exp.index.tolist()
+    # argsort
+    got = s.argsort().to_pandas()
+    exp = ps.argsort()
+    assert got.tolist() == exp.tolist() and got.index.tolist() == exp.index.tolist()
+
+
+def test_series_argsort_nan(spark):
+    # pandas <3.0 legacy puts -1 at NaN positions (deprecated with a
+    # FutureWarning); we implement the announced future semantics: NaNs
+    # ordered last, all results original positions.
+    ps = pd.Series([3.0, float("nan"), 1.0, 2.0], name="v")
+    s = from_pandas(spark, ps.to_frame())["v"]
+    got = s.argsort().to_pandas()
+    assert got.tolist() == [2, 3, 0, 1]
+
+
+def test_series_groupby_by_series(spark):
+    pdf = pd.DataFrame(
+        {"v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0], "k": ["a", "b", "a", "b", "a", None]}
+    )
+    sf2 = from_pandas(spark, pdf)
+    gb = sf2["v"].groupby(sf2["k"])
+    for m in ("sum", "mean", "min", "max", "count", "std", "var", "median", "prod"):
+        got = getattr(gb, m)().to_pandas().sort_index()
+        exp = getattr(pdf["v"].groupby(pdf["k"]), m)().sort_index()
+        pd.testing.assert_series_equal(
+            got, exp, check_names=False, check_dtype=False, check_index_type=False
+        )
+
+
+def test_nunique_value_counts_params(spark):
+    ps = pd.Series([1.0, 2.0, 2.0, float("nan"), 3.0, 3.0, 3.0, float("nan")], name="v")
+    s = from_pandas(spark, ps.to_frame())["v"]
+    assert s.nunique() == ps.nunique()
+    assert s.nunique(dropna=False) == ps.nunique(dropna=False)
+    # sort=False -> first-appearance order
+    got = s.value_counts(sort=False).to_pandas()
+    exp = ps.value_counts(sort=False)
+    assert got.index.tolist() == exp.index.tolist()
+    assert got.tolist() == exp.tolist()
+    # dropna=False includes one NaN group
+    got = s.value_counts(dropna=False).to_pandas()
+    exp = ps.value_counts(dropna=False)
+    assert sorted(got.tolist()) == sorted(exp.tolist())
+    assert len(got) == len(exp)
+
+
+def test_reflected_ops(spark, sf, pdf):
+    s = sf["v"]
+    for got, exp in [
+        (2 + s, 2 + pdf["v"]),
+        (10 - s, 10 - pdf["v"]),
+        (3 * s, 3 * pdf["v"]),
+        (1 / s, 1 / pdf["v"]),
+        (2 ** (s * 0 + 2), 2 ** (pdf["v"] * 0 + 2)),
+    ]:
+        eq(got, exp)
+
+
+def test_frame_isin_variants(spark):
+    pdf = pd.DataFrame({"a": [1, 2, 3, 4], "b": [10, 20, 30, 40]})
+    sf2 = from_pandas(spark, pdf)
+    # dict
+    got = sf2.isin({"a": [1, 3], "b": [20]}).to_pandas()
+    exp = pdf.isin({"a": [1, 3], "b": [20]})
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
+    # series (index-aligned)
+    ser = pd.Series([1, 20, 99, 40], index=pdf.index)
+    got = sf2.isin(from_pandas(spark, ser.to_frame("x"))["x"]).to_pandas()
+    exp = pdf.isin(ser)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
+    # frame (column+index aligned)
+    other = pd.DataFrame({"a": [1, 9, 3, 9], "c": [0, 0, 0, 0]})
+    got = sf2.isin(from_pandas(spark, other)).to_pandas()
+    exp = pdf.isin(other)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
+
+
+def test_shift_cumsum_distributed(spark):
+    rng = np.random.RandomState(3)
+    ps = pd.Series(rng.randn(500), name="v")
+    ps[ps.sample(30, random_state=1).index] = float("nan")
+    s = from_pandas(spark, ps.to_frame())["v"]
+    eq(s.shift(3), ps.shift(3))
+    eq(s.shift(-2), ps.shift(-2))
+    eq(s.cumsum(), ps.cumsum())
+    eq(s.pct_change(2), ps.pct_change(2, fill_method=None))
