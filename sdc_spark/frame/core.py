@@ -284,10 +284,10 @@ class SparkFrame:
 
         return FrameGroupBy(self, [by] if isinstance(by, str) else list(by))
 
-    def rolling(self, window: int, min_periods: int | None = None):
+    def rolling(self, window: int, min_periods: int | None = None, center: bool = False):
         from sdc_spark.frame.rolling import FrameRolling
 
-        return FrameRolling(self, window, window if min_periods is None else min_periods)
+        return FrameRolling(self, window, min_periods, center)
 
     # -- per-column reductions (ref codegen
     # sdc_pandas_dataframe_reduce_columns, …dataframe_functions.py:465-533) --

@@ -1,35 +1,85 @@
 """Series/Frame rolling — the reference's RollingType surface
 (/root/reference/sdc/datatypes/hpat_pandas_series_rolling_functions.py and
-…dataframe_rolling_functions.py) over sdc_spark.operators.rolling windows:
-trailing row windows ordered by __index__, min_periods NULL-guard,
-ddof=1."""
+…dataframe_rolling_functions.py:86-472): trailing (or centered) row
+windows ordered by __index__, min_periods NULL-guard, ddof=1.
+
+Scale: a bare series/frame has no grouping key, so the window runs over
+boundary-context-replicated range partitions (operators/order.py
+with_context) — each partition carries the previous partition's last
+(window-1) rows flagged as context, the window is partitioned by
+__pid__, and context rows are dropped afterwards. No full-data
+single-partition window. Correct while window << rows-per-partition
+(pandas windows are small; range partitions are millions of rows at
+scale)."""
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
 
+from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sdc_spark.frame.series import IDX, VAL, SparkSeries
-from sdc_spark.operators.rolling import _AGGS, _pairwise
+from sdc_spark.operators import order as sorder
+from sdc_spark.operators.rolling import (
+    _AGGS,
+    _pairwise,
+    kurt_expr,
+    pair_count,
+    skew_expr,
+)
+
+
+def _ctx_window(df: DataFrame, before: int, after: int):
+    """(context-replicated frame, per-partition window spec)."""
+    c = sorder.with_context(df, [IDX], before=before, after=after)
+    w = (
+        W.partitionBy(sorder.PID)
+        .orderBy(IDX)
+        .rowsBetween(-before if before else 0, after)
+    )
+    return c, w
+
+
+def _bounds(window: int, center: bool) -> tuple[int, int]:
+    if center:
+        # pandas centered window: (window-1)//2 behind, window//2 ahead
+        return (window - 1) // 2, window // 2
+    return window - 1, 0
 
 
 class SeriesRolling:
-    def __init__(self, s: SparkSeries, window: int, min_periods: int, center: bool = False):
+    def __init__(
+        self, s: SparkSeries, window: int, min_periods: int | None, center: bool = False
+    ):
         self._s = s
-        if center:
-            # pandas centered window: (window-1)//2 behind, window//2 ahead
-            self._w = W.orderBy(IDX).rowsBetween(-((window - 1) // 2), window // 2)
-        else:
-            self._w = W.orderBy(IDX).rowsBetween(-(window - 1), 0)
-        self._minp = min_periods
+        self._before, self._after = _bounds(window, center)
+        # pandas: min_periods defaults to window for value kernels but to 0
+        # for count
+        self._minp = window if min_periods is None else min_periods
+        self._minp_count = 0 if min_periods is None else min_periods
+
+    def _eval(self, df: DataFrame, result_fn, out_cols):
+        """Run window expressions over the context frame, drop context rows."""
+        c, w = _ctx_window(df, self._before, self._after)
+        exprs = result_fn(w)
+        return (
+            c.select(IDX, F.col(sorder.CTX), *exprs)
+            .filter(~F.col(sorder.CTX))
+            .select(IDX, *out_cols)
+        )
 
     def _roll(self, expr_fn, floating: bool = True) -> SparkSeries:
-        w, minp = self._w, self._minp
-        guard = lambda e: F.when(F.count(VAL).over(w) >= minp, e)  # noqa: E731
-        out = self._s._df.select(IDX, guard(expr_fn(w)).alias(VAL))
+        minp = self._minp
+        out = self._eval(
+            self._s._df.select(IDX, VAL),
+            lambda w: [
+                F.when(F.count(VAL).over(w) >= minp, expr_fn(w)).alias("__r__")
+            ],
+            [F.col("__r__").alias(VAL)],
+        )
         return SparkSeries(out, name=self._s.name, floating=floating)
 
     def sum(self):
@@ -45,9 +95,15 @@ class SeriesRolling:
         return self._roll(lambda w: F.max(VAL).over(w))
 
     def count(self):
-        return SparkSeries(
-            self._s._df.select(IDX, F.count(VAL).over(self._w).alias(VAL)), floating=False
+        minp = self._minp_count
+        out = self._eval(
+            self._s._df.select(IDX, VAL),
+            lambda w: [
+                F.when(F.count(VAL).over(w) >= minp, F.count(VAL).over(w)).alias("__r__")
+            ],
+            [F.col("__r__").alias(VAL)],
         )
+        return SparkSeries(out, floating=False)
 
     def std(self):
         return self._roll(lambda w: _AGGS["std"](VAL).over(w))
@@ -62,44 +118,22 @@ class SeriesRolling:
         return self._roll(lambda w: F.percentile(F.col(VAL), F.lit(q)).over(w))
 
     def skew(self):
-        """pandas sample-adjusted skew G1 = sqrt(n(n-1))/(n-2) · g1, from
-        raw power sums over the window (Spark's skewness() is the
-        population g1 — reference formula sdc/functions/statistics.py:32-40
-        is the pandas one)."""
-        w = self._w
-        x = F.col(VAL)
-        n = F.count(VAL).over(w).cast("double")
-        m = F.avg(VAL).over(w)
-        ex2 = F.avg(x * x).over(w)
-        ex3 = F.avg(x * x * x).over(w)
-        m2 = ex2 - m * m
-        m3 = ex3 - 3 * m * ex2 + 2 * m * m * m
-        g1 = F.try_divide(m3, F.pow(m2, 1.5))
-        adj = F.try_divide(F.sqrt(n * (n - 1)), n - 2)
-        return self._roll_named(F.when(F.count(VAL).over(w) >= F.greatest(F.lit(self._minp), F.lit(3)), g1 * adj))
+        minp = max(self._minp, 3)
+        return self._roll_guarded(lambda w: skew_expr(F.col(VAL), w), minp)
 
     def kurt(self):
-        """pandas sample excess kurtosis from power sums:
-        ((n+1)·g2 + 6) · (n−1)/((n−2)(n−3)) with g2 = m4/m2² − 3."""
-        w = self._w
-        x = F.col(VAL)
-        n = F.count(VAL).over(w).cast("double")
-        m = F.avg(VAL).over(w)
-        ex2 = F.avg(x * x).over(w)
-        ex3 = F.avg(x * x * x).over(w)
-        ex4 = F.avg(x * x * x * x).over(w)
-        m2 = ex2 - m * m
-        m4 = ex4 - 4 * m * ex3 + 6 * m * m * ex2 - 3 * m * m * m * m
-        g2 = F.try_divide(m4, m2 * m2) - 3
-        adj = F.try_divide((n + 1) * g2 + 6, (n - 2) * (n - 3)) * (n - 1)
-        return self._roll_named(
-            F.when(F.count(VAL).over(w) >= F.greatest(F.lit(self._minp), F.lit(4)), adj)
-        )
+        minp = max(self._minp, 4)
+        return self._roll_guarded(lambda w: kurt_expr(F.col(VAL), w), minp)
 
-    def _roll_named(self, expr) -> SparkSeries:
-        return SparkSeries(
-            self._s._df.select(IDX, expr.alias(VAL)), name=self._s.name, floating=True
+    def _roll_guarded(self, expr_fn, minp: int) -> SparkSeries:
+        out = self._eval(
+            self._s._df.select(IDX, VAL),
+            lambda w: [
+                F.when(F.count(VAL).over(w) >= minp, expr_fn(w)).alias("__r__")
+            ],
+            [F.col("__r__").alias(VAL)],
         )
+        return SparkSeries(out, name=self._s.name, floating=True)
 
     def corr(self, other: SparkSeries):
         return self._pair(other, "corr")
@@ -111,14 +145,15 @@ class SeriesRolling:
         a = self._s._df.select(IDX, F.col(VAL).alias("__l__"))
         b = other._df.select(IDX, F.col(VAL).alias("__r__"))
         j = a.join(b, IDX, "full")
-        w, minp = self._w, self._minp
-        expr = _pairwise("__l__", "__r__", w, kind)
-        # pandas counts valid PAIRS toward min_periods, not left values
-        pair_n = F.count(
-            F.when(F.col("__l__").isNotNull() & F.col("__r__").isNotNull(), 1)
-        ).over(w)
-        guard = F.when(pair_n >= minp, expr)
-        return SparkSeries(j.select(IDX, guard.alias(VAL)), floating=True)
+        minp = self._minp
+
+        def exprs(w):
+            # pandas counts valid PAIRS toward min_periods, not left values
+            guard = pair_count(F.col("__l__"), F.col("__r__"), w) >= minp
+            return [F.when(guard, _pairwise("__l__", "__r__", w, kind)).alias("__v__")]
+
+        out = self._eval(j, exprs, [F.col("__v__").alias(VAL)])
+        return SparkSeries(out, floating=True)
 
     def apply(self, func):
         """rolling.apply via collect_list over the window + vectorized UDF
@@ -129,29 +164,61 @@ class SeriesRolling:
         def udf(arrs: pd.Series) -> pd.Series:
             return arrs.map(lambda a: float(func(np.asarray(a, dtype=float))))
 
-        w, minp = self._w, self._minp
-        lst = F.collect_list(VAL).over(w)
-        guarded = F.when(F.count(VAL).over(w) >= minp, udf(lst))
-        return SparkSeries(self._s._df.select(IDX, guarded.alias(VAL)), floating=True)
+        minp = self._minp
+        # collect_list drops nulls; pandas hands the raw window (NaNs
+        # included) to func — re-materialize nulls as NaN
+        vals = F.coalesce(F.col(VAL).cast("double"), F.lit(float("nan")))
+        out = self._eval(
+            self._s._df.select(IDX, VAL),
+            lambda w: [
+                F.when(
+                    F.count(VAL).over(w) >= minp, udf(F.collect_list(vals).over(w))
+                ).alias("__r__")
+            ],
+            [F.col("__r__").alias(VAL)],
+        )
+        return SparkSeries(out, floating=True)
+
 
 class FrameRolling:
-    """df.rolling — per-column codegen in the reference
-    (…dataframe_rolling_functions.py:86-472); per-column window exprs here."""
+    """df.rolling — all 14 reference kernels per numeric column
+    (…dataframe_rolling_functions.py:86-472), incl. pairwise corr/cov
+    against another frame (per matching column label) or a series (each
+    column vs it)."""
 
-    def __init__(self, frame, window: int, min_periods: int):
+    def __init__(
+        self, frame, window: int, min_periods: int | None, center: bool = False
+    ):
         self._frame = frame
-        self._w = W.orderBy(IDX).rowsBetween(-(window - 1), 0)
-        self._minp = min_periods
+        self._before, self._after = _bounds(window, center)
+        self._minp = window if min_periods is None else min_periods
+        self._minp_count = 0 if min_periods is None else min_periods
 
-    def _roll_all(self, fn):
+    def _eval_all(self, df: DataFrame, cols, expr_fn, guard_minp: int | None):
         from sdc_spark.frame.core import SparkFrame
 
-        w, minp = self._w, self._minp
+        c, w = _ctx_window(df, self._before, self._after)
+        exprs = []
+        for col in cols:
+            e = expr_fn(col, w)
+            if guard_minp is not None:
+                e = F.when(F.count(col).over(w) >= guard_minp, e)
+            exprs.append(e.alias(col))
+        out = (
+            c.select(IDX, F.col(sorder.CTX), *exprs)
+            .filter(~F.col(sorder.CTX))
+            .select(IDX, *cols)
+        )
+        return SparkFrame(out)
+
+    def _roll_all(self, fn, guard: bool = True, minp: int | None = None):
         cols = self._frame._numeric_cols()
-        exprs = [
-            F.when(F.count(c).over(w) >= minp, fn(c, w)).alias(c) for c in cols
-        ]
-        return SparkFrame(self._frame._df.select(IDX, *exprs))
+        return self._eval_all(
+            self._frame._df,
+            cols,
+            fn,
+            (minp if minp is not None else self._minp) if guard else None,
+        )
 
     def sum(self):
         return self._roll_all(lambda c, w: F.sum(c).over(w))
@@ -173,3 +240,73 @@ class FrameRolling:
 
     def median(self):
         return self._roll_all(lambda c, w: F.percentile(F.col(c), F.lit(0.5)).over(w))
+
+    def count(self):
+        return self._roll_all(
+            lambda c, w: F.count(c).over(w), minp=self._minp_count
+        )
+
+    def quantile(self, q: float):
+        return self._roll_all(lambda c, w: F.percentile(F.col(c), F.lit(q)).over(w))
+
+    def skew(self):
+        return self._roll_all(
+            lambda c, w: skew_expr(F.col(c), w), minp=max(self._minp, 3)
+        )
+
+    def kurt(self):
+        return self._roll_all(
+            lambda c, w: kurt_expr(F.col(c), w), minp=max(self._minp, 4)
+        )
+
+    def apply(self, func):
+        @F.pandas_udf("double")
+        def udf(arrs: pd.Series) -> pd.Series:
+            return arrs.map(lambda a: float(func(np.asarray(a, dtype=float))))
+
+        minp = self._minp
+        return self._roll_all(
+            lambda c, w: F.when(
+                F.count(c).over(w) >= minp,
+                udf(
+                    F.collect_list(
+                        F.coalesce(F.col(c).cast("double"), F.lit(float("nan")))
+                    ).over(w)
+                ),
+            ),
+            guard=False,
+        )
+
+    def corr(self, other):
+        return self._pair_all(other, "corr")
+
+    def cov(self, other):
+        return self._pair_all(other, "cov")
+
+    def _pair_all(self, other, kind: str):
+        """other: SparkFrame → pairwise per matching numeric column label;
+        SparkSeries → every column against it."""
+        from sdc_spark.frame.core import SparkFrame
+
+        minp = self._minp
+        if isinstance(other, SparkSeries):
+            o = other._df.select(IDX, F.col(VAL).alias("__o__"))
+            cols = self._frame._numeric_cols()
+            j = self._frame._df.select(IDX, *cols).join(o, IDX, "full")
+            pairs = {c: "__o__" for c in cols}
+        elif isinstance(other, SparkFrame):
+            cols = [
+                c for c in self._frame._numeric_cols() if c in set(other._numeric_cols())
+            ]
+            o = other._df.select(IDX, *[F.col(c).alias(f"__o_{c}") for c in cols])
+            j = self._frame._df.select(IDX, *cols).join(o, IDX, "full")
+            pairs = {c: f"__o_{c}" for c in cols}
+        else:
+            raise TypeError("rolling corr/cov needs a SparkFrame or SparkSeries other")
+
+        def expr_fn(c, w):
+            oc = pairs[c]
+            guard = pair_count(F.col(c), F.col(oc), w) >= minp
+            return F.when(guard, _pairwise(c, oc, w, kind))
+
+        return self._eval_all(j, list(pairs), expr_fn, None)

@@ -420,9 +420,7 @@ class SparkSeries:
         trailing windows — we support both."""
         from sdc_spark.frame.rolling import SeriesRolling
 
-        return SeriesRolling(
-            self, window, window if min_periods is None else min_periods, center
-        )
+        return SeriesRolling(self, window, min_periods, center)
 
     def map(self, arg, dtype: str | None = None) -> SparkSeries:
         """dict → literal map lookup (JVM); callable → Arrow pandas UDF

@@ -75,6 +75,40 @@ def _pairwise(col: str | Column, other: str | Column, w: WindowSpec, kind: str) 
     )
 
 
+def skew_expr(x: Column, w: WindowSpec) -> Column:
+    """pandas sample-adjusted rolling skew G1 = sqrt(n(n-1))/(n-2) · g1
+    from raw power sums (Spark's skewness() is population g1; reference
+    formula sdc/functions/statistics.py:32-40 is the pandas one)."""
+    n = F.count(x).over(w).cast("double")
+    m = F.avg(x).over(w)
+    ex2 = F.avg(x * x).over(w)
+    ex3 = F.avg(x * x * x).over(w)
+    m2 = ex2 - m * m
+    m3 = ex3 - 3 * m * ex2 + 2 * m * m * m
+    g1 = F.try_divide(m3, F.pow(m2, 1.5))
+    return g1 * F.try_divide(F.sqrt(n * (n - 1)), n - 2)
+
+
+def kurt_expr(x: Column, w: WindowSpec) -> Column:
+    """pandas sample excess kurtosis from power sums:
+    ((n+1)·g2 + 6) · (n−1)/((n−2)(n−3)) with g2 = m4/m2² − 3."""
+    n = F.count(x).over(w).cast("double")
+    m = F.avg(x).over(w)
+    ex2 = F.avg(x * x).over(w)
+    ex3 = F.avg(x * x * x).over(w)
+    ex4 = F.avg(x * x * x * x).over(w)
+    m2 = ex2 - m * m
+    m4 = ex4 - 4 * m * ex3 + 6 * m * m * ex2 - 3 * m * m * m * m
+    g2 = F.try_divide(m4, m2 * m2) - 3
+    return F.try_divide((n + 1) * g2 + 6, (n - 2) * (n - 3)) * (n - 1)
+
+
+def pair_count(x: Column, y: Column, w: WindowSpec) -> Column:
+    """Count of valid PAIRS in the frame — what pandas weighs against
+    min_periods for rolling corr/cov."""
+    return F.count(F.when(x.isNotNull() & y.isNotNull(), 1)).over(w)
+
+
 _AGGS = {
     "sum": F.sum,
     "mean": F.avg,
@@ -174,6 +208,15 @@ def rolling_agg(
         if agg == "count":
             # pandas rolling.count has min_periods=0 flavor: count of non-null
             out = out.withColumn(name, F.count(col).over(w))
+        elif agg in ("corr", "cov"):
+            # pandas guards corr/cov on valid PAIRS, not left-column values
+            if min_periods > 0:
+                out = out.withColumn(
+                    name,
+                    F.when(pair_count(F.col(col), F.col(other), w) >= min_periods, expr),
+                )
+            else:
+                out = out.withColumn(name, expr)
         else:
             out = out.withColumn(name, _guard(col, w, min_periods, expr))
     if centered:

@@ -71,3 +71,40 @@ oracle(
     GROUP BY user_id
     """,
 )
+
+
+@query("frame_rolling_api")
+def frame_rolling_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.rolling through the frame API (ref
+    …dataframe_rolling_functions.py:86-472): trailing-10 sum + count over
+    the whole events value series — no grouping key, so this exercises the
+    boundary-context-replicated distributed window (frame/rolling.py), not
+    a partitioned one. Values integer-scaled for exact cross-engine sums."""
+    from sdc_spark.frame.core import SparkFrame
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias(IDX),
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    r = SparkFrame(ev).rolling(10, min_periods=5)
+    s = r.sum()._df.select(F.col(IDX).alias("event_id"), F.col("v4").alias("v4_rsum"))
+    c = r.count()._df.select(F.col(IDX).alias("event_id"), F.col("v4").alias("n"))
+    return s.join(c, "event_id")
+
+
+oracle(
+    "frame_rolling_api",
+    """
+    WITH t AS (
+        SELECT event_id, CAST(round(value * 10000) AS BIGINT) AS v4 FROM events
+    ), s AS (
+        SELECT event_id, count(v4) OVER w AS n, sum(v4) OVER w AS sv
+        FROM t
+        WINDOW w AS (ORDER BY event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id,
+           CASE WHEN n >= 5 THEN sv END AS v4_rsum,
+           CASE WHEN n >= 5 THEN n END AS n
+    FROM s
+    """,
+)

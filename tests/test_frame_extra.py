@@ -221,3 +221,43 @@ def test_shift_cumsum_distributed(spark):
     eq(s.shift(-2), ps.shift(-2))
     eq(s.cumsum(), ps.cumsum())
     eq(s.pct_change(2), ps.pct_change(2, fill_method=None))
+
+
+def test_frame_rolling_full_kernels(spark):
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({"x": rng.randn(80), "y": rng.randn(80) * 2 + 1})
+    pdf.loc[pdf.sample(8, random_state=2).index, "x"] = float("nan")
+    sf2 = from_pandas(spark, pdf)
+    r = sf2.rolling(7, min_periods=4)
+    pr = pdf.rolling(7, min_periods=4)
+    for m in ("sum", "mean", "min", "max", "std", "var", "median", "count", "skew", "kurt"):
+        got = getattr(r, m)().to_pandas()
+        exp = getattr(pr, m)()
+        pd.testing.assert_frame_equal(
+            got, exp, check_dtype=False, check_index_type=False, atol=1e-9
+        )
+    got = r.quantile(0.3).to_pandas()
+    exp = pr.quantile(0.3)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False, atol=1e-9)
+    got = r.apply(np.ptp).to_pandas()
+    exp = pr.apply(np.ptp, raw=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False, atol=1e-9)
+
+
+def test_frame_rolling_pairwise(spark):
+    rng = np.random.RandomState(12)
+    pdf = pd.DataFrame({"x": rng.randn(60), "y": rng.randn(60)})
+    other = pd.DataFrame({"x": rng.randn(60) * 3, "y": rng.randn(60) + 5})
+    sf2, so = from_pandas(spark, pdf), from_pandas(spark, other)
+    for kind in ("corr", "cov"):
+        got = getattr(sf2.rolling(10, min_periods=5), kind)(so).to_pandas()
+        exp = getattr(pdf.rolling(10, min_periods=5), kind)(other, pairwise=False)
+        pd.testing.assert_frame_equal(
+            got, exp, check_dtype=False, check_index_type=False, atol=1e-9
+        )
+    # vs series
+    ps = pd.Series(rng.randn(60), name="s")
+    ss = from_pandas(spark, ps.to_frame())["s"]
+    got = sf2.rolling(10, min_periods=5).corr(ss).to_pandas()
+    exp = pdf.rolling(10, min_periods=5).corr(ps)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False, atol=1e-9)
