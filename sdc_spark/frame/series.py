@@ -445,6 +445,27 @@ class SparkSeries:
     def apply(self, func, dtype: str | None = None) -> SparkSeries:
         return self.map(func, dtype)
 
+    def append(self, other: SparkSeries, ignore_index: bool = False) -> SparkSeries:
+        """Concatenate two series (ref …series_functions.py append overload;
+        §2.8). ignore_index=False keeps (possibly duplicate) labels;
+        ignore_index=True assigns fresh positions 0..n-1 in concatenation
+        order (self first), via the distributed position machinery."""
+        a = self._df.select(IDX, VAL).withColumn("__src__", F.lit(0))
+        b = other._df.select(IDX, VAL).withColumn("__src__", F.lit(1))
+        u = a.unionByName(b)
+        if not ignore_index:
+            return SparkSeries(
+                u.select(IDX, VAL),
+                name=self.name,
+                floating=self._floating or other._floating,
+            )
+        pos = sorder.with_position(u, ["__src__", IDX], "__p__")
+        return SparkSeries(
+            pos.select(F.col("__p__").alias(IDX), VAL),
+            name=self.name,
+            floating=self._floating or other._floating,
+        )
+
     # -- positional / label access (ref …series_functions.py:85-499,
     # 834-1085, 2651, 3735) -------------------------------------------------
 

@@ -204,7 +204,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     threshold: float = 0.5,
     ngram: int = 3,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via an inverted shingle index:
     explode distinct shingles, self-join on shingle, count intersections,
@@ -212,7 +212,13 @@ def ngram_jaccard_pairs(
 
     ``max_doc_freq`` prunes shingles present in more than that many
     documents (boilerplate) — the standard web-scale mitigation for the
-    quadratic blowup on hot shingles; None = exact."""
+    quadratic blowup on hot shingles. The DEFAULT caps at 1000: a shingle
+    in D docs contributes D²/2 index-join rows, so one boilerplate header
+    shared by 10⁶ docs would alone emit 5·10¹¹ pairs; capped, the worst
+    shingle costs 5·10⁵. Recall trade: a pair whose overlap lies ENTIRELY
+    in pruned shingles is missed — for near-dup detection those pairs are
+    boilerplate-only matches, which is usually the desired exclusion.
+    Pass ``max_doc_freq=None`` explicitly for the exact quadratic run."""
     docs = with_grams(df, text_col, id_col, ngram)
     # the index carries the 64-bit gram hash, not the gram string: the
     # self-join shuffles 8-byte keys instead of ~n·word-length strings

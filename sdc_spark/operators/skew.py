@@ -36,7 +36,16 @@ def salted_join(
 
     ``fact_unique``: columns whose hash spreads the fact side across salts
     (defaults to every fact column — any unique-ish subset works; the salt
-    must be deterministic per row so retried tasks salt identically)."""
+    must be deterministic per row so retried tasks salt identically).
+
+    ``how`` is restricted to inner/left (and their spellings): the dim side
+    is replicated ``salt`` times, so right/full joins would emit each
+    unmatched dim row once per replica."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r} "
+            "(dim replicas would duplicate unmatched right rows)"
+        )
     cols: Sequence[str] = fact_unique or fact.columns
     fsalt: Column = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt))
     f = fact.withColumn("__salt__", fsalt)

@@ -261,3 +261,46 @@ def test_frame_rolling_pairwise(spark):
     got = sf2.rolling(10, min_periods=5).corr(ss).to_pandas()
     exp = pdf.rolling(10, min_periods=5).corr(ps)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False, atol=1e-9)
+
+
+def test_series_append(spark):
+    a = pd.Series([1.0, 2.0], name="v")
+    b = pd.Series([3.0, 4.0, 5.0], name="v")
+    sa = from_pandas(spark, a.to_frame())["v"]
+    sb = from_pandas(spark, b.to_frame())["v"]
+    got = sa.append(sb, ignore_index=True).to_pandas()
+    exp = pd.concat([a, b], ignore_index=True)
+    assert got.tolist() == exp.tolist() and got.index.tolist() == exp.index.tolist()
+
+
+def test_multiindex_ctors(spark):
+    from sdc_spark.frame.multiindex import from_product, from_tuples
+
+    got = from_product(spark, [["a", "b"], [1, 2, 3]], names=["k", "n"]).toPandas()
+    exp = pd.MultiIndex.from_product([["a", "b"], [1, 2, 3]], names=["k", "n"]).to_frame(index=False)
+    assert sorted(map(tuple, got.values.tolist())) == sorted(map(tuple, exp.values.tolist()))
+    got = from_tuples(spark, [("x", 1), ("y", 2)], names=["k", "n"]).toPandas()
+    assert sorted(map(tuple, got.values.tolist())) == [("x", 1), ("y", 2)]
+
+
+def test_ordered_categorical(spark):
+    from pyspark.sql import functions as F
+    from sdc_spark.functions.categorical import cat_compare, min_code_type, ordered_codes
+
+    cats = ["low", "mid", "high"]
+    pdf = pd.DataFrame({"g": ["mid", "low", "high", "mid", None]})
+    sdf = spark.createDataFrame(pdf)
+    out = sdf.select(
+        ordered_codes("g", cats).alias("code"),
+        cat_compare("g", "mid", cats, "lt").alias("lt_mid"),
+        cat_compare("g", "mid", cats, "ge").alias("ge_mid"),
+    ).toPandas()
+    pc = pd.Categorical(pdf["g"], categories=cats, ordered=True)
+    assert out["code"].tolist() == list(pc.codes)
+    exp_lt = pd.Series(pc) < "mid"
+    assert out["lt_mid"].fillna(False).tolist() == exp_lt.tolist()
+    assert min_code_type(100) == "tinyint"
+    assert min_code_type(1000) == "smallint"
+    assert min_code_type(40000) == "int"
+    # codes column is minimal width
+    assert dict(sdf.select(ordered_codes("g", cats).alias("c")).dtypes)["c"] == "tinyint"
