@@ -117,6 +117,16 @@ class SparkFrame:
     def copy(self) -> SparkFrame:
         return SparkFrame(self._df)
 
+    def take(self, indices) -> SparkFrame:
+        """Positional row gather (pandas df.take): distributed positions in
+        __index__ order, filtered to the given list; original index labels
+        kept (pandas semantics)."""
+        from sdc_spark.operators import order as sorder
+
+        idx = list(indices)
+        pos = sorder.with_position(self._df, [IDX], "__pos__")
+        return SparkFrame(pos.filter(F.col("__pos__").isin(idx)).drop("__pos__"))
+
     def reset_index(self, drop: bool = False) -> SparkFrame:
         """ref …dataframe_functions.py:3371-3443. The positional index is
         materialized with the distributed position machinery

@@ -48,18 +48,24 @@ def _with_carries(
     payload: Sequence[str],
     by: Sequence[str],
     directions: Sequence[tuple[str, bool]],
+    allow_exact: bool = True,
 ) -> DataFrame:
     """Add as-of carry columns ``{prefix}{a}`` for each payload column and
     each requested (prefix, backward) direction. All directions share one
     partitioning: the second direction only adds an in-partition re-sort.
+
+    ``allow_exact``: with True, right rows sort BEFORE left rows at equal
+    keys (exact matches visible in the running frame); with False they
+    sort after, so equal-key right rows are excluded.
     """
+    tag_ord = F.col("__tag__").asc() if allow_exact else F.col("__tag__").desc()
     if by:
         cur = unioned
         for prefix, backward in directions:
             ordk = F.col("__key__").asc() if backward else F.col("__key__").desc()
             w = (
                 W.partitionBy(*by)
-                .orderBy(ordk, F.col("__tag__").asc())
+                .orderBy(ordk, tag_ord)
                 .rowsBetween(W.unboundedPreceding, 0)
             )
             cur = cur.select(
@@ -76,7 +82,7 @@ def _with_carries(
         ordk = F.col("__key__").asc() if backward else F.col("__key__").desc()
         w = (
             W.partitionBy("__pid__")
-            .orderBy(ordk, F.col("__tag__").asc())
+            .orderBy(ordk, tag_ord)
             .rowsBetween(W.unboundedPreceding, 0)
         )
         cur = cur.select(
@@ -122,10 +128,15 @@ def merge_asof(
     by: Sequence[str] | None = None,
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance=None,
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """pandas.merge_asof equivalent; ``direction`` in {backward, forward,
     nearest}. ``nearest`` picks the closer of the backward/forward matches
-    row-wise (ties -> backward, as pandas does)."""
+    row-wise (ties -> backward, as pandas does). ``tolerance`` nulls out
+    matches whose key distance exceeds it (same type as key differences);
+    ``allow_exact_matches=False`` excludes equal-key right rows (strict
+    </>)."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unsupported direction {direction!r}")
     by = list(by or [])
@@ -135,7 +146,8 @@ def merge_asof(
     rcols = [c for c in right.columns if c != on and c not in by]
     rpayload = {c: (f"{c}{suffix}" if c in lcols else c) for c in rcols}
     payload = list(rpayload.values())
-    if nearest:
+    if nearest or tolerance is not None or not allow_exact_matches:
+        # matched-key column needed for distance / exactness filtering
         payload = payload + [_RKEY]
 
     lu = left.select(
@@ -144,7 +156,7 @@ def merge_asof(
         F.lit(1).alias("__tag__"),
         *[F.col(c) for c in lcols if c != on and c not in by],
         *[F.lit(None).cast(right.schema[c].dataType).alias(a) for c, a in rpayload.items()],
-        *([F.lit(None).cast(right.schema[on].dataType).alias(_RKEY)] if nearest else []),
+        *([F.lit(None).cast(right.schema[on].dataType).alias(_RKEY)] if _RKEY in payload else []),
     )
     ru = right.select(
         *[F.col(c) for c in by],
@@ -152,7 +164,7 @@ def merge_asof(
         F.lit(0).alias("__tag__"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on and c not in by],
         *[F.col(c).alias(a) for c, a in rpayload.items()],
-        *([F.col(on).alias(_RKEY)] if nearest else []),
+        *([F.col(on).alias(_RKEY)] if _RKEY in payload else []),
     )
     unioned = lu.unionByName(ru)
 
@@ -166,17 +178,35 @@ def merge_asof(
 
     if not nearest:
         backward = direction == "backward"
-        carried = _with_carries(unioned, payload, by, [("__a_", backward)])
-        return finalize(carried, [F.col(f"__a_{a}").alias(a) for a in payload])
+        carried = _with_carries(
+            unioned, payload, by, [("__a_", backward)], allow_exact_matches
+        )
+        cols = []
+        for a in payload:
+            if a == _RKEY:
+                continue
+            c = F.col(f"__a_{a}")
+            if tolerance is not None:
+                rk = F.col(f"__a_{_RKEY}")
+                dist = (F.col("__key__") - rk) if backward else (rk - F.col("__key__"))
+                c = F.when(dist <= F.lit(tolerance), c)
+            cols.append(c.alias(a))
+        return finalize(carried, cols)
 
     # nearest: both carries on one frame (shared partitioning), then choose
     # row-wise by key distance; ties -> backward (pandas semantics).
-    both = _with_carries(unioned, payload, by, [("__b_", True), ("__f_", False)])
+    both = _with_carries(
+        unioned, payload, by, [("__b_", True), ("__f_", False)], allow_exact_matches
+    )
     bk, fk = F.col(f"__b_{_RKEY}"), F.col(f"__f_{_RKEY}")
     choose_b = fk.isNull() | (bk.isNotNull() & ((F.col("__key__") - bk) <= (fk - F.col("__key__"))))
-    cols = [
-        F.when(choose_b, F.col(f"__b_{a}")).otherwise(F.col(f"__f_{a}")).alias(a)
-        for a in payload
-        if a != _RKEY
-    ]
+    cols = []
+    for a in payload:
+        if a == _RKEY:
+            continue
+        c = F.when(choose_b, F.col(f"__b_{a}")).otherwise(F.col(f"__f_{a}"))
+        if tolerance is not None:
+            dist = F.when(choose_b, F.col("__key__") - bk).otherwise(fk - F.col("__key__"))
+            c = F.when(dist <= F.lit(tolerance), c)
+        cols.append(c.alias(a))
     return finalize(both, cols)

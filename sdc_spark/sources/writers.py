@@ -7,11 +7,41 @@ us csv/parquet/json/orc with partitioning for free.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
 def to_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", str(bool(header)).lower()).csv(path)
+
+
+def to_numpy_binary(df: DataFrame, col: str, path: str, dtype: str = "float64") -> None:
+    """``np.ndarray.tofile`` equivalent (ref sdc/io/np_io.py:58-180 write
+    side): raw little-endian binary of one numeric column.
+
+    Distributed form: each partition writes ``part-NNNNN.bin`` under
+    ``path`` via mapInPandas (Arrow batches -> numpy -> bytes, no per-row
+    Python); the directory of parts IS the dataset, matching the
+    reference's MPI-rank-per-file layout. ``np.fromfile`` of the
+    concatenated parts round-trips. Ordering across parts follows the
+    input partitioning — order-sensitive callers sort first."""
+    import numpy as np
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+
+    def write(batches):
+        import pyspark
+
+        pid = pyspark.TaskContext.get().partitionId()
+        out = os.path.join(path, f"part-{pid:05d}.bin")
+        with open(out, "wb") as f:
+            for pdf in batches:
+                np.asarray(pdf[col], dtype=dtype).tofile(f)
+        yield pd.DataFrame({"part": [out]})
+
+    df.select(col).mapInPandas(write, "part string").collect()
 
 
 def to_parquet(

@@ -304,3 +304,33 @@ def test_ordered_categorical(spark):
     assert min_code_type(40000) == "int"
     # codes column is minimal width
     assert dict(sdf.select(ordered_codes("g", cats).alias("c")).dtypes)["c"] == "tinyint"
+
+
+def test_merge_asof_tolerance_exact(spark):
+    from sdc_spark.operators.asof import merge_asof
+
+    lp = pd.DataFrame({"t": [1, 5, 10, 14, 20], "lv": list("abcde")})
+    rp = pd.DataFrame({"t": [1, 6, 10, 18], "rv": [10, 20, 30, 40]})
+    for direction in ("backward", "forward", "nearest"):
+        for tol, exact in [(3, True), (None, False), (2, False)]:
+            exp = pd.merge_asof(
+                lp, rp, on="t", direction=direction,
+                tolerance=tol, allow_exact_matches=exact,
+            )
+            got = (
+                merge_asof(
+                    spark.createDataFrame(lp), spark.createDataFrame(rp), on="t",
+                    direction=direction, tolerance=tol, allow_exact_matches=exact,
+                ).toPandas().sort_values("t").reset_index(drop=True)
+            )
+            a = got["rv"].where(got["rv"].notna(), -1).tolist()
+            b = exp["rv"].where(exp["rv"].notna(), -1).tolist()
+            assert a == b, (direction, tol, exact, a, b)
+
+
+def test_frame_take(spark):
+    pdf = pd.DataFrame({"a": [10, 20, 30, 40, 50], "b": list("vwxyz")})
+    sf2 = from_pandas(spark, pdf)
+    got = sf2.take([4, 0, 2]).to_pandas().sort_index()
+    exp = pdf.take([4, 0, 2]).sort_index()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)

@@ -110,3 +110,20 @@ def test_read_csv_skiprows_header_keeps_colliding_rows(spark, tmp_path):
     exp = pd.read_csv(str(p), skiprows=1)
     assert len(exp) == 3
     assert sorted(got["x"].astype(str).tolist()) == sorted(exp["x"].astype(str).tolist())
+
+
+def test_numpy_binary_roundtrip(spark, tmp_path):
+    import glob
+
+    import numpy as np
+
+    from sdc_spark.sources.writers import to_numpy_binary
+
+    vals = [float(i) * 1.5 for i in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(4)
+    out = str(tmp_path / "npbin")
+    to_numpy_binary(df, "v", out)
+    parts = sorted(glob.glob(out + "/part-*.bin"))
+    assert len(parts) == 4
+    back = np.concatenate([np.fromfile(p, dtype="float64") for p in parts])
+    assert sorted(back.tolist()) == sorted(vals)
