@@ -102,3 +102,31 @@ def fingerprint_shingle_min(x, ngram: int = 3) -> Column:
     return F.array_min(
         F.transform(word_ngrams(_c(x), ngram), lambda g: F.md5(g.cast("binary")))
     )
+
+
+# -- PII detection / scrubbing (extension: training-data redaction) ---------
+
+# Regexes kept in the RE2 ∩ Java-regex dialect (no backrefs/lookahead) so
+# Spark and SQL oracles (DuckDB) match byte-for-byte.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn_like": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_counts(x) -> dict[str, Column]:
+    """Per-kind PII match counts — pure regexp_count expressions, codegen."""
+    c = _c(x)
+    return {k: F.regexp_count(c, F.lit(p)) for k, p in PII_PATTERNS.items()}
+
+
+def pii_scrub(x) -> Column:
+    """Replace each PII kind with a typed placeholder token (<EMAIL> etc.) —
+    chained regexp_replace, one pass per kind, all JVM-side. Order matters:
+    ssn before phone (both dash-digit shapes, ssn is the more specific)."""
+    c = _c(x)
+    for k in ("email", "ssn_like", "phone", "ipv4"):
+        c = F.regexp_replace(c, PII_PATTERNS[k], f"<{k.upper()}>")
+    return c

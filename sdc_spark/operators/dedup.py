@@ -446,3 +446,40 @@ def dedup_components(
         if changed == 0:
             break
     return labels.select(F.col("u").alias("doc"), F.col("lbl").alias("component"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram: int = 8,
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ANY
+    ``ngram``-gram with a benchmark/eval set (the standard leakage guard a
+    training pipeline runs before every dump release; e.g. GPT-3 appendix C
+    / PaLM's 8-gram rule — public methodology).
+
+    Plan shape at 100 TB: the benchmark side is tiny (eval sets are
+    thousands of docs) — its DISTINCT 8-byte gram hashes broadcast; the
+    corpus side explodes grams and left-semi joins, so the corpus is
+    scanned once, nothing wider than (doc id, 8-byte hash) materializes,
+    and no shuffle of document text ever happens. Output: one row per
+    CONTAMINATED doc with the overlapping-gram count (consumers anti-join
+    it against the corpus to drop or audit).
+    """
+    bt = bench_text_col or text_col
+    bi = bench_id_col or id_col
+    bench_grams = (
+        with_grams(benchmark, bt, bi, ngram)
+        .select(F.explode("grams").alias("g"))
+        .select(F.xxhash64("g").alias("gram"))
+        .distinct()
+    )
+    corpus_grams = with_grams(corpus, text_col, id_col, ngram).select(
+        "doc", F.explode("grams").alias("g")
+    ).select("doc", F.xxhash64("g").alias("gram"))
+    hits = corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+    return hits.groupBy("doc").agg(F.count(F.lit(1)).alias("n_contaminated_grams"))

@@ -97,8 +97,10 @@ oracle(
 
 @query("dedup_ngram_jaccard")
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard ≥ 0.5 via the inverted shingle index
-    (document-frequency pruning available for web scale; exact here)."""
+    """Exact all-pairs n-gram Jaccard ≥ 0.5 via the inverted shingle index.
+    The default max_doc_freq=1000 cap exceeds the sf0.01 corpus size, so
+    the run is exact and hash-matches the exact all-pairs oracle; at web
+    scale the cap bounds the hot-shingle quadratic blowup."""
     return sdedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
     )
@@ -396,5 +398,77 @@ oracle(
         SELECT e.u, w.lbl FROM e JOIN walk w ON e.v = w.u
     )
     SELECT u AS doc, min(lbl) AS component FROM walk GROUP BY u
+    """,
+)
+
+
+@query("text_decontaminate")
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM-style n-gram leakage guard,
+    public methodology): corpus docs sharing any 4-gram with the held-out
+    'benchmark' slice (doc_id % 50 == 0). Benchmark gram hashes broadcast;
+    corpus scanned once; only (doc, 8-byte hash) pairs move."""
+    doc = _t(spark, sf_dir, "documents")
+    bench = doc.filter(F.col("doc_id") % 50 == 0)
+    corpus = doc.filter(F.col("doc_id") % 50 != 0)
+    return sdedup.decontaminate(corpus, bench, "text", "doc_id", ngram=4)
+
+
+oracle(
+    "text_decontaminate",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 4
+                    THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                    ELSE array_to_string(t, ' ') END AS gram
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 3, 1))) AS s(i)
+        GROUP BY doc_id, gram
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0)
+    SELECT g.doc_id AS doc, count(*) AS n_contaminated_grams
+    FROM grams g JOIN bench b ON g.gram = b.gram
+    WHERE g.doc_id % 50 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+
+
+@query("text_pii_scrub")
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (training-data scrubbing): per-doc match
+    counts for email/phone/ipv4/ssn patterns and the md5 of the scrubbed
+    text — all regexp expressions, codegen, no shuffle beyond the scan."""
+    doc = _t(spark, sf_dir, "documents")
+    counts = stext.pii_counts("text")
+    return doc.select(
+        "doc_id",
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+        F.md5(stext.pii_scrub("text").cast("binary")).alias("scrubbed_md5"),
+    )
+
+
+oracle(
+    "text_pii_scrub",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+           len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+           len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn_like,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\b\d{3}-\d{2}-\d{4}\b', '<SSN_LIKE>', 'g'),
+                   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g')) AS scrubbed_md5
+    FROM documents
     """,
 )
