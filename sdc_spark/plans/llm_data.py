@@ -472,3 +472,83 @@ oracle(
     FROM documents
     """,
 )
+
+
+@query("pack_sequences")
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 2048-token windows (GPT-style
+    pretraining layout): prefix token sums in doc_id order via the
+    distributed scan, pack = prefix // budget."""
+    from sdc_spark.operators.curation import pack_sequences
+
+    doc = _t(spark, sf_dir, "documents").select(
+        "doc_id", stext.ws_token_count("text").alias("n_tok")
+    )
+    return pack_sequences(doc, "doc_id", "n_tok", budget=2048)
+
+
+oracle(
+    "pack_sequences",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        FROM documents
+    ), s AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT doc_id AS doc, n_tokens,
+           CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+           (cum - n_tokens) % 2048 AS offset,
+           CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT)
+             <> CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS spans_boundary
+    FROM s
+    """,
+)
+
+
+@query("sample_stratified")
+def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deterministic stratified sample: 20 docs per language via
+    md5(id)-order rank — reproducible across engines, unlike Bernoulli
+    sampleBy."""
+    from sdc_spark.operators.curation import sample_stratified
+
+    doc = _t(spark, sf_dir, "documents").select(
+        "doc_id", stext.lang_id("text").alias("lang")
+    )
+    return sample_stratified(doc, "lang", "doc_id", n_per_stratum=20)
+
+
+oracle(
+    "sample_stratified",
+    rf"""
+    WITH markers AS ({_MARKER_ROWS}),
+    scored AS (
+        SELECT d.doc_id, m.lang_c,
+               len(regexp_extract_all(
+                   regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g'), m.pat)) AS hits
+        FROM documents d CROSS JOIN markers m
+    ),
+    best AS (
+        SELECT doc_id, lang_c, hits,
+               row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_c DESC) AS rn
+        FROM scored
+    ),
+    langs AS (
+        SELECT doc_id, CASE WHEN hits > 0 THEN lang_c ELSE 'und' END AS lang
+        FROM best WHERE rn = 1
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM langs
+    )
+    SELECT doc_id, lang FROM ranked WHERE rk <= 20
+    """,
+)
