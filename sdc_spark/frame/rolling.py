@@ -95,11 +95,16 @@ class SeriesRolling:
         return self._roll(lambda w: F.max(VAL).over(w))
 
     def count(self):
+        # pandas guards count on the window's ROW count (not non-null
+        # count): a full-size window emits its non-null count even if most
+        # values are NaN
         minp = self._minp_count
         out = self._eval(
             self._s._df.select(IDX, VAL),
             lambda w: [
-                F.when(F.count(VAL).over(w) >= minp, F.count(VAL).over(w)).alias("__r__")
+                F.when(
+                    F.count(F.lit(1)).over(w) >= minp, F.count(VAL).over(w)
+                ).alias("__r__")
             ],
             [F.col("__r__").alias(VAL)],
         )
@@ -242,8 +247,11 @@ class FrameRolling:
         return self._roll_all(lambda c, w: F.percentile(F.col(c), F.lit(0.5)).over(w))
 
     def count(self):
+        # row-count guard, not non-null guard (see SeriesRolling.count)
+        minp = self._minp_count
         return self._roll_all(
-            lambda c, w: F.count(c).over(w), minp=self._minp_count
+            lambda c, w: F.when(F.count(F.lit(1)).over(w) >= minp, F.count(c).over(w)),
+            guard=False,
         )
 
     def quantile(self, q: float):

@@ -23,7 +23,12 @@ def audit(plan: str) -> dict:
         "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
         "smj": len(re.findall(r"SortMergeJoin", plan)),
         "shuffles": len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan)),
-        "wscg_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        # codegen spans print as "*(n) Op" in treeString (and as
+        # "WholeStageCodegen (n)" in formatted explain)
+        "wscg_spans": len(
+            set(re.findall(r"\*\((\d+)\)", plan))
+            | set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+        ),
         "full_readschema": len(re.findall(r"ReadSchema: struct<[^>\n]{400,}", plan)),
     }
 
@@ -43,6 +48,9 @@ def main() -> None:
             continue
         try:
             df = fn(spark, sf_dir)
+            # run the query so AQE finalizes stages — the pre-execution
+            # adaptive plan hides codegen spans and runtime-replanned joins
+            df.write.format("noop").mode("overwrite").save()
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ERROR {type(e).__name__}: {e}")
