@@ -86,8 +86,23 @@ class SparkFrame:
         if isinstance(key, slice):
             if key.start is None and key.step is None and key.stop is not None:
                 return self.head(key.stop)
-            raise NotImplementedError("only [:n] slices")
+            return self._islice(key)
         raise TypeError(f"unsupported key {type(key)}")
+
+    def _islice(self, key: slice) -> SparkFrame:
+        """General positional slice via distributed positions."""
+        from sdc_spark.operators import order as sorder
+
+        start, stop, step = key.start or 0, key.stop, key.step or 1
+        if start < 0 or (stop is not None and stop < 0) or step <= 0:
+            raise NotImplementedError("negative/reverse frame slices")
+        pos = sorder.with_position(self._df, [IDX], "__pos__")
+        cond = F.col("__pos__") >= start
+        if stop is not None:
+            cond = cond & (F.col("__pos__") < stop)
+        if step != 1:
+            cond = cond & ((F.col("__pos__") - start) % step == 0)
+        return SparkFrame(pos.filter(cond).drop("__pos__"))
 
     def __getattr__(self, name: str):
         # df.A → df['A'] (ref rewrite dataframe_getitem_attribute.py:37-100)
@@ -143,6 +158,18 @@ class SparkFrame:
                 F.col("__new__").alias(IDX), F.col(IDX).alias("index"), *cols
             )
         return SparkFrame(out)
+
+    def set_index(self, col: str) -> SparkFrame:
+        """Promote a column to the index (pandas df.set_index: the column
+        leaves the value columns)."""
+        if col not in self.columns:
+            raise KeyError(col)
+        keep = [c for c in self.columns if c != col]
+        return SparkFrame(self._df.select(F.col(col).alias(IDX), *keep))
+
+    def sort_index(self, ascending: bool = True) -> SparkFrame:
+        key = F.col(IDX).asc_nulls_last() if ascending else F.col(IDX).desc_nulls_last()
+        return SparkFrame(self._df.orderBy(key))
 
     # -- label/positional access (ref iloc/loc accessors,
     # …dataframe_functions.py:2216-2502) -----------------------------------

@@ -97,6 +97,39 @@ class FrameGroupBy:
     def var(self):
         return self._agg("var")
 
+    def size(self):
+        """Group row counts (counts NaN rows too, unlike count())."""
+        from sdc_spark.frame.core import SparkFrame
+
+        df = self._frame._df
+        cond = F.lit(True)
+        for k in self._keys:
+            cond = cond & F.col(k).isNotNull()
+        out = df.filter(cond).groupBy(*self._keys).agg(
+            F.count(F.lit(1)).alias("size")
+        )
+        if self._sort:
+            out = out.orderBy(*self._keys)
+        if len(self._keys) == 1:
+            out = out.withColumnRenamed(self._keys[0], IDX)
+        return SparkFrame(out)
+
+    def nunique(self):
+        from sdc_spark.frame.core import SparkFrame
+
+        df = self._frame._df
+        cond = F.lit(True)
+        for k in self._keys:
+            cond = cond & F.col(k).isNotNull()
+        out = df.filter(cond).groupBy(*self._keys).agg(
+            *[F.countDistinct(c).alias(c) for c in self._value_cols()]
+        )
+        if self._sort:
+            out = out.orderBy(*self._keys)
+        if len(self._keys) == 1:
+            out = out.withColumnRenamed(self._keys[0], IDX)
+        return SparkFrame(out)
+
     def apply(self, func, schema: str):
         """gb.apply via applyInPandas (absent in the reference — SURVEY
     §2.10 marks applyInPandas as our extension point): ``func`` takes a

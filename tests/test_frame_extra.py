@@ -334,3 +334,32 @@ def test_frame_take(spark):
     got = sf2.take([4, 0, 2]).to_pandas().sort_index()
     exp = pdf.take([4, 0, 2]).sort_index()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
+
+
+def test_frame_slice_setindex_sortindex(spark):
+    pdf = pd.DataFrame({"a": list(range(10)), "b": [x * 2.0 for x in range(10)]})
+    sf2 = from_pandas(spark, pdf)
+    got = sf2[2:9:3].to_pandas()
+    exp = pdf[2:9:3]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
+    # set_index promotes a column; sort_index orders by it
+    si = sf2.set_index("a")
+    got = si.sort_index(ascending=False).to_pandas()
+    exp = pdf.set_index("a").sort_index(ascending=False)
+    # to_pandas orders by index ascending; compare content on sorted index
+    pd.testing.assert_frame_equal(
+        got.sort_index(), exp.sort_index(), check_dtype=False, check_index_type=False, check_names=False
+    )
+
+
+def test_groupby_size_nunique(spark):
+    pdf = pd.DataFrame(
+        {"k": ["a", "a", "b", "b", "b", None], "v": [1.0, 1.0, 2.0, 3.0, 3.0, 9.0]}
+    )
+    sf2 = from_pandas(spark, pdf)
+    got = sf2.groupby("k").size().to_pandas()["size"]
+    exp = pdf.groupby("k").size()
+    assert got.sort_index().tolist() == exp.sort_index().tolist()
+    got = sf2.groupby("k").nunique().to_pandas()["v"]
+    exp = pdf.groupby("k").nunique()["v"]
+    assert got.sort_index().tolist() == exp.sort_index().tolist()
