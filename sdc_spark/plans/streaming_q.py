@@ -84,3 +84,37 @@ oracle(
     FROM sess GROUP BY 1, 2
     """,
 )
+
+
+@query("window_sliding_agg")
+def window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in 2 panes
+    (streaming twin: sdc_spark.streaming.windows.sliding_agg)."""
+    from sdc_spark.streaming.windows import sliding_agg_batch
+
+    ev = read_table(spark, sf_dir, "events")
+    out = sliding_agg_batch(ev, window="10 minutes", slide="5 minutes")
+    return out.select(
+        F.col("win_start").cast("string").alias("win_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+oracle(
+    "window_sliding_agg",
+    """
+    WITH panes AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS s, event_type, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+               event_type, value
+        FROM events
+    )
+    SELECT CAST(s AS VARCHAR) AS win_start, event_type,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM panes GROUP BY 1, 2
+    """,
+)

@@ -140,3 +140,23 @@ def session_agg_batch(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+def sliding_agg_batch(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("event_type",),
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    aggs: Sequence[tuple[str, str]] = DEFAULT_AGGS,
+) -> DataFrame:
+    """Batch twin of sliding_agg (F.window with a slide works on batch
+    frames too — each event expands to window/slide panes)."""
+    return (
+        df.groupBy(F.window(ts_col, window, slide).alias("win"), *keys)
+        .agg(*_agg_exprs(aggs))
+        .select(
+            F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"), *keys,
+            *[c for c in ["n_events", "sum_value", "avg_value"]][: len(aggs)],
+        )
+    )
