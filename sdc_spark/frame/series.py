@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sdc_spark.functions import dt as sdt
 from sdc_spark.functions import expressions as sexpr
 from sdc_spark.functions import strings as sstr
 from sdc_spark.operators import order as sorder
@@ -564,11 +565,100 @@ class SparkSeries:
         )
         return SeriesGroupBy(j, self.name, self._floating)
 
+    # -- small surface (ref …series_functions.py: align/rename/copy/
+    # isnull/notnull/ndim/shape/index/values/describe) ----------------------
+
+    @property
+    def ndim(self) -> int:
+        return 1
+
+    @property
+    def shape(self) -> tuple[int]:
+        return (len(self),)
+
+    @property
+    def index(self):
+        return [r[0] for r in self._df.select(IDX).orderBy(IDX).collect()]
+
+    @property
+    def values(self):
+        return self.to_pandas().values
+
+    def copy(self) -> SparkSeries:
+        return SparkSeries(self._df, name=self.name, floating=self._floating)
+
+    def rename(self, name: str) -> SparkSeries:
+        return SparkSeries(self._df, name=name, floating=self._floating)
+
+    def isnull(self) -> SparkSeries:
+        return self.isna()
+
+    def notnull(self) -> SparkSeries:
+        return self.notna()
+
+    def diff(self, periods: int = 1) -> SparkSeries:
+        """x - shift(x, periods) — NaN-propagating first differences."""
+        out = sorder.shifted(self._df, [IDX], F.col(VAL), periods, "__sh__")
+        return SparkSeries(
+            out.select(IDX, (F.col(VAL) - F.col("__sh__")).alias(VAL)),
+            name=self.name,
+            floating=True,
+        )
+
+    def align(self, other: SparkSeries) -> tuple[SparkSeries, SparkSeries]:
+        """Full-outer index alignment (ref common_functions.py
+        _sdc_internal_join / series align)."""
+        a = self._df.select(F.col(IDX), F.col(VAL).alias("__l__"))
+        b = other._df.select(F.col(IDX), F.col(VAL).alias("__r__"))
+        j = a.join(b, IDX, "full")
+        return (
+            SparkSeries(
+                j.select(IDX, F.col("__l__").alias(VAL)),
+                name=self.name,
+                floating=True,
+            ),
+            SparkSeries(
+                j.select(IDX, F.col("__r__").alias(VAL)),
+                name=other.name,
+                floating=True,
+            ),
+        )
+
+    def describe(self) -> pd.Series:
+        """Numeric series describe (ref …series_functions.py:4351):
+        count/mean/std/min/25%/50%/75%/max as a pandas Series."""
+        qs = F.percentile(F.col(VAL), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+        row = self._df.agg(
+            F.count(F.when(sexpr.notna(F.col(VAL), self._floating), 1)).alias("count"),
+            F.avg(VAL).alias("mean"),
+            F.stddev_samp(VAL).alias("std"),
+            F.min(VAL).alias("min"),
+            qs.alias("q"),
+            F.max(VAL).alias("max"),
+        ).collect()[0]
+        return pd.Series(
+            {
+                "count": row["count"],
+                "mean": row["mean"],
+                "std": row["std"],
+                "min": row["min"],
+                "25%": row["q"][0],
+                "50%": row["q"][1],
+                "75%": row["q"][2],
+                "max": row["max"],
+            },
+            name=self.name,
+        )
+
     # -- accessors ---------------------------------------------------------
 
     @property
     def str(self):
         return _StrAccessor(self)
+
+    @property
+    def dt(self):
+        return _DtAccessor(self)
 
 
 class _StrAccessor:
@@ -663,6 +753,71 @@ class _StrAccessor:
 
     def isdecimal(self):
         return self._wrap(sstr.isdecimal)
+
+
+class _DtAccessor:
+    """series.dt — datetime field extraction (ref pd_timestamp_ext.py:120-160
+    via sdc_spark.functions.dt, pandas numbering conventions)."""
+
+    def __init__(self, s: SparkSeries):
+        self._s = s
+
+    def _wrap(self, fn) -> SparkSeries:
+        return self._s._unary(fn, floating=False)
+
+    @property
+    def year(self):
+        return self._wrap(sdt.year)
+
+    @property
+    def month(self):
+        return self._wrap(sdt.month)
+
+    @property
+    def day(self):
+        return self._wrap(sdt.day)
+
+    @property
+    def hour(self):
+        return self._wrap(sdt.hour)
+
+    @property
+    def minute(self):
+        return self._wrap(sdt.minute)
+
+    @property
+    def second(self):
+        return self._wrap(sdt.second)
+
+    @property
+    def microsecond(self):
+        return self._wrap(sdt.microsecond)
+
+    @property
+    def quarter(self):
+        return self._wrap(sdt.quarter)
+
+    @property
+    def dayofyear(self):
+        return self._wrap(sdt.dayofyear)
+
+    @property
+    def dayofweek(self):
+        return self._wrap(sdt.dayofweek)
+
+    weekday = dayofweek
+
+    @property
+    def date(self):
+        return self._wrap(sdt.date)
+
+    @property
+    def is_month_start(self):
+        return self._wrap(sdt.is_month_start)
+
+    @property
+    def is_month_end(self):
+        return self._wrap(sdt.is_month_end)
 
 
 class _SeriesILoc:

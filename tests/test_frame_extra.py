@@ -363,3 +363,36 @@ def test_groupby_size_nunique(spark):
     got = sf2.groupby("k").nunique().to_pandas()["v"]
     exp = pdf.groupby("k").nunique()["v"]
     assert got.sort_index().tolist() == exp.sort_index().tolist()
+
+
+def test_series_small_surface(spark):
+    ps = pd.Series([3.0, 1.0, 4.0, 1.5, 9.0], name="v")
+    s = from_pandas(spark, ps.to_frame())["v"]
+    assert s.ndim == 1 and s.shape == (5,)
+    assert s.index == [0, 1, 2, 3, 4]
+    assert s.rename("w").name == "w"
+    eq(s.isnull(), ps.isnull())
+    eq(s.diff(1), ps.diff(1))
+    eq(s.diff(-2), ps.diff(-2))
+    a, b = s.align(from_pandas(spark, pd.Series([10.0], index=[2], name="o").to_frame())["o"])
+    ea, eb = ps.align(pd.Series([10.0], index=[2], name="o"))
+    eq(a, ea)
+    eq(b, eb)
+    got = s.describe()
+    exp = ps.describe()
+    pd.testing.assert_series_equal(got, exp, check_dtype=False, atol=1e-9)
+
+
+def test_series_dt_accessor(spark):
+    ps = pd.Series(
+        pd.to_datetime(
+            ["2024-01-15 10:30:45", "2023-12-31 23:59:59", "2024-02-29 00:00:00"]
+        ),
+        name="t",
+    )
+    s = from_pandas(spark, ps.to_frame())["t"]
+    for attr in ("year", "month", "day", "hour", "minute", "second",
+                 "quarter", "dayofyear", "dayofweek", "is_month_start", "is_month_end"):
+        got = getattr(s.dt, attr).to_pandas()
+        exp = getattr(ps.dt, attr)
+        assert got.tolist() == exp.tolist(), attr
