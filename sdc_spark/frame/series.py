@@ -243,7 +243,15 @@ class SparkSeries:
         has_na = F.max(sexpr.isna(F.col(VAL), self._floating).cast("int"))
         return self._reduce(valid + F.coalesce(has_na, F.lit(0)))
 
-    def quantile(self, q: float):
+    def quantile(self, q: float, approx: bool = False, accuracy: int = 10000):
+        """Exact linear-interpolation quantile (pandas). ``approx=True``
+        switches to approx_percentile (SURVEY §7: exact percentile builds a
+        full per-group sort buffer; the sketch path is the 100 TB
+        default-off fast path, error ≤ 1/accuracy)."""
+        if approx:
+            return self._reduce(
+                F.approx_percentile(F.col(VAL), F.lit(q), F.lit(accuracy))
+            )
         return self._reduce(F.percentile(F.col(VAL), F.lit(q)))
 
     def skew(self):
