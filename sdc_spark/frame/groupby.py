@@ -97,6 +97,30 @@ class FrameGroupBy:
     def var(self):
         return self._agg("var")
 
+    def quantile(self, q: float = 0.5, approx: bool = False, accuracy: int = 10000):
+        """Per-group exact linear-interpolation quantile; ``approx=True``
+        uses the approx_percentile sketch (mergeable, no per-group sort
+        buffer — the 100 TB fast path)."""
+        from sdc_spark.frame.core import SparkFrame
+
+        df = self._frame._df
+        cond = F.lit(True)
+        for k in self._keys:
+            cond = cond & F.col(k).isNotNull()
+        fn = (
+            (lambda c: F.approx_percentile(F.col(c), F.lit(q), F.lit(accuracy)))
+            if approx
+            else (lambda c: F.percentile(F.col(c), F.lit(q)))
+        )
+        out = df.filter(cond).groupBy(*self._keys).agg(
+            *[fn(c).alias(c) for c in self._value_cols()]
+        )
+        if self._sort:
+            out = out.orderBy(*self._keys)
+        if len(self._keys) == 1:
+            out = out.withColumnRenamed(self._keys[0], IDX)
+        return SparkFrame(out)
+
     def size(self):
         """Group row counts (counts NaN rows too, unlike count())."""
         from sdc_spark.frame.core import SparkFrame

@@ -396,3 +396,15 @@ def test_series_dt_accessor(spark):
         got = getattr(s.dt, attr).to_pandas()
         exp = getattr(ps.dt, attr)
         assert got.tolist() == exp.tolist(), attr
+
+
+def test_groupby_quantile(spark):
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame({"k": rng.randint(0, 3, 60), "v": rng.randn(60)})
+    sf2 = from_pandas(spark, pdf)
+    got = sf2.groupby("k").quantile(0.75).to_pandas()["v"]
+    exp = pdf.groupby("k")["v"].quantile(0.75)
+    assert got.sort_index().tolist() == pytest.approx(exp.sort_index().tolist())
+    # approx path runs and is close
+    ga = sf2.groupby("k").quantile(0.75, approx=True).to_pandas()["v"]
+    assert ga.sort_index().tolist() == pytest.approx(exp.sort_index().tolist(), abs=0.3)
