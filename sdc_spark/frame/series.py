@@ -91,8 +91,31 @@ class SparkSeries:
     def notna(self) -> SparkSeries:
         return self._unary(lambda c: sexpr.notna(c, self._floating), floating=False)
 
-    def fillna(self, value) -> SparkSeries:
+    def fillna(self, value=None, method: str | None = None) -> SparkSeries:
+        if method is not None:
+            if method in ("ffill", "pad"):
+                return self.ffill()
+            if method in ("bfill", "backfill"):
+                return self.bfill()
+            raise ValueError(f"unsupported fill method {method!r}")
         return self._unary(lambda c: sexpr.fillna(c, value, self._floating))
+
+    def _fill_dir(self, direction: str) -> SparkSeries:
+        # NaN -> null first so the ignorenulls carry treats NaN as missing
+        base = self._df.select(
+            IDX, F.when(sexpr.notna(F.col(VAL), self._floating), F.col(VAL)).alias(VAL)
+        )
+        out = sorder.global_fill(base, [IDX], [VAL], direction)
+        return SparkSeries(out, name=self.name, floating=self._floating)
+
+    def ffill(self) -> SparkSeries:
+        """Forward fill over the global index order — range-partitioned
+        carry + P-row boundary broadcast (operators/order.py), no
+        single-partition window."""
+        return self._fill_dir("forward")
+
+    def bfill(self) -> SparkSeries:
+        return self._fill_dir("backward")
 
     def dropna(self) -> SparkSeries:
         return SparkSeries(

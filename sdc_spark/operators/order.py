@@ -33,10 +33,52 @@ def _cols(order_cols: Sequence[str | Column]) -> list[Column]:
 
 def range_partitioned(df: DataFrame, order_cols: Sequence[str | Column]) -> DataFrame:
     """Range-partition by the order keys and materialize the partition id
-    (partition ids are ascending in key order)."""
-    return df.repartitionByRange(*_cols(order_cols)).withColumn(
+    (partition ids are ascending in key order). The partition count is
+    pinned to spark.sql.shuffle.partitions so AQE cannot coalesce — pid is
+    then dense in [0, N), and N-row axis tables can come from
+    spark.range(N) without touching the data."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartitionByRange(n, *_cols(order_cols)).withColumn(
         PID, F.spark_partition_id()
     )
+
+
+def global_fill(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    cols: Sequence[str],
+    direction: str = "forward",
+) -> DataFrame:
+    """ffill/bfill over a global order, scale-safe: per-range-partition
+    carry (window over __pid__) plus a P-row per-partition-boundary table
+    carried across partitions and broadcast back — no full-data single
+    partition. Replaces each column in ``cols`` with its filled value."""
+    backward = direction == "backward"
+    part = range_partitioned(df, order_cols)
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ordc = _cols(order_cols)
+    ordk = [c.desc() for c in ordc] if backward else ordc
+    w = W.partitionBy(PID).orderBy(*ordk).rowsBetween(W.unboundedPreceding, 0)
+    cur = part.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}") for c in cols]
+    )
+    # last (first, for bfill) non-null value per partition, per column
+    pick = F.min_by if backward else F.max_by
+    key = F.struct(*ordc)
+    summary = part.groupBy(PID).agg(
+        *[pick(F.col(c), F.when(F.col(c).isNotNull(), key)).alias(c) for c in cols]
+    )
+    axis = df.sparkSession.range(n).select(F.col("id").cast("int").alias(PID))
+    ordp = F.col(PID).desc() if backward else F.col(PID).asc()
+    w2 = W.partitionBy(F.lit(0)).orderBy(ordp).rowsBetween(W.unboundedPreceding, -1)
+    prev = axis.join(summary, PID, "left").select(
+        PID, *[F.last(c, ignorenulls=True).over(w2).alias(f"__p_{c}") for c in cols]
+    )
+    sel = [
+        F.coalesce(F.col(f"__f_{c}"), F.col(f"__p_{c}")).alias(c) if c in cols else F.col(c)
+        for c in df.columns
+    ]
+    return cur.join(F.broadcast(prev), PID, "left").select(*sel)
 
 
 def _offsets(part: DataFrame, agg: Column, alias: str) -> DataFrame:

@@ -108,3 +108,30 @@ oracle(
     FROM s
     """,
 )
+
+
+@query("series_ffill")
+def series_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """series.fillna(method='ffill') over the global event_id order —
+    range-partitioned carry + P-row boundary broadcast (no
+    single-partition window). Every 7th value nulled to create gaps."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias(IDX),
+        F.when(F.col("event_id") % 7 != 0, F.round("value", 4)).alias("v"),
+    )
+    s = SparkSeries.from_column(ev, "v", index_col=IDX)
+    return s.ffill()._df.select(
+        F.col(IDX).alias("event_id"), F.col(VAL).alias("v_filled")
+    )
+
+
+oracle(
+    "series_ffill",
+    """
+    SELECT event_id,
+           last_value(CASE WHEN event_id % 7 <> 0 THEN round(value, 4) END IGNORE NULLS)
+               OVER (ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM events
+    """,
+)

@@ -408,3 +408,15 @@ def test_groupby_quantile(spark):
     # approx path runs and is close
     ga = sf2.groupby("k").quantile(0.75, approx=True).to_pandas()["v"]
     assert ga.sort_index().tolist() == pytest.approx(exp.sort_index().tolist(), abs=0.3)
+
+
+def test_series_ffill_bfill(spark):
+    rng = np.random.RandomState(9)
+    ps = pd.Series(rng.randn(300), name="v")
+    ps[ps.sample(80, random_state=4).index] = float("nan")
+    ps.iloc[:5] = float("nan")   # leading NaNs stay NaN under ffill
+    ps.iloc[-5:] = float("nan")  # trailing NaNs stay NaN under bfill
+    s = from_pandas(spark, ps.to_frame())["v"]
+    eq(s.ffill(), ps.ffill())
+    eq(s.bfill(), ps.bfill())
+    eq(s.fillna(method="pad"), ps.ffill())
