@@ -159,6 +159,39 @@ class SparkFrame:
             )
         return SparkFrame(out)
 
+    def drop_duplicates(
+        self, subset: Sequence[str] | None = None, keep: str = "first"
+    ) -> SparkFrame:
+        """pandas df.drop_duplicates: one surviving row per subset-key
+        group. Encounter order is undefined on a distributed table, so
+        'first'/'last' resolve as min/max __index__ (deterministic;
+        exact_dedup's convention). Shuffles keys + index only via a
+        min_by/max_by aggregate — never wide rows twice."""
+        keys = list(subset) if subset else self.columns
+        pick = F.min_by if keep == "first" else F.max_by
+        others = [c for c in self.columns if c not in keys]
+        agg_idx = (F.min if keep == "first" else F.max)(F.col(IDX)).alias(IDX)
+        kept = self._df.groupBy(*keys).agg(
+            agg_idx, *[pick(F.col(c), F.col(IDX)).alias(c) for c in others]
+        )
+        return SparkFrame(kept.select(IDX, *self.columns))
+
+    def nlargest(self, n: int, columns: str | Sequence[str]) -> SparkFrame:
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        keys = [F.col(c).desc_nulls_last() for c in cols] + [F.col(IDX)]
+        return SparkFrame(self._df.orderBy(*keys).limit(n))
+
+    def nsmallest(self, n: int, columns: str | Sequence[str]) -> SparkFrame:
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        keys = [F.col(c).asc_nulls_last() for c in cols] + [F.col(IDX)]
+        return SparkFrame(self._df.orderBy(*keys).limit(n))
+
+    def sample(self, frac: float, seed: int | None = None) -> SparkFrame:
+        """Bernoulli row sample (approximate count, like pandas
+        frac-sampling on a distributed engine); for exact per-stratum
+        counts use operators.curation.sample_stratified."""
+        return SparkFrame(self._df.sample(fraction=frac, seed=seed))
+
     def set_index(self, col: str) -> SparkFrame:
         """Promote a column to the index (pandas df.set_index: the column
         leaves the value columns)."""

@@ -356,6 +356,32 @@ class SparkSeries:
             out.select(IDX, F.col("__cs__").alias(VAL)), name=self.name
         )
 
+    def _scan(self, agg, combine, empty) -> SparkSeries:
+        if self._floating:
+            val = F.when(sexpr.notna(F.col(VAL), True), F.col(VAL))
+            out = sorder.scan_agg(self._df.select(IDX, VAL), [IDX], val, "__cs__", agg, combine, empty)
+            keep = F.when(sexpr.notna(F.col(VAL), True), F.col("__cs__")).otherwise(
+                F.lit(float("nan"))
+            )
+            return SparkSeries(
+                out.select(IDX, keep.alias(VAL)), name=self.name, floating=True
+            )
+        out = sorder.scan_agg(
+            self._df.select(IDX, VAL), [IDX], F.col(VAL), "__cs__", agg, combine, empty
+        )
+        return SparkSeries(
+            out.select(IDX, F.col("__cs__").alias(VAL)), name=self.name
+        )
+
+    def cummax(self) -> SparkSeries:
+        return self._scan(F.max, F.greatest, None)
+
+    def cummin(self) -> SparkSeries:
+        return self._scan(F.min, F.least, None)
+
+    def cumprod(self) -> SparkSeries:
+        return self._scan(F.product, lambda a, b: a * b, None)
+
     def pct_change(self, periods: int = 1) -> SparkSeries:
         out = sorder.shifted(self._df, [IDX], F.col(VAL), periods, "__sh__")
         return SparkSeries(
@@ -634,6 +660,81 @@ class SparkSeries:
             out.select(IDX, (F.col(VAL) - F.col("__sh__")).alias(VAL)),
             name=self.name,
             floating=True,
+        )
+
+    def clip(self, lower=None, upper=None) -> SparkSeries:
+        def f(c):
+            v = c
+            if lower is not None:
+                v = F.greatest(v, F.lit(lower))
+            if upper is not None:
+                v = F.least(v, F.lit(upper))
+            # greatest/least treat NaN as largest and skip nulls — pandas
+            # clip propagates missing values unchanged
+            return F.when(sexpr.notna(c, self._floating), v).otherwise(c)
+
+        return self._unary(f)
+
+    def round(self, decimals: int = 0) -> SparkSeries:
+        return self._unary(lambda c: F.round(c, decimals))
+
+    def between(self, left, right, inclusive: str = "both") -> SparkSeries:
+        def f(c):
+            lo = c >= left if inclusive in ("both", "left") else c > left
+            hi = c <= right if inclusive in ("both", "right") else c < right
+            # missing values compare False in pandas, not NULL
+            return F.coalesce(
+                F.when(sexpr.notna(c, self._floating), lo & hi), F.lit(False)
+            )
+
+        return self._unary(f, floating=False)
+
+    def rank(self, method: str = "average", ascending: bool = True) -> SparkSeries:
+        """pandas rank: per-value average (default) / min / max / dense of
+        1-based positions; NaN keeps NaN. Distributed: global positions by
+        value order, then a per-value aggregate joined back — two hash
+        shuffles, no single partition."""
+        if method not in ("average", "min", "max", "dense"):
+            raise ValueError(f"unsupported rank method {method!r}")
+        valid = self._df.filter(sexpr.notna(F.col(VAL), self._floating))
+        key = F.col(VAL).asc() if ascending else F.col(VAL).desc()
+        pos = sorder.with_position(valid, [key, F.col(IDX)], "__p__")
+        if method == "dense":
+            dense = (
+                valid.select(VAL)
+                .distinct()
+                .transform(lambda d: sorder.with_position(d, [key], "__r__"))
+                .select(VAL, (F.col("__r__") + 1).cast("double").alias("__rk__"))
+            )
+            ranked = pos.join(dense, VAL)
+        else:
+            agg = {"average": F.avg, "min": F.min, "max": F.max}[method]
+            per_val = pos.groupBy(VAL).agg(
+                (agg(F.col("__p__") + 1)).cast("double").alias("__rk__")
+            )
+            ranked = pos.join(per_val, VAL)
+        out = self._df.select(IDX).join(
+            ranked.select(IDX, F.col("__rk__")), IDX, "left"
+        )
+        keep = (
+            F.when(F.col("__rk__").isNotNull(), F.col("__rk__")).otherwise(
+                F.lit(float("nan"))
+            )
+            if self._floating
+            else F.col("__rk__")
+        )
+        return SparkSeries(
+            out.select(IDX, keep.alias(VAL)), name=self.name, floating=True
+        )
+
+    def drop_duplicates(self, keep: str = "first") -> SparkSeries:
+        """Distinct values keeping the first (min-index) occurrence —
+        encounter order made deterministic as min/max index per value
+        (same convention as exact_dedup)."""
+        pick = F.min if keep == "first" else F.max
+        kept = self._df.groupBy(VAL).agg(pick(IDX).alias(IDX))
+        return SparkSeries(
+            kept.select(IDX, VAL), name=self.name, floating=self._floating
         )
 
     def align(self, other: SparkSeries) -> tuple[SparkSeries, SparkSeries]:

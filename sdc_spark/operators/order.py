@@ -107,6 +107,47 @@ def with_position(
     )
 
 
+def scan_agg(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    value: Column,
+    out_col: str,
+    agg,
+    combine,
+    empty,
+) -> DataFrame:
+    """Generalized global prefix-scan in (order_cols) order for any
+    associative aggregate: per-partition running ``agg`` plus a broadcast
+    of prior-partition totals folded with ``combine``. ``empty`` is the
+    identity for partitions with no prior data (null-safe via coalesce).
+
+    sum: (F.sum, a+b, 0) · max: (F.max, greatest, null) ·
+    min: (F.min, least, null) · product: (F.product, a*b, 1).
+    """
+    part = range_partitioned(df, order_cols)
+    per = part.groupBy(PID).agg(agg(value).alias("__t__"))
+    w0 = W.partitionBy(F.lit(0)).orderBy(PID).rowsBetween(W.unboundedPreceding, -1)
+    offs = per.select(PID, agg(F.col("__t__")).over(w0).alias("__soff__"))
+    w = (
+        W.partitionBy(PID)
+        .orderBy(*_cols(order_cols))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    run = agg(value).over(w)
+    merged = F.when(F.col("__soff__").isNull(), run).otherwise(
+        F.when(run.isNull(), F.col("__soff__")).otherwise(
+            combine(F.col("__soff__"), run)
+        )
+    )
+    if empty is not None:
+        merged = F.coalesce(merged, F.lit(empty))
+    return (
+        part.join(F.broadcast(offs), PID, "left")
+        .withColumn(out_col, merged)
+        .drop(PID, "__soff__")
+    )
+
+
 def scan_sum(
     df: DataFrame,
     order_cols: Sequence[str | Column],

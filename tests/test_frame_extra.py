@@ -420,3 +420,58 @@ def test_series_ffill_bfill(spark):
     eq(s.ffill(), ps.ffill())
     eq(s.bfill(), ps.bfill())
     eq(s.fillna(method="pad"), ps.ffill())
+
+
+def test_series_cum_clip_rank(spark):
+    rng = np.random.RandomState(13)
+    ps = pd.Series(rng.randn(150) * 3, name="v")
+    ps[ps.sample(20, random_state=6).index] = float("nan")
+    s = from_pandas(spark, ps.to_frame())["v"]
+    eq(s.cummax(), ps.cummax())
+    eq(s.cummin(), ps.cummin())
+    pos = ps.abs() + 0.5  # positive, cumprod won't over/underflow fast
+    sp = from_pandas(spark, pos.to_frame("p"))["p"]
+    got = sp.cumprod().to_pandas()
+    exp = pos.cumprod()
+    pd.testing.assert_series_equal(got, exp, check_names=False, check_dtype=False, rtol=1e-9)
+    eq(s.clip(-1.0, 1.0), ps.clip(-1.0, 1.0))
+    eq(s.round(2), ps.round(2))
+    eq(s.between(-1, 1), ps.between(-1, 1))
+    for m in ("average", "min", "max", "dense"):
+        got = s.rank(method=m).to_pandas()
+        exp = ps.rank(method=m)
+        pd.testing.assert_series_equal(got, exp, check_names=False, check_dtype=False)
+    got = s.rank(ascending=False).to_pandas()
+    exp = ps.rank(ascending=False)
+    pd.testing.assert_series_equal(got, exp, check_names=False, check_dtype=False)
+
+
+def test_drop_duplicates(spark):
+    pdf = pd.DataFrame(
+        {"k": ["a", "b", "a", "c", "b"], "g": [1, 1, 1, 2, 2], "v": [10, 20, 30, 40, 50]}
+    )
+    sf2 = from_pandas(spark, pdf)
+    got = sf2.drop_duplicates(subset=["k"]).to_pandas().sort_index()
+    exp = pdf.drop_duplicates(subset=["k"]).sort_index()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
+    got = sf2.drop_duplicates(subset=["k"], keep="last").to_pandas().sort_index()
+    exp = pdf.drop_duplicates(subset=["k"], keep="last").sort_index()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
+    # series flavor
+    sv = from_pandas(spark, pd.Series([3, 1, 3, 2, 1], name="x").to_frame())["x"]
+    got = sv.drop_duplicates().to_pandas().sort_index()
+    exp = pd.Series([3, 1, 3, 2, 1], name="x").drop_duplicates().sort_index()
+    assert got.tolist() == exp.tolist() and got.index.tolist() == exp.index.tolist()
+
+
+def test_frame_nlargest_sample(spark):
+    pdf = pd.DataFrame({"a": [5, 3, 9, 1, 7], "b": list("vwxyz")})
+    sf2 = from_pandas(spark, pdf)
+    # to_pandas presents rows in index order; compare the selected SET
+    got = sf2.nlargest(3, "a").to_pandas().sort_index()
+    exp = pdf.nlargest(3, "a").sort_index()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
+    got = sf2.nsmallest(2, "a").to_pandas().sort_index()
+    exp = pdf.nsmallest(2, "a").sort_index()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
+    assert 0 <= len(sf2.sample(0.5, seed=1)) <= 5
