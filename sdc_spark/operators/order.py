@@ -31,14 +31,25 @@ def _cols(order_cols: Sequence[str | Column]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_cols]
 
 
-def range_partitioned(df: DataFrame, order_cols: Sequence[str | Column]) -> DataFrame:
+def range_partitioned(
+    df: DataFrame, order_cols: Sequence[str | Column], pin: bool = False
+) -> DataFrame:
     """Range-partition by the order keys and materialize the partition id
-    (partition ids are ascending in key order). The partition count is
-    pinned to spark.sql.shuffle.partitions so AQE cannot coalesce — pid is
-    then dense in [0, N), and N-row axis tables can come from
-    spark.range(N) without touching the data."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartitionByRange(n, *_cols(order_cols)).withColumn(
+    (partition ids are ascending in key order).
+
+    ``pin=True`` fixes the partition count to spark.sql.shuffle.partitions
+    so AQE cannot coalesce — pid is then dense in [0, N) and an N-row axis
+    table can come from spark.range(N) without touching the data. Leave
+    unpinned when density is NOT required (positions, scans, boundary
+    context): AQE's coalescing keeps small inputs in few, well-filled
+    partitions — which the context machinery (rows-per-partition >= window
+    length) depends on."""
+    if pin:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        return df.repartitionByRange(n, *_cols(order_cols)).withColumn(
+            PID, F.spark_partition_id()
+        )
+    return df.repartitionByRange(*_cols(order_cols)).withColumn(
         PID, F.spark_partition_id()
     )
 
@@ -54,7 +65,7 @@ def global_fill(
     carried across partitions and broadcast back — no full-data single
     partition. Replaces each column in ``cols`` with its filled value."""
     backward = direction == "backward"
-    part = range_partitioned(df, order_cols)
+    part = range_partitioned(df, order_cols, pin=True)
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     ordc = _cols(order_cols)
     ordk = [c.desc() for c in ordc] if backward else ordc
