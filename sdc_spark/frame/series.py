@@ -117,6 +117,42 @@ class SparkSeries:
     def bfill(self) -> SparkSeries:
         return self._fill_dir("backward")
 
+    def interpolate(self, method: str = "linear") -> SparkSeries:
+        """pandas Series.interpolate(method='linear'): interior NaN runs
+        linear in POSITION (pandas 'linear' assumes equal spacing),
+        trailing NaNs forward-filled, leading NaNs left missing
+        (limit_direction='forward' default).
+
+        Distributed: carry struct(position, value) of the nearest valid
+        observation forward AND backward with the global_fill machinery,
+        then blend by position distance — three range-partitioned passes,
+        no single-partition window."""
+        if method != "linear":
+            raise NotImplementedError(f"interpolate method {method!r}")
+        base = sorder.with_position(self._df.select(IDX, VAL), [IDX], "__pos__")
+        ok = sexpr.notna(F.col(VAL), self._floating)
+        obs = F.when(ok, F.struct(F.col("__pos__").alias("p"), F.col(VAL).alias("v")))
+        pre = base.select(IDX, VAL, "__pos__", obs.alias("__pf__"), obs.alias("__pb__"))
+        filled = sorder.global_fill(
+            sorder.global_fill(pre, [IDX], ["__pf__"], "forward"),
+            [IDX],
+            ["__pb__"],
+            "backward",
+        )
+        pf, pb = F.col("__pf__"), F.col("__pb__")
+        blend = pf["v"] + (pb["v"] - pf["v"]) * (
+            (F.col("__pos__") - pf["p"]) / (pb["p"] - pf["p"])
+        )
+        val = (
+            F.when(ok, F.col(VAL))
+            .when(pf.isNull(), F.col(VAL))  # leading gap stays missing
+            .when(pb.isNull(), pf["v"])  # trailing gap -> ffill
+            .otherwise(blend)
+        )
+        return SparkSeries(
+            filled.select(IDX, val.alias(VAL)), name=self.name, floating=True
+        )
+
     def dropna(self) -> SparkSeries:
         return SparkSeries(
             self._df.filter(sexpr.notna(F.col(VAL), self._floating)),

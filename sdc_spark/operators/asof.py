@@ -77,15 +77,17 @@ def _with_carries(
     # EXPLICIT partition count: AQE then cannot coalesce, so
     # spark_partition_id is dense in [0, N) and the pid axis is a free
     # spark.range(N) instead of a third scan+shuffle branch over the data.
-    # The remaining two branches (carry, right-row boundary summary) each
-    # re-run the range exchange — AQE does not reuse user range exchanges
-    # whose branches prune different columns (observed); the summary
-    # branch is narrow (key/tag/payload), so recompute beats a full-width
-    # localCheckpoint (measured 2x at sf0.1).
+    # The partitioned union is MATERIALIZED (lazy localCheckpoint): the
+    # carry and boundary-summary branches must see the exact same range
+    # boundaries and pid assignment — per-branch re-execution re-samples
+    # the partitioner and misaligns the P-row fix-up join (same hazard as
+    # operators/order.py range_partitioned; see its docstring).
     spark = unioned.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    part = unioned.repartitionByRange(n_part, F.col("__key__")).withColumn(
-        "__pid__", F.spark_partition_id()
+    part = (
+        unioned.repartitionByRange(n_part, F.col("__key__"))
+        .withColumn("__pid__", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     pid_axis_df = spark.range(n_part).select(
         F.col("id").cast("int").alias("__pid__")

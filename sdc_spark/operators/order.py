@@ -43,15 +43,24 @@ def range_partitioned(
     unpinned when density is NOT required (positions, scans, boundary
     context): AQE's coalescing keeps small inputs in few, well-filled
     partitions — which the context machinery (rows-per-partition >= window
-    length) depends on."""
+    length) depends on.
+
+    CORRECTNESS: the result is ALWAYS materialized (lazy localCheckpoint).
+    Every consumer feeds this frame into 2+ plan branches (main + offsets/
+    boundary/context), and if each branch re-executed the exchange, the
+    range partitioner would re-SAMPLE boundaries per branch — rows near a
+    boundary then land in different pids in different branches and the
+    P-row fix-up joins misalign (observed: nondeterministic interpolation
+    results). One materialization = one boundary sample = one pid
+    assignment shared by all branches. On a cluster, swap localCheckpoint
+    for persist(MEMORY_AND_DISK) or a reliable checkpoint dir if executor
+    loss must be survivable."""
     if pin:
         n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        return df.repartitionByRange(n, *_cols(order_cols)).withColumn(
-            PID, F.spark_partition_id()
-        )
-    return df.repartitionByRange(*_cols(order_cols)).withColumn(
-        PID, F.spark_partition_id()
-    )
+        part = df.repartitionByRange(n, *_cols(order_cols))
+    else:
+        part = df.repartitionByRange(*_cols(order_cols))
+    return part.withColumn(PID, F.spark_partition_id()).localCheckpoint(eager=False)
 
 
 def global_fill(

@@ -135,3 +135,51 @@ oracle(
     FROM events
     """,
 )
+
+
+@query("series_interpolate")
+def series_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """series.interpolate('linear') over the events value series with
+    every-7th value nulled — interior gaps linear in position, trailing
+    forward-filled, leading left missing."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias(IDX),
+        F.when(F.col("event_id") % 7 != 0, F.round("value", 4)).alias("v"),
+    )
+    s = SparkSeries.from_column(ev, "v", index_col=IDX)
+    out = s.interpolate()
+    return out._df.select(
+        F.col(IDX).alias("event_id"), F.round(F.col(VAL), 4).alias("v_interp")
+    )
+
+
+oracle(
+    "series_interpolate",
+    """
+    WITH base AS (
+        SELECT event_id,
+               row_number() OVER (ORDER BY event_id) - 1 AS pos,
+               CASE WHEN event_id % 7 <> 0 THEN round(value, 4) END AS v
+        FROM events
+    ),
+    f AS (
+        SELECT *,
+               last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+                   OVER wf AS fp,
+               last_value(v IGNORE NULLS) OVER wf AS fv,
+               last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+                   OVER wb AS bp,
+               last_value(v IGNORE NULLS) OVER wb AS bv
+        FROM base
+        WINDOW wf AS (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wb AS (ORDER BY pos DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN fp IS NULL THEN NULL
+                      WHEN bp IS NULL THEN fv
+                      ELSE fv + (bv - fv) * ((pos - fp) / CAST(bp - fp AS DOUBLE))
+                 END, 4) AS v_interp
+    FROM f
+    """,
+)

@@ -475,3 +475,15 @@ def test_frame_nlargest_sample(spark):
     exp = pdf.nsmallest(2, "a").sort_index()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
     assert 0 <= len(sf2.sample(0.5, seed=1)) <= 5
+
+
+def test_series_interpolate(spark):
+    rng = np.random.RandomState(21)
+    ps = pd.Series(rng.randn(200), name="v")
+    ps[ps.sample(60, random_state=8).index] = float("nan")
+    ps.iloc[:4] = float("nan")
+    ps.iloc[-4:] = float("nan")
+    s = from_pandas(spark, ps.to_frame())["v"]
+    got = s.interpolate().to_pandas()
+    exp = ps.interpolate()
+    pd.testing.assert_series_equal(got, exp, check_names=False, check_dtype=False, atol=1e-12)
