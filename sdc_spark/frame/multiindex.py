@@ -14,6 +14,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _names(n: int, names: Sequence[str] | None) -> list[str]:
@@ -71,3 +72,14 @@ def _ddl(values: Sequence) -> str:
             return "double"
         return "string"
     return "string"
+
+
+def range_index(
+    spark: SparkSession, start: int, stop: int | None = None, step: int = 1
+) -> DataFrame:
+    """RangeIndex constructor (ref sdc/extensions/indexes/range_index_ext.py
+    — start/stop/step triple): a distributed long range as an __index__
+    frame, joinable as a reindex axis."""
+    if stop is None:
+        start, stop = 0, start
+    return spark.range(start, stop, step).select(F.col("id").alias("__index__"))

@@ -487,3 +487,20 @@ def test_series_interpolate(spark):
     got = s.interpolate().to_pandas()
     exp = ps.interpolate()
     pd.testing.assert_series_equal(got, exp, check_names=False, check_dtype=False, atol=1e-12)
+
+
+def test_alignment_duplicate_labels(spark):
+    s1 = pd.Series([1.0, 2.0, 5.0], index=[0, 0, 1], name="a")
+    s2 = pd.Series([10.0, 100.0], index=[0, 1], name="b")
+    f1 = from_pandas(spark, s1.to_frame())["a"]
+    f2 = from_pandas(spark, s2.to_frame())["b"]
+    got = (f1 + f2).to_pandas().sort_values().tolist()
+    exp = (s1 + s2).sort_values().tolist()
+    assert got == exp
+
+
+def test_range_index_ctor(spark):
+    from sdc_spark.frame.multiindex import range_index
+
+    got = sorted(r[0] for r in range_index(spark, 3, 12, 3).collect())
+    assert got == [3, 6, 9]
