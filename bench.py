@@ -45,6 +45,11 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
     "text_quality",
+    "merge_asof_nearest",
+    "series_ffill",
+    "pack_sequences",
+    "text_decontaminate",
+    "text_pii_scrub",
 ]
 
 
