@@ -97,6 +97,13 @@ class FrameGroupBy:
     def var(self):
         return self._agg("var")
 
+    def rolling(self, window: int, min_periods: int | None = None):
+        """df.groupby(keys).rolling(window) — per-group trailing windows
+        partitioned by the group keys (the natively-scalable rolling)."""
+        from sdc_spark.frame.rolling import GroupRolling
+
+        return GroupRolling(self._frame, self._keys, window, min_periods)
+
     def quantile(self, q: float = 0.5, approx: bool = False, accuracy: int = 10000):
         """Per-group exact linear-interpolation quantile; ``approx=True``
         uses the approx_percentile sketch (mergeable, no per-group sort

@@ -185,6 +185,77 @@ class SeriesRolling:
         return SparkSeries(out, floating=True)
 
 
+class GroupRolling:
+    """df.groupby(keys).rolling(window) — per-group trailing windows.
+
+    Groups ARE the partitioning key, so this is the natively-scalable
+    rolling: one hash shuffle on the group keys, windows never cross
+    groups, no context replication needed."""
+
+    def __init__(self, frame, keys, window: int, min_periods: int | None):
+        self._frame = frame
+        self._keys = list(keys)
+        self._w = (
+            W.partitionBy(*self._keys)
+            .orderBy(IDX)
+            .rowsBetween(-(window - 1), 0)
+        )
+        self._minp = window if min_periods is None else min_periods
+        self._minp_count = 0 if min_periods is None else min_periods
+
+    def _roll_all(self, fn, guard_minp=None):
+        from sdc_spark.frame.core import SparkFrame
+
+        minp = self._minp if guard_minp is None else guard_minp
+        cols = [c for c in self._frame._numeric_cols() if c not in self._keys]
+        w = self._w
+        exprs = [
+            F.when(F.count(c).over(w) >= minp, fn(c, w)).alias(c) for c in cols
+        ]
+        return SparkFrame(self._frame._df.select(IDX, *self._keys, *exprs))
+
+    def sum(self):
+        return self._roll_all(lambda c, w: F.sum(c).over(w))
+
+    def mean(self):
+        return self._roll_all(lambda c, w: F.avg(c).over(w))
+
+    def min(self):
+        return self._roll_all(lambda c, w: F.min(c).over(w))
+
+    def max(self):
+        return self._roll_all(lambda c, w: F.max(c).over(w))
+
+    def std(self):
+        return self._roll_all(lambda c, w: F.stddev_samp(c).over(w))
+
+    def var(self):
+        return self._roll_all(lambda c, w: F.var_samp(c).over(w))
+
+    def median(self):
+        return self._roll_all(lambda c, w: F.percentile(F.col(c), F.lit(0.5)).over(w))
+
+    def quantile(self, q: float):
+        return self._roll_all(lambda c, w: F.percentile(F.col(c), F.lit(q)).over(w))
+
+    def count(self):
+        minp = self._minp_count
+        return self._roll_all(
+            lambda c, w: F.when(F.count(F.lit(1)).over(w) >= minp, F.count(c).over(w)),
+            guard_minp=0,
+        )
+
+    def skew(self):
+        return self._roll_all(
+            lambda c, w: skew_expr(F.col(c), w), guard_minp=max(self._minp, 3)
+        )
+
+    def kurt(self):
+        return self._roll_all(
+            lambda c, w: kurt_expr(F.col(c), w), guard_minp=max(self._minp, 4)
+        )
+
+
 class FrameRolling:
     """df.rolling — all 14 reference kernels per numeric column
     (…dataframe_rolling_functions.py:86-472), incl. pairwise corr/cov

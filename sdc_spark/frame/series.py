@@ -508,6 +508,15 @@ class SparkSeries:
 
     # -- rolling / map / apply --------------------------------------------
 
+    def expanding(self, min_periods: int = 1):
+        """pandas Series.expanding — growing prefix windows. Kernels are
+        decomposed into distributed prefix scans (operators/order.py), so
+        the global unbounded-preceding frame never runs on one partition:
+        sum/count directly, mean = sum/count, var/std from (Σx, Σx², n).
+        Median/quantile are not scan-decomposable — unsupported here (use
+        rolling with a bounded window instead)."""
+        return SeriesExpanding(self, min_periods)
+
     def rolling(self, window: int, min_periods: int | None = None, center: bool = False):
         """ref RollingType carries `center` (sdc/datatypes/
         hpat_pandas_rolling_types.py:36-72) though its kernels only do
@@ -921,6 +930,72 @@ class _StrAccessor:
 
     def isdecimal(self):
         return self._wrap(sstr.isdecimal)
+
+
+class SeriesExpanding:
+    """Expanding (prefix) windows from distributed scans — every kernel is
+    an algebra over running Σ1[valid], Σx, Σx², running min/max."""
+
+    def __init__(self, s: SparkSeries, min_periods: int):
+        self._s = s
+        self._minp = max(min_periods, 1)
+
+    def _base(self):
+        s = self._s
+        val = F.when(sexpr.notna(F.col(VAL), s._floating), F.col(VAL))
+        df = s._df.select(IDX, val.alias("__v__"))
+        df = sorder.scan_sum(df, [IDX], F.when(F.col("__v__").isNotNull(), F.lit(1)).otherwise(F.lit(0)), "__n__")
+        return df
+
+    def _finish(self, df, expr) -> SparkSeries:
+        out = df.select(
+            IDX, F.when(F.col("__n__") >= self._minp, expr).alias(VAL)
+        )
+        return SparkSeries(out, name=self._s.name, floating=True)
+
+    def count(self) -> SparkSeries:
+        df = self._base()
+        return self._finish(df, F.col("__n__").cast("double"))
+
+    def sum(self) -> SparkSeries:
+        df = sorder.scan_sum(self._base(), [IDX], F.col("__v__"), "__s__")
+        return self._finish(df, F.col("__s__"))
+
+    def mean(self) -> SparkSeries:
+        df = sorder.scan_sum(self._base(), [IDX], F.col("__v__"), "__s__")
+        return self._finish(df, F.col("__s__") / F.col("__n__"))
+
+    def min(self) -> SparkSeries:
+        df = sorder.scan_agg(
+            self._base(), [IDX], F.col("__v__"), "__m__", F.min, F.least, None
+        )
+        return self._finish(df, F.col("__m__"))
+
+    def max(self) -> SparkSeries:
+        df = sorder.scan_agg(
+            self._base(), [IDX], F.col("__v__"), "__m__", F.max, F.greatest, None
+        )
+        return self._finish(df, F.col("__m__"))
+
+    def _var_frame(self):
+        df = sorder.scan_sum(self._base(), [IDX], F.col("__v__"), "__s__")
+        return sorder.scan_sum(df, [IDX], F.col("__v__") * F.col("__v__"), "__ss__")
+
+    def var(self, ddof: int = 1) -> SparkSeries:
+        df = self._var_frame()
+        n = F.col("__n__").cast("double")
+        var = F.try_divide(
+            F.col("__ss__") - F.col("__s__") * F.col("__s__") / n, n - ddof
+        )
+        return self._finish(df, var)
+
+    def std(self, ddof: int = 1) -> SparkSeries:
+        df = self._var_frame()
+        n = F.col("__n__").cast("double")
+        var = F.try_divide(
+            F.col("__ss__") - F.col("__s__") * F.col("__s__") / n, n - ddof
+        )
+        return self._finish(df, F.sqrt(var))
 
 
 class _DtAccessor:

@@ -183,3 +183,39 @@ oracle(
     FROM f
     """,
 )
+
+
+@query("series_expanding")
+def series_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """series.expanding(min_periods=5).sum()/mean() — prefix windows
+    decomposed into distributed scans (never a single-partition unbounded
+    window). Integer-scaled values for exact cross-engine sums."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias(IDX),
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    s = SparkSeries.from_column(ev, "v4", index_col=IDX)
+    e = s.expanding(min_periods=5)
+    su = e.sum()._df.select(F.col(IDX).alias("event_id"), F.col(VAL).alias("v4_esum"))
+    me = e.mean().round(4)._df.select(
+        F.col(IDX).alias("event_id"), F.col(VAL).alias("v4_emean")
+    )
+    return su.join(me, "event_id")
+
+
+oracle(
+    "series_expanding",
+    """
+    WITH t AS (
+        SELECT event_id, CAST(round(value * 10000) AS BIGINT) AS v4 FROM events
+    ), s AS (
+        SELECT event_id, count(v4) OVER w AS n, CAST(sum(v4) OVER w AS BIGINT) AS sv
+        FROM t
+        WINDOW w AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id,
+           CASE WHEN n >= 5 THEN sv END AS v4_esum,
+           CASE WHEN n >= 5 THEN round(sv / CAST(n AS DOUBLE), 4) END AS v4_emean
+    FROM s
+    """,
+)

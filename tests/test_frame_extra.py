@@ -504,3 +504,31 @@ def test_range_index_ctor(spark):
 
     got = sorted(r[0] for r in range_index(spark, 3, 12, 3).collect())
     assert got == [3, 6, 9]
+
+
+def test_groupby_rolling(spark):
+    rng = np.random.RandomState(17)
+    pdf = pd.DataFrame({"k": rng.randint(0, 3, 90), "v": rng.randn(90)})
+    pdf.loc[pdf.sample(9, random_state=3).index, "v"] = float("nan")
+    sf2 = from_pandas(spark, pdf)
+    for m in ("sum", "mean", "std", "count", "median"):
+        got = getattr(sf2.groupby("k").rolling(5, min_periods=3), m)().to_pandas()
+        exp = getattr(pdf.groupby("k").rolling(5, min_periods=3), m)()["v"]
+        # pandas indexes by (k, orig); ours keeps orig index + k column
+        exp_flat = exp.reset_index(level=0, drop=True).sort_index()
+        pd.testing.assert_series_equal(
+            got["v"].sort_index(), exp_flat, check_names=False, check_dtype=False, atol=1e-9
+        )
+
+
+def test_series_expanding(spark):
+    rng = np.random.RandomState(19)
+    ps = pd.Series(rng.randn(250), name="v")
+    ps[ps.sample(30, random_state=5).index] = float("nan")
+    s = from_pandas(spark, ps.to_frame())["v"]
+    for m in ("count", "sum", "mean", "min", "max", "var", "std"):
+        got = getattr(s.expanding(min_periods=3), m)().to_pandas()
+        exp = getattr(ps.expanding(min_periods=3), m)()
+        pd.testing.assert_series_equal(
+            got, exp, check_names=False, check_dtype=False, atol=1e-9
+        )
