@@ -48,6 +48,34 @@ def read_parquet(spark: SparkSession, path: str, columns: Sequence[str] | None =
     return SparkFrame(df)
 
 
+def concat(frames: Sequence["SparkFrame"], axis: int = 0) -> "SparkFrame":
+    """pd.concat over SparkFrames.
+
+    axis=0: schema-merging union (missing columns -> NULL), fresh index.
+    axis=1: column-wise concat aligned on __index__ — a chain of full
+    outer joins (the reference's alignment-join semantics); duplicate
+    column names get positional _0/_1 suffixes like pandas keeps them
+    side by side."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    if axis == 0:
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.append(f)
+        return out
+    seen: dict[str, int] = {}
+    base = None
+    for i, f in enumerate(frames):
+        cols = []
+        for c in f.columns:
+            n = seen.get(c, 0)
+            seen[c] = n + 1
+            cols.append(F.col(c).alias(f"{c}_{n}" if n else c))
+        d = f._df.select(IDX, *cols)
+        base = d if base is None else base.join(d, IDX, "full")
+    return SparkFrame(base)
+
+
 class SparkFrame:
     def __init__(self, df: DataFrame):
         if IDX not in df.columns:

@@ -532,3 +532,19 @@ def test_series_expanding(spark):
         pd.testing.assert_series_equal(
             got, exp, check_names=False, check_dtype=False, atol=1e-9
         )
+
+
+def test_concat_axis1(spark):
+    from sdc_spark.frame.core import concat
+
+    a = pd.DataFrame({"x": [1, 2, 3]}, index=[0, 1, 2])
+    b = pd.DataFrame({"y": [10.0, 30.0]}, index=[0, 2])
+    fa, fb = from_pandas(spark, a), from_pandas(spark, b)
+    got = concat([fa, fb], axis=1).to_pandas()
+    exp = pd.concat([a, b], axis=1)
+    pd.testing.assert_frame_equal(
+        got, exp, check_dtype=False, check_index_type=False
+    )
+    # axis=0 still unions
+    got0 = concat([fa, fa], axis=0).to_pandas()
+    assert len(got0) == 6 and list(got0.columns) == ["x"]
