@@ -187,6 +187,84 @@ class SparkFrame:
             )
         return SparkFrame(out)
 
+    def shift(self, periods: int = 1) -> SparkFrame:
+        """Per-column global shift in index order (ONE boundary-context
+        pass for all columns — operators/order.py)."""
+        from sdc_spark.operators import order as sorder
+
+        cols = self.columns
+        out = sorder.shifted_multi(self._df, [IDX], cols, periods)
+        return SparkFrame(
+            out.select(IDX, *[F.col(f"__sh_{c}__").alias(c) for c in cols])
+        )
+
+    def diff(self, periods: int = 1) -> SparkFrame:
+        from sdc_spark.operators import order as sorder
+
+        cols = self._numeric_cols()
+        out = sorder.shifted_multi(self._df.select(IDX, *cols), [IDX], cols, periods)
+        return SparkFrame(
+            out.select(
+                IDX, *[(F.col(c) - F.col(f"__sh_{c}__")).alias(c) for c in cols]
+            )
+        )
+
+    def cumsum(self) -> SparkFrame:
+        """Per-column running sums — one range partition + one P-row
+        offsets broadcast for ALL columns (NaN-poisoning avoided by
+        null-masking float NaNs, pandas NaN-skip semantics)."""
+        from sdc_spark.operators import order as sorder
+
+        cols = self._numeric_cols()
+        floats = {c for c, t in self._df.dtypes if t in ("double", "float")}
+        masked = self._df.select(
+            IDX,
+            *[
+                F.when(~F.isnan(c) & F.col(c).isNotNull(), F.col(c)).alias(c)
+                if c in floats
+                else F.col(c)
+                for c in cols
+            ],
+        )
+        out = sorder.scan_sum_multi(masked, [IDX], cols)
+        sel = []
+        for c in cols:
+            v = F.col(f"__cs_{c}__")
+            if c in floats:
+                v = F.when(F.col(c).isNotNull(), v).otherwise(F.lit(float("nan")))
+            sel.append(v.alias(c))
+        return SparkFrame(out.select(IDX, *sel))
+
+    def ffill(self) -> SparkFrame:
+        from sdc_spark.operators import order as sorder
+
+        floats = {c for c, t in self._df.dtypes if t in ("double", "float")}
+        masked = self._df.select(
+            IDX,
+            *[
+                F.when(~F.isnan(c) & F.col(c).isNotNull(), F.col(c)).alias(c)
+                if c in floats
+                else F.col(c)
+                for c in self.columns
+            ],
+        )
+        return SparkFrame(sorder.global_fill(masked, [IDX], self.columns, "forward"))
+
+    def bfill(self) -> SparkFrame:
+        from sdc_spark.operators import order as sorder
+
+        floats = {c for c, t in self._df.dtypes if t in ("double", "float")}
+        masked = self._df.select(
+            IDX,
+            *[
+                F.when(~F.isnan(c) & F.col(c).isNotNull(), F.col(c)).alias(c)
+                if c in floats
+                else F.col(c)
+                for c in self.columns
+            ],
+        )
+        return SparkFrame(sorder.global_fill(masked, [IDX], self.columns, "backward"))
+
     def drop_duplicates(
         self, subset: Sequence[str] | None = None, keep: str = "first"
     ) -> SparkFrame:

@@ -191,6 +191,64 @@ def scan_sum(
     )
 
 
+def scan_sum_multi(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    cols: Sequence[str],
+    out_fmt: str = "__cs_{}__",
+) -> DataFrame:
+    """Running sums for SEVERAL columns in one range partition + one P-row
+    offsets broadcast + one window pass (a per-column scan_sum would
+    re-shuffle once per column)."""
+    part = range_partitioned(df, order_cols)
+    per = part.groupBy(PID).agg(*[F.sum(c).alias(c) for c in cols])
+    w0 = W.partitionBy(F.lit(0)).orderBy(PID).rowsBetween(W.unboundedPreceding, -1)
+    offs = per.select(
+        PID,
+        *[F.coalesce(F.sum(c).over(w0), F.lit(0)).alias(f"__off_{c}__") for c in cols],
+    )
+    w = (
+        W.partitionBy(PID)
+        .orderBy(*_cols(order_cols))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    out = part.join(F.broadcast(offs), PID)
+    for c in cols:
+        out = out.withColumn(out_fmt.format(c), F.sum(c).over(w) + F.col(f"__off_{c}__"))
+    return out.drop(PID, *[f"__off_{c}__" for c in cols])
+
+
+def shifted_multi(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    cols: Sequence[str],
+    periods: int,
+    out_fmt: str = "__sh_{}__",
+) -> DataFrame:
+    """Global lag/lead of several columns via ONE boundary-context pass."""
+    if periods == 0:
+        out = df
+        for c in cols:
+            out = out.withColumn(out_fmt.format(c), F.col(c))
+        return out
+    ctx = with_context(
+        df,
+        order_cols,
+        before=periods if periods > 0 else 0,
+        after=-periods if periods < 0 else 0,
+    )
+    w = W.partitionBy(PID).orderBy(*_cols(order_cols))
+    out = ctx
+    for c in cols:
+        sh = (
+            F.lag(c, periods).over(w)
+            if periods > 0
+            else F.lead(c, -periods).over(w)
+        )
+        out = out.withColumn(out_fmt.format(c), sh)
+    return out.filter(~F.col(CTX)).drop(PID, CTX)
+
+
 def with_context(
     df: DataFrame,
     order_cols: Sequence[str | Column],

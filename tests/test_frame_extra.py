@@ -548,3 +548,26 @@ def test_concat_axis1(spark):
     # axis=0 still unions
     got0 = concat([fa, fa], axis=0).to_pandas()
     assert len(got0) == 6 and list(got0.columns) == ["x"]
+
+
+def test_frame_shift_diff_cumsum_fill(spark):
+    rng = np.random.RandomState(23)
+    pdf = pd.DataFrame({"x": rng.randn(120), "y": rng.randn(120) * 2})
+    pdf.loc[pdf.sample(15, random_state=2).index, "x"] = float("nan")
+    sf2 = from_pandas(spark, pdf)
+    for p in (1, 3, -2):
+        got = sf2.shift(p).to_pandas()
+        exp = pdf.shift(p)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
+        got = sf2.diff(p).to_pandas()
+        exp = pdf.diff(p)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
+    got = sf2.cumsum().to_pandas()
+    exp = pdf.cumsum()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False, atol=1e-9)
+    got = sf2.ffill().to_pandas()
+    exp = pdf.ffill()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
+    got = sf2.bfill().to_pandas()
+    exp = pdf.bfill()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
