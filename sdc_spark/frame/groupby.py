@@ -97,6 +97,64 @@ class FrameGroupBy:
     def var(self):
         return self._agg("var")
 
+    def _per_row(self, expr_fn):
+        """Per-row (non-aggregating) group op: window partitioned by the
+        group keys, ordered by __index__ — natively scalable, no global
+        machinery needed."""
+        from pyspark.sql import Window as W
+
+        from sdc_spark.frame.core import SparkFrame
+
+        w = W.partitionBy(*self._keys).orderBy(IDX)
+        cols = self._value_cols()
+        out = self._frame._df.select(
+            IDX, *self._keys, *[expr_fn(c, w).alias(c) for c in cols]
+        )
+        return SparkFrame(out)
+
+    def shift(self, periods: int = 1):
+        """groupby().shift() — lag/lead within each group."""
+        fn = (
+            (lambda c, w: F.lag(c, periods).over(w))
+            if periods >= 0
+            else (lambda c, w: F.lead(c, -periods).over(w))
+        )
+        return self._per_row(fn)
+
+    def ffill(self):
+        from pyspark.sql import Window as W
+
+        return self._per_row(
+            lambda c, w: F.last(c, ignorenulls=True).over(
+                w.rowsBetween(W.unboundedPreceding, 0)
+            )
+        )
+
+    def bfill(self):
+        from pyspark.sql import Window as W
+
+        return self._per_row(
+            lambda c, w: F.first(c, ignorenulls=True).over(
+                w.rowsBetween(0, W.unboundedFollowing)
+            )
+        )
+
+    def cumsum(self):
+        from pyspark.sql import Window as W
+
+        floats = {c for c, t in self._frame._df.dtypes if t in ("double", "float")}
+
+        def fn(c, w):
+            run = F.sum(c).over(w.rowsBetween(W.unboundedPreceding, 0))
+            if c in floats:
+                # pandas: NaN rows stay NaN but don't poison the running sum
+                return F.when(F.col(c).isNotNull() & ~F.isnan(c), run).otherwise(
+                    F.lit(float("nan"))
+                )
+            return run
+
+        return self._per_row(fn)
+
     def rolling(self, window: int, min_periods: int | None = None):
         """df.groupby(keys).rolling(window) — per-group trailing windows
         partitioned by the group keys (the natively-scalable rolling)."""

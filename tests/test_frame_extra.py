@@ -571,3 +571,24 @@ def test_frame_shift_diff_cumsum_fill(spark):
     got = sf2.bfill().to_pandas()
     exp = pdf.bfill()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
+
+
+def test_groupby_per_row_ops(spark):
+    rng = np.random.RandomState(29)
+    pdf = pd.DataFrame({"k": rng.randint(0, 3, 80), "v": rng.randn(80)})
+    pdf.loc[pdf.sample(12, random_state=1).index, "v"] = float("nan")
+    sf2 = from_pandas(spark, pdf)
+    gb, pgb = sf2.groupby("k"), pdf.groupby("k")
+    for p in (1, -1):
+        got = gb.shift(p).to_pandas()["v"].sort_index()
+        exp = pgb["v"].shift(p).sort_index()
+        pd.testing.assert_series_equal(got, exp, check_names=False, check_dtype=False)
+    got = gb.ffill().to_pandas()["v"].sort_index()
+    exp = pgb["v"].ffill().sort_index()
+    pd.testing.assert_series_equal(got, exp, check_names=False, check_dtype=False)
+    got = gb.bfill().to_pandas()["v"].sort_index()
+    exp = pgb["v"].bfill().sort_index()
+    pd.testing.assert_series_equal(got, exp, check_names=False, check_dtype=False)
+    got = gb.cumsum().to_pandas()["v"].sort_index()
+    exp = pgb["v"].cumsum().sort_index()
+    pd.testing.assert_series_equal(got, exp, check_names=False, check_dtype=False, atol=1e-9)
