@@ -77,17 +77,18 @@ def _with_carries(
     # EXPLICIT partition count: AQE then cannot coalesce, so
     # spark_partition_id is dense in [0, N) and the pid axis is a free
     # spark.range(N) instead of a third scan+shuffle branch over the data.
-    # The partitioned union is MATERIALIZED (lazy localCheckpoint): the
+    # The partitioned union is MATERIALIZED (EAGER localCheckpoint): the
     # carry and boundary-summary branches must see the exact same range
     # boundaries and pid assignment — per-branch re-execution re-samples
     # the partitioner and misaligns the P-row fix-up join (same hazard as
-    # operators/order.py range_partitioned; see its docstring).
+    # operators/order.py range_partitioned; see its docstring). Eager so
+    # no execution schedule can race the first materialization.
     spark = unioned.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     part = (
         unioned.repartitionByRange(n_part, F.col("__key__"))
         .withColumn("__pid__", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     pid_axis_df = spark.range(n_part).select(
         F.col("id").cast("int").alias("__pid__")

@@ -34,17 +34,28 @@ def pack_sequences(
     single-partition pass.
     """
     t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    budget = int(budget)
     base = df.select(F.col(id_col).alias("doc"), t.cast("long").alias("__tok__"))
     scanned = sorder.scan_sum(base, ["doc"], F.col("__tok__"), "__cum__")
-    start = F.col("__cum__") - F.col("__tok__")
-    return scanned.select(
+    # Pure long arithmetic (SQL `div`): double division + cast truncation is
+    # inexact above 2^53 tokens and truncates toward zero for the cum-1 < 0
+    # edge (zero-token doc at stream head). A zero-token doc never spans a
+    # boundary, so the spans flag is explicitly gated on n_tokens > 0 —
+    # start and cum-1 are then both non-negative and div == floor exactly.
+    staged = scanned.select(
         "doc",
         F.col("__tok__").alias("n_tokens"),
-        (start / budget).cast("long").alias("pack_id"),
-        (start % budget).alias("offset"),
-        ((start / budget).cast("long") != ((F.col("__cum__") - 1) / budget).cast("long")).alias(
-            "spans_boundary"
-        ),
+        (F.col("__cum__") - F.col("__tok__")).alias("__start__"),
+        "__cum__",
+    )
+    pack_id = F.expr(f"__start__ div {budget}")
+    last_pack = F.expr(f"(__cum__ - 1) div {budget}")
+    return staged.select(
+        "doc",
+        "n_tokens",
+        pack_id.alias("pack_id"),
+        (F.col("__start__") % F.lit(budget).cast("long")).alias("offset"),
+        ((F.col("n_tokens") > 0) & (pack_id != last_pack)).alias("spans_boundary"),
     )
 
 

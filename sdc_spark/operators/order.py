@@ -45,22 +45,25 @@ def range_partitioned(
     partitions — which the context machinery (rows-per-partition >= window
     length) depends on.
 
-    CORRECTNESS: the result is ALWAYS materialized (lazy localCheckpoint).
+    CORRECTNESS: the result is ALWAYS materialized (EAGER localCheckpoint).
     Every consumer feeds this frame into 2+ plan branches (main + offsets/
     boundary/context), and if each branch re-executed the exchange, the
     range partitioner would re-SAMPLE boundaries per branch — rows near a
     boundary then land in different pids in different branches and the
     P-row fix-up joins misalign (observed: nondeterministic interpolation
-    results). One materialization = one boundary sample = one pid
-    assignment shared by all branches. On a cluster, swap localCheckpoint
-    for persist(MEMORY_AND_DISK) or a reliable checkpoint dir if executor
-    loss must be survivable."""
+    results). Eager (not lazy) matters: a lazy checkpoint leaves a window
+    in which two branches scheduled in the same job can still race the
+    first materialization, which was the one observed correctness flake
+    (pack_sequences, round 2). One eager materialization = one boundary
+    sample = one pid assignment shared by all branches. On a cluster, swap
+    localCheckpoint for persist(MEMORY_AND_DISK) + count() or a reliable
+    checkpoint dir if executor loss must be survivable."""
     if pin:
         n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         part = df.repartitionByRange(n, *_cols(order_cols))
     else:
         part = df.repartitionByRange(*_cols(order_cols))
-    return part.withColumn(PID, F.spark_partition_id()).localCheckpoint(eager=False)
+    return part.withColumn(PID, F.spark_partition_id()).localCheckpoint(eager=True)
 
 
 def global_fill(

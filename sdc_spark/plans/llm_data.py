@@ -502,10 +502,11 @@ oracle(
         FROM t
     )
     SELECT doc_id AS doc, n_tokens,
-           CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
            (cum - n_tokens) % 2048 AS offset,
-           CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT)
-             <> CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS spans_boundary
+           n_tokens > 0 AND
+           CAST((cum - n_tokens) // 2048 AS BIGINT)
+             <> CAST((cum - 1) // 2048 AS BIGINT) AS spans_boundary
     FROM s
     """,
 )
