@@ -309,13 +309,12 @@ oracle(
 @query("text_fingerprint")
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: md5 of normalized text + 1-hash MinHash
-    (lexicographic-min shingle md5, stable under small edits)."""
+    (lexicographic-min shingle md5, stable under small edits). Built via
+    the staged ``with_fingerprints`` form: tokens materialized once per
+    row — the inline form re-ran the normalize+split pipeline per shingle
+    (O(tokens²) regex work, the round-2 13× regression)."""
     doc = _t(spark, sf_dir, "documents")
-    return doc.select(
-        "doc_id",
-        stext.fingerprint_md5("text").alias("fp_md5"),
-        stext.fingerprint_shingle_min("text").alias("fp_shingle"),
-    )
+    return stext.with_fingerprints(doc, "text", "doc_id")
 
 
 oracle(
