@@ -32,7 +32,9 @@ dayofyear = lambda x: F.dayofyear(_c(x))  # noqa: E731
 
 
 def microsecond(x) -> Column:
-    return (F.unix_micros(_c(x)) % 1_000_000).cast("int")
+    # cast: unix_micros rejects TIMESTAMP_NTZ; the fractional part is
+    # unaffected by the (UTC) session-zone interpretation of the cast
+    return (F.unix_micros(_c(x).cast("timestamp")) % 1_000_000).cast("int")
 
 
 def dayofweek(x) -> Column:

@@ -53,8 +53,8 @@ def window_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         "sess_id",
-        F.unix_micros("sess_start").alias("start_us"),
-        F.unix_micros("sess_end").alias("end_us"),
+        F.unix_micros(F.col("sess_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("sess_end").cast("timestamp")).alias("end_us"),
         "n_events",
         "sum_value",
     )

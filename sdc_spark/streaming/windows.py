@@ -122,13 +122,17 @@ def session_agg_batch(
     closed batch (every session's gap has elapsed)."""
     w = W.partitionBy(key).orderBy(ts_col, "event_id")
     # gap compared in exact integer microseconds (unix_timestamp truncates
-    # to seconds, which shifts events near the gap boundary)
+    # to seconds, which shifts events near the gap boundary); cast to
+    # TIMESTAMP so TIMESTAMP_NTZ columns work too (unix_micros rejects NTZ;
+    # the session runs UTC so the cast is value-preserving, and the fixed
+    # offset cancels in the difference regardless)
     gap_us = gap_minutes * 60 * 1_000_000
     prev = F.lag(ts_col, 1).over(w)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
     flagged = df.withColumn(
         "new_sess",
         F.when(prev.isNull(), 1)
-        .when((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)) > gap_us, 1)
+        .when((us(F.col(ts_col)) - us(prev)) > gap_us, 1)
         .otherwise(0),
     )
     sessions = flagged.withColumn(
