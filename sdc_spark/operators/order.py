@@ -104,11 +104,21 @@ def global_fill(
     return cur.join(F.broadcast(prev), PID, "left").select(*sel)
 
 
+def _one(pid: Column | str = PID) -> Column:
+    """Non-foldable all-equal partition key for the tiny P-row windows.
+
+    ``partitionBy(lit(0))`` is constant-folded away, so WindowExec logs the
+    scary "No Partition Defined" warning even though the window only ever
+    sees P rows; ``pmod(pid, 1)`` is value-identical (always 0) but not
+    foldable, keeping that warning meaningful for real regressions."""
+    return F.pmod(F.col(pid) if isinstance(pid, str) else pid, F.lit(1))
+
+
 def _offsets(part: DataFrame, agg: Column, alias: str) -> DataFrame:
     """P-row table: for each pid, the running total of ``agg`` over all
     PRIOR pids. The only single-partition window — over P rows."""
     per = part.groupBy(PID).agg(agg.alias("__t__"))
-    w = W.partitionBy(F.lit(0)).orderBy(PID).rowsBetween(W.unboundedPreceding, -1)
+    w = W.partitionBy(_one()).orderBy(PID).rowsBetween(W.unboundedPreceding, -1)
     return per.select(PID, F.coalesce(F.sum("__t__").over(w), F.lit(0)).alias(alias))
 
 
@@ -191,6 +201,54 @@ def scan_sum(
         part.join(F.broadcast(offs), PID)
         .withColumn(out_col, F.sum(value).over(w) + F.col("__soff__"))
         .drop(PID, "__soff__")
+    )
+
+
+def scan_sum_intkey(
+    df: DataFrame,
+    key_col: str,
+    value: Column,
+    out_col: str,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Global running sum in ``key_col`` order for an INTEGER key, with
+    bucket boundaries derived from (min, max) only — fully deterministic
+    under ANY execution schedule, partition count, or session config.
+
+    The generic ``scan_sum`` range-partitions by sampling, which requires
+    a materialization barrier so every plan branch sees one boundary
+    sample. Here the bucket of a row is a pure function of its key value
+    (``(key - min) div width``), so the per-bucket totals branch and the
+    row-level branch agree by construction: no checkpoint, one hash
+    shuffle on the bucket id, P-row prefix broadcast. Dense-ish keys give
+    balanced buckets; pathological key skew degrades performance (one fat
+    bucket) but never correctness.
+    """
+    spark = df.sparkSession
+    n = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    lo, hi = df.agg(F.min(key_col), F.max(key_col)).first()
+    if lo is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    lo, hi = int(lo), int(hi)
+    width = (hi - lo) // n + 1
+    b = F.expr(f"CAST((`{key_col}` - {lo}) DIV {width} AS INT)")
+    part = df.withColumn("__b__", b)
+    per = part.groupBy("__b__").agg(F.sum(value).alias("__t__"))
+    w0 = W.partitionBy(_one("__b__")).orderBy("__b__").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offs = per.select(
+        "__b__", F.coalesce(F.sum("__t__").over(w0), F.lit(0)).alias("__soff__")
+    )
+    w = (
+        W.partitionBy("__b__")
+        .orderBy(key_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        part.join(F.broadcast(offs), "__b__")
+        .withColumn(out_col, F.sum(value).over(w) + F.col("__soff__"))
+        .drop("__b__", "__soff__")
     )
 
 

@@ -38,7 +38,9 @@ def streaming_exact_dedup(
     Duplicates arriving later than the watermark are not caught (their
     state was evicted) — the standard correctness/state tradeoff; batch
     exact_dedup is the closed-world twin."""
-    hashed = stream.withColumn(
+    from sdc_spark.streaming.windows import _with_event_time
+
+    hashed = _with_event_time(stream, ts_col).withColumn(
         "content_hash", F.md5(normalized_text(text_col).cast("binary"))
     )
     return (
@@ -60,8 +62,10 @@ def stream_stream_interval_join(
     """Inner stream-stream join on an equi key with a bounded event-time
     range: right rows match only within [left_ts, left_ts + horizon]. The
     watermarks + range predicate bound both sides' join state."""
-    l_ = left.withWatermark(left_ts, watermark).alias("l")
-    r_ = right.withWatermark(right_ts, watermark).alias("r")
+    from sdc_spark.streaming.windows import _with_event_time
+
+    l_ = _with_event_time(left, left_ts).withWatermark(left_ts, watermark).alias("l")
+    r_ = _with_event_time(right, right_ts).withWatermark(right_ts, watermark).alias("r")
     return l_.join(
         r_,
         F.expr(

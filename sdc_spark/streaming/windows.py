@@ -17,6 +17,14 @@ from pyspark.sql import functions as F
 DEFAULT_AGGS: tuple[tuple[str, str], ...] = (("count", "*"), ("sum", "value"))
 
 
+def _with_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP; parquet sources may carry
+    TIMESTAMP_NTZ. The session runs UTC, so the cast is value-preserving."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def _agg_exprs(aggs: Sequence[tuple[str, str]]) -> list[Column]:
     out = []
     for kind, col in aggs:
@@ -43,7 +51,7 @@ def tumbling_agg(
     mode the watermark bounds state: windows older than max(event time) −
     watermark are finalized and evicted."""
     return (
-        stream.withWatermark(ts_col, watermark)
+        _with_event_time(stream, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("win"), *keys)
         .agg(*_agg_exprs(aggs))
         .select(
@@ -64,7 +72,7 @@ def sliding_agg(
 ) -> DataFrame:
     """Sliding (hopping) windows — each event lands in window/slide panes."""
     return (
-        stream.withWatermark(ts_col, watermark)
+        _with_event_time(stream, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window, slide).alias("win"), *keys)
         .agg(*_agg_exprs(aggs))
         .select(
@@ -83,7 +91,7 @@ def session_agg_stream(
 ) -> DataFrame:
     """Session windows (gap-based) in streaming mode via F.session_window."""
     return (
-        stream.withWatermark(ts_col, watermark)
+        _with_event_time(stream, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("win"), *keys)
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(

@@ -123,3 +123,38 @@ def test_dedup_components_chain(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_pack_sequences_deterministic_and_exact(spark):
+    """pack_sequences must be bit-identical across repeated runs (the
+    round-2/3 driver flake class) and exactly match a pandas oracle.
+    The integer-id path buckets by key VALUE, so the result cannot depend
+    on partition layout or execution schedule."""
+    import pandas as pd
+
+    from sdc_spark.operators.curation import pack_sequences
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(1, 401),
+            "n_tok": [(i * 37) % 700 for i in range(400)],  # incl. zeros
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    runs = [
+        pack_sequences(df, "doc_id", "n_tok", budget=512)
+        .toPandas()
+        .sort_values("doc")
+        .reset_index(drop=True)
+        for _ in range(3)
+    ]
+    assert runs[0].equals(runs[1]) and runs[0].equals(runs[2])
+
+    cum = pdf["n_tok"].cumsum()
+    start = cum - pdf["n_tok"]
+    exp_pack = (start // 512).astype("int64")
+    exp_span = (pdf["n_tok"] > 0) & (exp_pack != ((cum - 1) // 512))
+    got = runs[0]
+    assert got["pack_id"].astype("int64").tolist() == exp_pack.tolist()
+    assert got["offset"].astype("int64").tolist() == (start % 512).tolist()
+    assert got["spans_boundary"].tolist() == exp_span.tolist()
