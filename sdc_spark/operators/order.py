@@ -32,7 +32,10 @@ def _cols(order_cols: Sequence[str | Column]) -> list[Column]:
 
 
 def range_partitioned(
-    df: DataFrame, order_cols: Sequence[str | Column], pin: bool = False
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    pin: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Range-partition by the order keys and materialize the partition id
     (partition ids are ascending in key order).
@@ -61,6 +64,8 @@ def range_partitioned(
     if pin:
         n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         part = df.repartitionByRange(n, *_cols(order_cols))
+    elif num_partitions is not None:
+        part = df.repartitionByRange(num_partitions, *_cols(order_cols))
     else:
         part = df.repartitionByRange(*_cols(order_cols))
     return part.withColumn(PID, F.spark_partition_id()).localCheckpoint(eager=True)
@@ -310,6 +315,38 @@ def shifted_multi(
     return out.filter(~F.col(CTX)).drop(PID, CTX)
 
 
+def _ensure_min_partition_rows(
+    df: DataFrame,
+    part: DataFrame,
+    order_cols: Sequence[str | Column],
+    need: int,
+) -> DataFrame:
+    """Return a range-partitioned frame where every partition holds >=
+    ``need`` rows and pids are gapless — the boundary-replication
+    precondition. ``part`` is already materialized, so the layout check is
+    a P-row aggregate over local checkpoint blocks."""
+
+    def layout_ok(p: DataFrame) -> tuple[bool, int]:
+        rows = p.groupBy(PID).count().collect()
+        if not rows:
+            return True, 0
+        pids = sorted(r[PID] for r in rows)
+        total = sum(r["count"] for r in rows)
+        gapless = pids == list(range(pids[0], pids[0] + len(pids)))
+        return (gapless and min(r["count"] for r in rows) >= need), total
+
+    ok, total = layout_ok(part)
+    if ok:
+        return part
+    # Too-fine layout (tiny input, or skewed/AQE-coalesced boundaries):
+    # re-partition so each partition targets >= 2x the window length.
+    n_safe = max(1, total // max(2 * need, 1))
+    part = range_partitioned(df, order_cols, num_partitions=n_safe)
+    if n_safe > 1 and not layout_ok(part)[0]:
+        part = range_partitioned(df, order_cols, num_partitions=1)
+    return part
+
+
 def with_context(
     df: DataFrame,
     order_cols: Sequence[str | Column],
@@ -324,9 +361,19 @@ def with_context(
 
     Correct when before/after <= every partition's row count (window
     lengths are tiny relative to partition sizes at scale; a 100-row
-    window against multi-million-row range partitions).
+    window against multi-million-row range partitions). That precondition
+    is ENFORCED, not assumed: the partition layout is checked (a cheap
+    P-row aggregate over the already-materialized checkpoint) and, when a
+    partition is smaller than the window — or an empty partition would
+    break the p -> p+1 replication chain — the data is re-partitioned
+    coarser (>= 2x window rows per partition; ultimately a single
+    partition, which is trivially correct and only ever reached when the
+    total input is comparable to the window length).
     """
     part = range_partitioned(df, order_cols)
+    need = max(before, after)
+    if need:
+        part = _ensure_min_partition_rows(df, part, order_cols, need)
     asc = _cols(order_cols)
     pieces = [part.withColumn(CTX, F.lit(False))]
     if before:

@@ -208,3 +208,22 @@ def test_describe_object(sf, pdf):
     # order, we pin min-value — equal when the mode is unique
     vc = pdf["C"].value_counts()
     assert vc[got["C"]["top"]] == vc.max()
+
+
+def test_shift_larger_than_partition(spark):
+    """shift(50) where range partitions hold only a handful of rows each:
+    the boundary-replication guard must re-partition coarser instead of
+    silently returning nulls (round-2 verdict 'what's wrong' #3)."""
+    s = pd.Series([float(i * 3 % 17) for i in range(100)])
+    got = from_pandas(spark, s.to_frame("v"))["v"].shift(50).to_pandas()
+    pd.testing.assert_series_equal(
+        got.reset_index(drop=True), s.shift(50), check_names=False
+    )
+
+
+def test_diff_larger_than_partition(spark):
+    s = pd.Series([float(i) for i in range(80)])
+    got = from_pandas(spark, s.to_frame("v"))["v"].diff(60).to_pandas()
+    pd.testing.assert_series_equal(
+        got.reset_index(drop=True), s.diff(60), check_names=False
+    )

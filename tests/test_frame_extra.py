@@ -592,3 +592,20 @@ def test_groupby_per_row_ops(spark):
     got = gb.cumsum().to_pandas()["v"].sort_index()
     exp = pgb["v"].cumsum().sort_index()
     pd.testing.assert_series_equal(got, exp, check_names=False, check_dtype=False, atol=1e-9)
+
+
+def test_context_guard_repartitions_fine_layouts(spark):
+    """_ensure_min_partition_rows: a 20x10-row layout with a 50-row window
+    must be re-partitioned so every partition holds >= the window length
+    (boundary replication only reaches the adjacent partition)."""
+    from pyspark.sql import functions as F
+
+    from sdc_spark.operators import order as so
+
+    df = spark.range(200).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    part = so.range_partitioned(df, ["k"], num_partitions=20)
+    counts = [r["count"] for r in part.groupBy(so.PID).count().collect()]
+    assert min(counts) < 50  # precondition genuinely violated before fix-up
+    fixed = so._ensure_min_partition_rows(df, part, ["k"], need=50)
+    layout = [r["count"] for r in fixed.groupBy(so.PID).count().collect()]
+    assert all(c >= 50 for c in layout)
