@@ -121,16 +121,46 @@ class SparkFrame:
         """General positional slice via distributed positions."""
         from sdc_spark.operators import order as sorder
 
-        start, stop, step = key.start or 0, key.stop, key.step or 1
-        if start < 0 or (stop is not None and stop < 0) or step <= 0:
-            raise NotImplementedError("negative/reverse frame slices")
+        start, stop, step = key.start, key.stop, key.step or 1
+        if step == 0:
+            raise ValueError("slice step cannot be zero")
         pos = sorder.with_position(self._df, [IDX], "__pos__")
-        cond = F.col("__pos__") >= start
-        if stop is not None:
-            cond = cond & (F.col("__pos__") < stop)
-        if step != 1:
-            cond = cond & ((F.col("__pos__") - start) % step == 0)
-        return SparkFrame(pos.filter(cond).drop("__pos__"))
+        if step > 0 and (start or 0) >= 0 and (stop is None or stop >= 0):
+            start = start or 0
+            cond = F.col("__pos__") >= start
+            if stop is not None:
+                cond = cond & (F.col("__pos__") < stop)
+            if step != 1:
+                cond = cond & ((F.col("__pos__") - start) % step == 0)
+            return SparkFrame(pos.filter(cond).drop("__pos__"))
+        # negative offsets / reverse step: resolve against the total count,
+        # carried as a broadcast 1-row column (plan stays lazy)
+        n_df = self._df.agg(F.count(F.lit(1)).alias("__n__"))
+        b = pos.crossJoin(F.broadcast(n_df))
+        n = F.col("__n__")
+
+        def norm(v, default):
+            if v is None:
+                return default
+            lit = F.lit(v)
+            return F.when(lit < 0, F.greatest(n + lit, F.lit(-1))).otherwise(lit)
+
+        if step > 0:
+            lo, hi = norm(start, F.lit(0)), norm(stop, n)
+            cond = (
+                (F.col("__pos__") >= lo)
+                & (F.col("__pos__") < hi)
+                & ((F.col("__pos__") - lo) % step == 0)
+            )
+        else:
+            lo = F.least(norm(start, n - 1), n - 1)
+            hi = norm(stop, F.lit(-1))
+            cond = (
+                (F.col("__pos__") <= lo)
+                & (F.col("__pos__") > hi)
+                & ((lo - F.col("__pos__")) % (-step) == 0)
+            )
+        return SparkFrame(b.filter(cond).drop("__pos__", "__n__"))
 
     def __getattr__(self, name: str):
         # df.A → df['A'] (ref rewrite dataframe_getitem_attribute.py:37-100)
@@ -206,6 +236,40 @@ class SparkFrame:
         return SparkFrame(
             out.select(
                 IDX, *[(F.col(c) - F.col(f"__sh_{c}__")).alias(c) for c in cols]
+            )
+        )
+
+    def pct_change(
+        self, periods: int = 1, fill_method: str | None = "pad"
+    ) -> SparkFrame:
+        """Per-numeric-column fractional change (ref
+        …dataframe_functions.py:2503): fill gaps first (pandas classic
+        default 'pad'), then ONE boundary-context pass shifts every column
+        together — no per-column re-shuffle."""
+        from sdc_spark.operators import order as sorder
+
+        base: SparkFrame = self
+        if fill_method in ("pad", "ffill"):
+            base = self.ffill()
+        elif fill_method in ("bfill", "backfill"):
+            base = self.bfill()
+        elif fill_method is not None:
+            raise ValueError(f"unsupported fill_method {fill_method!r}")
+        from sdc_spark.functions.expressions import pandas_div
+
+        cols = self._numeric_cols()
+        out = sorder.shifted_multi(base._df.select(IDX, *cols), [IDX], cols, periods)
+        # pandas_div: ±inf / NaN on zero divisors (ANSI `/` would raise)
+        return SparkFrame(
+            out.select(
+                IDX,
+                *[
+                    F.when(
+                        F.col(f"__sh_{c}__").isNotNull(),
+                        pandas_div(F.col(c), F.col(f"__sh_{c}__")) - 1,
+                    ).alias(c)
+                    for c in cols
+                ],
             )
         )
 

@@ -29,6 +29,42 @@ IDX = "__index__"
 VAL = "__value__"
 
 
+class LazyIndex:
+    """Deferred index labels: holds the (ordered) one-column plan and only
+    collects when the contents are observed. Keeps ``series.index`` cheap
+    as an attribute while preserving list-like reads."""
+
+    def __init__(self, df: DataFrame):
+        self._plan = df
+        self._cache: list | None = None
+
+    def tolist(self) -> list:
+        if self._cache is None:
+            self._cache = [r[0] for r in self._plan.collect()]
+        return self._cache
+
+    to_list = tolist
+
+    def __iter__(self):
+        return iter(self.tolist())
+
+    def __len__(self) -> int:
+        if self._cache is not None:
+            return len(self._cache)
+        return self._plan.count()
+
+    def __getitem__(self, i):
+        return self.tolist()[i]
+
+    def __eq__(self, other) -> bool:  # type: ignore[override]
+        if isinstance(other, LazyIndex):
+            other = other.tolist()
+        return self.tolist() == list(other)
+
+    def __repr__(self) -> str:
+        return f"LazyIndex({self.tolist()!r})"
+
+
 class SparkSeries:
     def __init__(self, df: DataFrame, name: str | None = None, floating: bool = False):
         """df must have columns (__index__, __value__). ``floating`` tags
@@ -418,12 +454,49 @@ class SparkSeries:
     def cumprod(self) -> SparkSeries:
         return self._scan(F.product, lambda a, b: a * b, None)
 
-    def pct_change(self, periods: int = 1) -> SparkSeries:
-        out = sorder.shifted(self._df, [IDX], F.col(VAL), periods, "__sh__")
+    def pct_change(
+        self, periods: int = 1, fill_method: str | None = "pad"
+    ) -> SparkSeries:
+        """Fractional change vs the value ``periods`` back (ref
+        …series_functions.py:4233 carries the full signature).
+        ``fill_method`` fills missing values BEFORE differencing (pandas
+        classic default 'pad'); None leaves gaps NaN-propagating."""
+        base = self
+        if fill_method in ("pad", "ffill"):
+            base = self.ffill()
+        elif fill_method in ("bfill", "backfill"):
+            base = self.bfill()
+        elif fill_method is not None:
+            raise ValueError(f"unsupported fill_method {fill_method!r}")
+        out = sorder.shifted(base._df, [IDX], F.col(VAL), periods, "__sh__")
+        # pandas_div: ±inf / NaN on zero divisors (ANSI `/` would raise)
+        change = F.when(
+            F.col("__sh__").isNotNull(),
+            sexpr.pandas_div(F.col(VAL), F.col("__sh__")) - 1,
+        )
         return SparkSeries(
-            out.select(IDX, (F.col(VAL) / F.col("__sh__") - 1).alias(VAL)),
+            out.select(IDX, change.alias(VAL)),
             name=self.name,
             floating=True,
+        )
+
+    def reindex(self, labels) -> SparkSeries:
+        """Conform to a new index (ref common_functions.py:603-695): result
+        holds one row per requested label, missing labels -> NaN, in the
+        order given. Labels are a driver-side list (pandas signature); the
+        gather itself is a broadcast join, no collect of self."""
+        labels = list(labels)
+        spark = self._df.sparkSession
+        tgt = spark.createDataFrame(
+            [(lab, i) for i, lab in enumerate(labels)],
+            schema=self._df.select(F.col(IDX)).withColumn("__ord__", F.lit(0)).schema,
+        )
+        out = tgt.join(self._df.select(IDX, VAL), IDX, "left")
+        numeric = dict(self._df.dtypes)[VAL] not in ("string", "boolean", "binary")
+        return SparkSeries(
+            out.select(IDX, VAL, "__ord__"),
+            name=self.name,
+            floating=numeric or self._floating,
         )
 
     def _ordered(self, *keys) -> SparkSeries:
@@ -680,7 +753,11 @@ class SparkSeries:
 
     @property
     def index(self):
-        return [r[0] for r in self._df.select(IDX).orderBy(IDX).collect()]
+        """Lazy index handle: building it is free; the labels are only
+        collected to the driver when the contents are actually inspected
+        (iteration/len/comparison/tolist) — an attribute access on a
+        10^11-row series no longer implies a full-column collect."""
+        return LazyIndex(self._df.select(IDX).orderBy(IDX))
 
     @property
     def values(self):
@@ -802,8 +879,33 @@ class SparkSeries:
         )
 
     def describe(self) -> pd.Series:
-        """Numeric series describe (ref …series_functions.py:4351):
-        count/mean/std/min/25%/50%/75%/max as a pandas Series."""
+        """Series describe (ref …series_functions.py:4351): numeric ->
+        count/mean/std/min/25%/50%/75%/max; string -> count/unique/top/freq
+        (top ties broken by first appearance = min index, deterministic)."""
+        if dict(self._df.dtypes)[VAL] == "string":
+            per_val = (
+                self._df.filter(F.col(VAL).isNotNull())
+                .groupBy(VAL)
+                .agg(F.count(F.lit(1)).alias("__n__"), F.min(IDX).alias("__first__"))
+            )
+            row = per_val.agg(
+                F.sum("__n__").alias("count"),
+                F.count(F.lit(1)).alias("unique"),
+                F.max_by(
+                    F.col(VAL),
+                    F.struct(F.col("__n__"), (-F.col("__first__")).alias("__nf__")),
+                ).alias("top"),
+                F.max("__n__").alias("freq"),
+            ).collect()[0]
+            return pd.Series(
+                {
+                    "count": row["count"] or 0,
+                    "unique": row["unique"],
+                    "top": row["top"],
+                    "freq": row["freq"],
+                },
+                name=self.name,
+            )
         qs = F.percentile(F.col(VAL), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
         row = self._df.agg(
             F.count(F.when(sexpr.notna(F.col(VAL), self._floating), 1)).alias("count"),
@@ -1074,15 +1176,57 @@ class _SeriesILoc:
         if isinstance(key, int):
             return s.iat(key)
         if isinstance(key, slice):
-            start, stop, step = key.start or 0, key.stop, key.step or 1
-            if start < 0 or (stop is not None and stop < 0) or step <= 0:
-                raise NotImplementedError("negative/reverse iloc slices")
-            cond = F.col("__pos__") >= start
-            if stop is not None:
-                cond = cond & (F.col("__pos__") < stop)
-            if step != 1:
-                cond = cond & ((F.col("__pos__") - start) % step == 0)
-            return s._pos_rows(cond)
+            start, stop, step = key.start, key.stop, key.step or 1
+            if step == 0:
+                raise ValueError("slice step cannot be zero")
+            neg = (
+                step < 0
+                or (start is not None and start < 0)
+                or (stop is not None and stop < 0)
+            )
+            if not neg:
+                start = start or 0
+                cond = F.col("__pos__") >= start
+                if stop is not None:
+                    cond = cond & (F.col("__pos__") < stop)
+                if step != 1:
+                    cond = cond & ((F.col("__pos__") - start) % step == 0)
+                return s._pos_rows(cond)
+            # Negative offsets / reverse slices (ref …series_functions.py:
+            # 85-499 supports arbitrary slices): resolved against the total
+            # count, carried as a broadcast 1-row column so the plan stays
+            # lazy — position arithmetic only, no driver-side collect.
+            base = s._with_pos()
+            n_df = s._df.agg(F.count(F.lit(1)).alias("__n__"))
+            b = base.crossJoin(F.broadcast(n_df))
+            n = F.col("__n__")
+
+            def norm(v, default):
+                if v is None:
+                    return default
+                lit = F.lit(v)
+                return F.when(lit < 0, F.greatest(n + lit, F.lit(-1))).otherwise(lit)
+
+            if step > 0:
+                lo = norm(start, F.lit(0))
+                hi = norm(stop, n)
+                cond = (
+                    (F.col("__pos__") >= lo)
+                    & (F.col("__pos__") < hi)
+                    & ((F.col("__pos__") - lo) % step == 0)
+                )
+                ordc = F.col("__pos__")
+            else:
+                lo = F.least(norm(start, n - 1), n - 1)
+                hi = norm(stop, F.lit(-1))
+                cond = (
+                    (F.col("__pos__") <= lo)
+                    & (F.col("__pos__") > hi)
+                    & ((lo - F.col("__pos__")) % (-step) == 0)
+                )
+                ordc = lo - F.col("__pos__")  # reversed enumeration order
+            out = b.filter(cond).select(IDX, VAL, ordc.alias("__ord__"))
+            return SparkSeries(out, name=s.name, floating=s._floating)
         if isinstance(key, (list, tuple)):
             return s.take(list(key))
         if isinstance(key, SparkSeries):  # boolean mask by position order

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from sdc_spark.operators.dedup import normalized_text, word_ngrams
+from sdc_spark.operators.dedup import ngrams_of_tokens, normalized_text, word_ngrams
 
 
 def _c(x) -> Column:
@@ -113,8 +113,6 @@ def fingerprint_shingle_min_tokens(toks: Column, ngram: int = 3) -> Column:
     """Min-shingle fingerprint over an already-materialized token array —
     the scale form: the token column is evaluated once per row, not once
     per shingle."""
-    from sdc_spark.operators.dedup import ngrams_of_tokens
-
     return F.array_min(
         F.transform(ngrams_of_tokens(toks, ngram), lambda g: F.md5(g.cast("binary")))
     )
@@ -126,17 +124,25 @@ def with_fingerprints(df, text_col: str, id_col: str, ngram: int = 3):
     regex pipeline runs ONCE per row. CollapseProject keeps non-cheap
     multi-referenced aliases in their own projection, which pins the
     evaluation count — the inline one-select form re-runs the whole
-    pipeline per shingle (observed 13× slowdown at sf0.1)."""
+    pipeline per shingle (observed 13× slowdown at sf0.1).
+
+    Temp column names are derived collision-free from df.columns, so the
+    helper is safe on frames that already carry __norm__/__toks__."""
+    norm_c, toks_c = "__norm__", "__toks__"
+    while norm_c in df.columns:
+        norm_c += "_"
+    while toks_c in df.columns:
+        toks_c += "_"
     norm = df.select(
-        F.col(id_col), normalized_text(text_col).alias("__norm__")
+        F.col(id_col), normalized_text(text_col).alias(norm_c)
     )
     toks = norm.select(
-        F.col(id_col), "__norm__", F.split(F.col("__norm__"), " ").alias("__toks__")
+        F.col(id_col), norm_c, F.split(F.col(norm_c), " ").alias(toks_c)
     )
     return toks.select(
         F.col(id_col),
-        F.md5(F.col("__norm__").cast("binary")).alias("fp_md5"),
-        fingerprint_shingle_min_tokens(F.col("__toks__"), ngram).alias("fp_shingle"),
+        F.md5(F.col(norm_c).cast("binary")).alias("fp_md5"),
+        fingerprint_shingle_min_tokens(F.col(toks_c), ngram).alias("fp_shingle"),
     )
 
 

@@ -219,3 +219,54 @@ oracle(
     FROM s
     """,
 )
+
+
+@query("frame_pct_change")
+def frame_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.pct_change (ref …dataframe_functions.py:2503): per-column
+    fractional change in global index order through the frame layer — one
+    boundary-context pass shifts all columns together."""
+    from sdc_spark.frame.core import SparkFrame
+
+    ev = read_table(spark, sf_dir, "events")
+    f = SparkFrame(
+        ev.select(
+            F.col("event_id").alias(IDX),
+            F.col("value").alias("v"),
+            (F.col("user_id") % 97).cast("double").alias("u"),
+        )
+    )
+    out = f.pct_change()  # default 'pad' fill before differencing
+    return out._df.select(
+        F.col(IDX).alias("event_id"),
+        (F.round("v", 6) + 0.0).alias("pc_v"),
+        (F.round("u", 6) + 0.0).alias("pc_u"),
+    )
+
+
+oracle(
+    "frame_pct_change",
+    """
+    WITH t AS (
+        SELECT event_id, value AS v, CAST(user_id % 97 AS DOUBLE) AS u
+        FROM events
+    ), s AS (
+        SELECT event_id, v, u,
+               lag(v) OVER (ORDER BY event_id) AS pv,
+               lag(u) OVER (ORDER BY event_id) AS pu
+        FROM t
+    )
+    SELECT event_id,
+           round(CASE WHEN pv IS NULL THEN NULL
+                      WHEN pv <> 0 THEN v / pv - 1
+                      WHEN v > 0 THEN CAST('infinity' AS DOUBLE)
+                      WHEN v < 0 THEN CAST('-infinity' AS DOUBLE)
+                      ELSE CAST('nan' AS DOUBLE) END, 6) + 0.0 AS pc_v,
+           round(CASE WHEN pu IS NULL THEN NULL
+                      WHEN pu <> 0 THEN u / pu - 1
+                      WHEN u > 0 THEN CAST('infinity' AS DOUBLE)
+                      WHEN u < 0 THEN CAST('-infinity' AS DOUBLE)
+                      ELSE CAST('nan' AS DOUBLE) END, 6) + 0.0 AS pc_u
+    FROM s
+    """,
+)

@@ -609,3 +609,74 @@ def test_context_guard_repartitions_fine_layouts(spark):
     fixed = so._ensure_min_partition_rows(df, part, ["k"], need=50)
     layout = [r["count"] for r in fixed.groupBy(so.PID).count().collect()]
     assert all(c >= 50 for c in layout)
+
+
+def test_pct_change_fill_method_and_frame(spark):
+    ps = pd.Series([1.0, 2.0, float("nan"), 4.0, 5.0, float("nan"), 8.0])
+    s = from_pandas(spark, ps.to_frame("v"))["v"]
+    for fm in ["pad", "bfill", None]:
+        got = s.pct_change(fill_method=fm).to_pandas().reset_index(drop=True)
+        exp = ps.ffill() if fm == "pad" else (ps.bfill() if fm == "bfill" else ps)
+        exp = exp.pct_change(fill_method=None)
+        pd.testing.assert_series_equal(got, exp, check_names=False)
+
+    pdf = pd.DataFrame(
+        {"a": [1.0, float("nan"), 3.0, 6.0], "b": [2.0, 4.0, float("nan"), 2.0]}
+    )
+    got = from_pandas(spark, pdf).pct_change().to_pandas().reset_index(drop=True)
+    exp = pdf.ffill().pct_change(fill_method=None)
+    pd.testing.assert_frame_equal(got[["a", "b"]], exp, check_names=False)
+
+
+def test_negative_reverse_slices(spark):
+    ps = pd.Series([10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0])
+    s = from_pandas(spark, ps.to_frame("v"))["v"]
+    for sl in [
+        slice(-3, None),
+        slice(None, -2),
+        slice(-5, -1),
+        slice(None, None, -1),
+        slice(5, 1, -2),
+        slice(-1, None, -3),
+        slice(-100, None),
+        slice(None, -100),
+        slice(-100, None, -1),
+    ]:
+        got = s.iloc[sl].to_pandas().tolist()
+        assert got == ps.iloc[sl].tolist(), f"slice {sl}: {got}"
+
+    pdf = pd.DataFrame({"x": list(range(8)), "y": [i * 2.0 for i in range(8)]})
+    f = from_pandas(spark, pdf)
+    for sl in [slice(-4, None), slice(2, -2), slice(None, None, -2)]:
+        got = f[sl].to_pandas()
+        exp = pdf.iloc[sl].sort_index()
+        assert got["x"].tolist() == exp["x"].tolist(), f"frame slice {sl}"
+
+
+def test_string_series_describe(spark):
+    ps = pd.Series(["b", "a", "b", None, "c", "a", "b"])
+    got = from_pandas(spark, ps.to_frame("v"))["v"].describe()
+    exp = ps.describe()
+    assert got["count"] == exp["count"]
+    assert got["unique"] == exp["unique"]
+    assert got["top"] == "b" and got["freq"] == 3
+
+
+def test_series_reindex(spark):
+    ps = pd.Series([1.0, 2.0, 3.0], index=[0, 1, 2])
+    s = from_pandas(spark, ps.to_frame("v"))["v"]
+    got = s.reindex([2, 0, 7]).to_pandas()
+    exp = ps.reindex([2, 0, 7])
+    assert got.tolist()[:2] == exp.tolist()[:2]
+    assert pd.isna(got.tolist()[2])
+    assert got.index.tolist() == [2, 0, 7]
+
+
+def test_lazy_index(spark):
+    ps = pd.Series([5.0, 6.0, 7.0])
+    s = from_pandas(spark, ps.to_frame("v"))["v"]
+    idx = s.index  # attribute access: no job yet
+    assert len(idx) == 3
+    assert idx == [0, 1, 2]
+    assert list(idx) == [0, 1, 2]
+    assert idx[1] == 1
