@@ -91,6 +91,16 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             spdf = sdf.toPandas()
+            # release blocks the query's localCheckpoints pinned (safe:
+            # the result is fully materialized in spdf) — without this a
+            # 100-query session accumulates block-manager state and the
+            # tail degrades progressively (observed round 3)
+            spark.catalog.clearCache()
+            try:
+                for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+                    jrdd.unpersist(False)
+            except Exception:  # noqa: BLE001
+                pass
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             n_fail += 1
