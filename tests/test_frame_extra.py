@@ -220,7 +220,8 @@ def test_shift_cumsum_distributed(spark):
     eq(s.shift(3), ps.shift(3))
     eq(s.shift(-2), ps.shift(-2))
     eq(s.cumsum(), ps.cumsum())
-    eq(s.pct_change(2), ps.pct_change(2, fill_method=None))
+    eq(s.pct_change(2, fill_method=None), ps.pct_change(2, fill_method=None))
+    # default fill_method follows the reference (pandas-0.25-era 'pad')
 
 
 def test_frame_rolling_full_kernels(spark):
