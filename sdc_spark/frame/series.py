@@ -1042,12 +1042,32 @@ class SeriesExpanding:
         self._s = s
         self._minp = max(min_periods, 1)
 
-    def _base(self):
+    def _masked(self):
         s = self._s
         val = F.when(sexpr.notna(F.col(VAL), s._floating), F.col(VAL))
-        df = s._df.select(IDX, val.alias("__v__"))
-        df = sorder.scan_sum(df, [IDX], F.when(F.col("__v__").isNotNull(), F.lit(1)).otherwise(F.lit(0)), "__n__")
-        return df
+        return s._df.select(IDX, val.alias("__v__"))
+
+    def _scanned(self, sq: bool = False):
+        """(IDX, __v__, __n__, __s__[, __ss__]) with ALL running sums from
+        ONE range partition + ONE P-row offsets broadcast (scan_sum_multi)
+        — a per-kernel scan_sum would re-shuffle and re-checkpoint once per
+        statistic (observed: expanding sum+mean = 4 exchanges; this is 1)."""
+        base = self._masked().select(
+            IDX,
+            "__v__",
+            F.when(F.col("__v__").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("__f__"),
+            *([(F.col("__v__") * F.col("__v__")).alias("__q__")] if sq else []),
+        )
+        cols = ["__f__", "__v__"] + (["__q__"] if sq else [])
+        out = sorder.scan_sum_multi(base, [IDX], cols)
+        ren = out.select(
+            IDX,
+            "__v__",
+            F.col("__cs___f____").alias("__n__"),
+            F.col("__cs___v____").alias("__s__"),
+            *([F.col("__cs___q____").alias("__ss__")] if sq else []),
+        )
+        return ren
 
     def _finish(self, df, expr) -> SparkSeries:
         out = df.select(
@@ -1056,32 +1076,39 @@ class SeriesExpanding:
         return SparkSeries(out, name=self._s.name, floating=True)
 
     def count(self) -> SparkSeries:
-        df = self._base()
+        df = self._scanned()
         return self._finish(df, F.col("__n__").cast("double"))
 
     def sum(self) -> SparkSeries:
-        df = sorder.scan_sum(self._base(), [IDX], F.col("__v__"), "__s__")
-        return self._finish(df, F.col("__s__"))
+        return self._finish(self._scanned(), F.col("__s__"))
 
     def mean(self) -> SparkSeries:
-        df = sorder.scan_sum(self._base(), [IDX], F.col("__v__"), "__s__")
+        df = self._scanned()
         return self._finish(df, F.col("__s__") / F.col("__n__"))
+
+    def _minmax_base(self):
+        df = self._masked()
+        return sorder.scan_sum(
+            df,
+            [IDX],
+            F.when(F.col("__v__").isNotNull(), F.lit(1)).otherwise(F.lit(0)),
+            "__n__",
+        )
 
     def min(self) -> SparkSeries:
         df = sorder.scan_agg(
-            self._base(), [IDX], F.col("__v__"), "__m__", F.min, F.least, None
+            self._minmax_base(), [IDX], F.col("__v__"), "__m__", F.min, F.least, None
         )
         return self._finish(df, F.col("__m__"))
 
     def max(self) -> SparkSeries:
         df = sorder.scan_agg(
-            self._base(), [IDX], F.col("__v__"), "__m__", F.max, F.greatest, None
+            self._minmax_base(), [IDX], F.col("__v__"), "__m__", F.max, F.greatest, None
         )
         return self._finish(df, F.col("__m__"))
 
     def _var_frame(self):
-        df = sorder.scan_sum(self._base(), [IDX], F.col("__v__"), "__s__")
-        return sorder.scan_sum(df, [IDX], F.col("__v__") * F.col("__v__"), "__ss__")
+        return self._scanned(sq=True)
 
     def var(self, ddof: int = 1) -> SparkSeries:
         df = self._var_frame()
