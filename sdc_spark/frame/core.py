@@ -494,7 +494,14 @@ class SparkFrame:
         suffixes: tuple[str, str] = ("_x", "_y"),
     ) -> SparkFrame:
         """pd.merge (legacy-only in the reference, test_join.py:52-414).
-        Result index is reset (pandas semantics for non-index joins)."""
+        Result index is reset (pandas semantics for non-index joins).
+
+        SEMANTIC DRIFT (deliberate): the fresh index comes from
+        ``monotonically_increasing_id`` — unique and plan-deterministic but
+        NOT pandas' dense 0..n-1 (labels are partition-encoded longs). A
+        dense re-index costs a full range shuffle for a property most
+        pipelines never observe; call ``.reset_index()`` when dense labels
+        matter (it routes through the distributed position machinery)."""
         keys = [on] if isinstance(on, str) else list(on)
         left = self._df.drop(IDX)
         right = other._df.drop(IDX)
@@ -507,7 +514,8 @@ class SparkFrame:
 
     def append(self, other: SparkFrame, ignore_index: bool = True) -> SparkFrame:
         """ref …dataframe_functions.py:357-464 — schema-merging union,
-        missing columns → NULL."""
+        missing columns → NULL. Fresh index labels are unique but not dense
+        0..n-1 (see merge docstring); ``.reset_index()`` densifies."""
         u = self._df.drop(IDX).unionByName(other._df.drop(IDX), allowMissingColumns=True)
         return SparkFrame(u.withColumn(IDX, F.monotonically_increasing_id()))
 
