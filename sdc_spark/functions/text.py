@@ -172,3 +172,33 @@ def pii_scrub(x) -> Column:
     for k in ("email", "ssn_like", "phone", "ipv4"):
         c = F.regexp_replace(c, PII_PATTERNS[k], f"<{k.upper()}>")
     return c
+
+
+# -- repetition signals (extension: Gopher/C4-style quality filters) --------
+
+
+def repetition_signals(df, text_col: str, id_col: str):
+    """Per-document repetition metrics used by large-corpus quality
+    filters: fraction of tokens taken by the single most frequent token,
+    and the distinct-token fraction (type/token ratio). Highly repetitive
+    machine-generated pages score high top-token / low distinct fractions.
+
+    Plan: explode tokens -> (doc, token) counts -> per-doc max/sum/count.
+    The token-pair shuffle is proportional to corpus token count — the
+    same cost class as any inverted-index build, partial-aggregated
+    map-side. Ratios are integer-over-integer doubles (bit-identical
+    across engines, no rounding needed). Empty documents are dropped
+    (no tokens -> no signal)."""
+    toks_c = "__rtoks__"
+    while toks_c in df.columns:
+        toks_c += "_"
+    t = F.trim(_c(text_col))
+    toks = df.filter(F.length(t) > 0).select(
+        F.col(id_col), F.explode(F.split(t, r"\s+")).alias(toks_c)
+    )
+    per_tok = toks.groupBy(id_col, toks_c).agg(F.count(F.lit(1)).alias("__n__"))
+    return per_tok.groupBy(id_col).agg(
+        (F.max("__n__").cast("double") / F.sum("__n__")).alias("top_token_frac"),
+        (F.count(F.lit(1)).cast("double") / F.sum("__n__")).alias("distinct_frac"),
+        F.sum("__n__").alias("n_tokens"),
+    )

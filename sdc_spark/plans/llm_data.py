@@ -552,3 +552,60 @@ oracle(
     SELECT doc_id, lang FROM ranked WHERE rk <= 20
     """,
 )
+
+
+@query("text_repetition")
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (Gopher/C4 filters): top-token
+    fraction and type/token ratio per document."""
+    doc = _t(spark, sf_dir, "documents")
+    return stext.repetition_signals(doc, "text", "doc_id")
+
+
+oracle(
+    "text_repetition",
+    r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ), u AS (
+        SELECT doc_id, unnest(toks) AS tok FROM t
+    ), c AS (
+        SELECT doc_id, tok, count(*) AS n FROM u GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(max(n) AS DOUBLE) / sum(n) AS top_token_frac,
+           CAST(count(*) AS DOUBLE) / sum(n) AS distinct_frac,
+           sum(n) AS n_tokens
+    FROM c GROUP BY doc_id
+    """,
+)
+
+
+@query("docs_by_source")
+def docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus telemetry: per (source, lang) document counts and length
+    stats — the standard curation dashboard cut. Pure partial-aggregated
+    groupBy; at 100 TB this shuffles only (source, lang) partials."""
+    doc = _t(spark, sf_dir, "documents")
+    return (
+        doc.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+oracle(
+    "docs_by_source",
+    """
+    SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
+           max(n_chars) AS max_chars
+    FROM documents GROUP BY source, lang ORDER BY source, lang
+    """,
+)
