@@ -162,6 +162,15 @@ class FrameGroupBy:
 
         return GroupRolling(self._frame, self._keys, window, min_periods)
 
+    def expanding(self, min_periods: int = 1):
+        """df.groupby(keys).expanding() — per-group prefix windows. Groups
+        are the partitioning key, so unlike the global expanding this needs
+        no scan decomposition: one hash shuffle, windows stay group-local,
+        and even median/quantile are exact (recompute-within-group)."""
+        from sdc_spark.frame.rolling import GroupExpanding
+
+        return GroupExpanding(self._frame, self._keys, min_periods)
+
     def quantile(self, q: float = 0.5, approx: bool = False, accuracy: int = 10000):
         """Per-group exact linear-interpolation quantile; ``approx=True``
         uses the approx_percentile sketch (mergeable, no per-group sort

@@ -389,3 +389,25 @@ class FrameRolling:
             return F.when(guard, _pairwise(c, oc, w, kind))
 
         return self._eval_all(j, list(pairs), expr_fn, None)
+
+
+class GroupExpanding(GroupRolling):
+    """df.groupby(keys).expanding(min_periods) — per-group prefix windows.
+
+    Inherits every kernel from GroupRolling and only widens the frame to
+    unbounded-preceding. Group-local windows mean expanding median and
+    quantile are exact here (the global SeriesExpanding documents them
+    unsupported — prefix scans cannot decompose order statistics, but a
+    per-group window recompute can)."""
+
+    def __init__(self, frame, keys, min_periods: int = 1):
+        self._frame = frame
+        self._keys = list(keys)
+        self._w = (
+            W.partitionBy(*self._keys)
+            .orderBy(IDX)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        minp = max(min_periods, 1)
+        self._minp = minp
+        self._minp_count = minp

@@ -270,3 +270,38 @@ oracle(
     FROM s
     """,
 )
+
+
+@query("groupby_expanding")
+def groupby_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.groupby(k).expanding().sum() — per-user prefix sums through the
+    frame layer: one hash shuffle on the group key, group-local windows
+    (no scan decomposition needed). Integer-scaled for exact sums."""
+    from sdc_spark.frame.core import SparkFrame
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias(IDX),
+        F.col("user_id"),
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    out = SparkFrame(ev).groupby("user_id").expanding(min_periods=3).sum()
+    return out._df.select(
+        F.col(IDX).alias("event_id"), "user_id", F.col("v4").alias("v4_esum")
+    )
+
+
+oracle(
+    "groupby_expanding",
+    """
+    WITH t AS (
+        SELECT event_id, user_id, CAST(round(value * 10000) AS BIGINT) AS v4
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CASE WHEN count(v4) OVER w >= 3
+                THEN CAST(sum(v4) OVER w AS BIGINT) END AS v4_esum
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)

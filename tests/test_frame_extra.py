@@ -681,3 +681,52 @@ def test_lazy_index(spark):
     assert idx == [0, 1, 2]
     assert list(idx) == [0, 1, 2]
     assert idx[1] == 1
+
+
+def test_groupby_expanding(spark):
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame(
+        {
+            "k": [f"g{i % 3}" for i in range(60)],
+            "v": rng.randn(60),
+            "u": rng.randn(60) * 2,
+        }
+    )
+    pdf.loc[pdf.sample(6, random_state=7).index, "v"] = float("nan")
+    got = (
+        from_pandas(spark, pdf)
+        .groupby("k")
+        .expanding(min_periods=3)
+        .mean()
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    exp = (
+        pdf.groupby("k")[["v", "u"]]
+        .expanding(min_periods=3)
+        .mean()
+        .reset_index(level=0)
+        .sort_index()
+    )
+    for c in ("v", "u"):
+        pd.testing.assert_series_equal(
+            got[c], exp[c].reset_index(drop=True), check_names=False
+        )
+    got_med = (
+        from_pandas(spark, pdf)
+        .groupby("k")
+        .expanding(min_periods=2)
+        .median()
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    exp_med = (
+        pdf.groupby("k")[["v", "u"]]
+        .expanding(min_periods=2)
+        .median()
+        .reset_index(level=0)
+        .sort_index()
+    )
+    pd.testing.assert_series_equal(
+        got_med["u"], exp_med["u"].reset_index(drop=True), check_names=False
+    )
