@@ -542,13 +542,19 @@ class SparkSeries:
         return [r[0] for r in self._df.select(VAL).distinct().collect()]
 
     def value_counts(
-        self, sort: bool = True, ascending: bool = False, dropna: bool = True
+        self,
+        normalize: bool = False,
+        sort: bool = True,
+        ascending: bool = False,
+        dropna: bool = True,
     ):
         """Returns a SparkSeries keyed by value. pandas tie order is first
         appearance (hashtable insertion order) — reproduced distributively
         as min(original index) per value (ref …series_functions.py:1375).
         ``sort=False`` keeps first-appearance order; ``dropna=False`` adds
-        the null/NaN group (NaN normalized to null so it forms ONE group).
+        the null/NaN group (NaN normalized to null so it forms ONE group);
+        ``normalize=True`` divides by the total via a 1-row broadcast (no
+        second pass over the data).
         """
         base = self._df
         if dropna:
@@ -566,18 +572,27 @@ class SparkSeries:
             ]
         else:
             order = [F.col("__first__").asc()]
-        counted = sorder.with_position(
-            base.groupBy("__key__").agg(
-                F.count(F.lit(1)).alias("__cnt__"), F.min("__oi__").alias("__first__")
-            ),
-            order,
-            "__ord__",
-        ).select(
+        grouped = base.groupBy("__key__").agg(
+            F.count(F.lit(1)).alias("__cnt__"), F.min("__oi__").alias("__first__")
+        )
+        if normalize:
+            tot = grouped.agg(F.sum("__cnt__").alias("__tot__"))
+            grouped = grouped.join(F.broadcast(tot)).select(
+                "__key__",
+                (F.col("__cnt__").cast("double") / F.col("__tot__")).alias("__p__"),
+                "__cnt__",
+                "__first__",
+            )
+        counted = sorder.with_position(grouped, order, "__ord__").select(
             F.col("__key__").alias(IDX),
-            F.col("__cnt__").alias(VAL),
+            (F.col("__p__") if normalize else F.col("__cnt__")).alias(VAL),
             (F.col("__ord__") + 1).alias("__ord__"),
         )
-        return SparkSeries(counted, name="count", floating=False)
+        return SparkSeries(
+            counted,
+            name="proportion" if normalize else "count",
+            floating=normalize,
+        )
 
     # -- rolling / map / apply --------------------------------------------
 

@@ -730,3 +730,15 @@ def test_groupby_expanding(spark):
     pd.testing.assert_series_equal(
         got_med["u"], exp_med["u"].reset_index(drop=True), check_names=False
     )
+
+
+def test_value_counts_normalize(spark):
+    ps = pd.Series(["a", "b", "a", "c", "a", "b", None, "b"])
+    s = from_pandas(spark, ps.to_frame("v"))["v"]
+    got = s.value_counts(normalize=True).to_pandas()
+    exp = ps.value_counts(normalize=True)
+    assert got.tolist() == exp.tolist()
+    assert got.index.tolist() == exp.index.tolist()
+    got2 = s.value_counts(normalize=True, dropna=False).to_pandas()
+    exp2 = ps.value_counts(normalize=True, dropna=False)
+    assert got2.tolist() == pytest.approx(exp2.tolist())
