@@ -545,8 +545,21 @@ class SparkFrame:
         return [c for c, t in self._df.dtypes if c != IDX and t in num]
 
     def _reduce_all(self, fn) -> pd.Series:
+        """One aggregate pass over all numeric columns. Float NaNs are
+        masked to null first: Spark aggregates propagate/sort NaN (sum ->
+        NaN, max -> NaN, percentile counts it as the largest value) while
+        pandas reductions skip missing values."""
         cols = self._numeric_cols()
-        row = self._df.agg(*[fn(c).alias(c) for c in cols]).collect()[0]
+        floats = {c for c, t in self._df.dtypes if t in ("double", "float")}
+        arg = {
+            c: (
+                F.when(~F.isnan(c) & F.col(c).isNotNull(), F.col(c))
+                if c in floats
+                else F.col(c)
+            )
+            for c in cols
+        }
+        row = self._df.agg(*[fn(arg[c]).alias(c) for c in cols]).collect()[0]
         return pd.Series({c: row[c] for c in cols})
 
     def sum(self):
@@ -575,6 +588,68 @@ class SparkFrame:
 
     def count(self):
         return self._reduce_all(F.count)
+
+    def nunique(self, dropna: bool = True) -> pd.Series:
+        """Per-column distinct counts in ONE aggregate pass (exact)."""
+        cols = [c for c in self.columns]
+        exprs = []
+        floats = {c for c, t in self._df.dtypes if t in ("double", "float")}
+        for c in cols:
+            v = F.col(c)
+            if c in floats:  # NaN and null form ONE missing group, pandas-style
+                v = F.when(~F.isnan(c) & v.isNotNull(), v)
+            if dropna:
+                exprs.append(F.count_distinct(v).alias(c))
+            else:
+                any_missing = F.when(
+                    F.count(F.when(v.isNull(), 1)) > 0, F.lit(1)
+                ).otherwise(F.lit(0))
+                exprs.append((F.count_distinct(v) + any_missing).alias(c))
+        row = self._df.agg(*exprs).collect()[0]
+        return pd.Series({c: row[c] for c in cols})
+
+    def quantile(self, q: float = 0.5) -> pd.Series:
+        """Per-numeric-column exact quantile (linear interpolation), one
+        aggregate pass."""
+        return self._reduce_all(lambda c: F.percentile(c, F.lit(q)))
+
+    def _pairwise(self, fn) -> pd.DataFrame:
+        """k x k pairwise statistic in ONE partial-aggregated pass: k²/2
+        agg expressions, a single shuffle of one combined row — the plan
+        you want for wide-but-bounded k (the k x k result is driver-sized
+        by definition, like describe)."""
+        cols = self._numeric_cols()
+        floats = {c for c, t in self._df.dtypes if t in ("double", "float")}
+        clean = {
+            c: (
+                F.when(~F.isnan(c) & F.col(c).isNotNull(), F.col(c))
+                if c in floats
+                else F.col(c)
+            )
+            for c in cols
+        }
+        exprs = [
+            fn(clean[a], clean[b]).alias(f"{i}_{j}")
+            for i, a in enumerate(cols)
+            for j, b in enumerate(cols)
+            if i <= j
+        ]
+        row = self._df.agg(*exprs).collect()[0]
+        out = pd.DataFrame(index=cols, columns=cols, dtype="float64")
+        for i, a in enumerate(cols):
+            for j, b in enumerate(cols):
+                out.loc[a, b] = row[f"{min(i, j)}_{max(i, j)}"]
+        return out
+
+    def corr(self) -> pd.DataFrame:
+        """Pairwise Pearson correlation matrix (pandas df.corr()); rows
+        with NaN in either column are excluded pairwise, matching pandas'
+        pairwise-complete semantics."""
+        return self._pairwise(F.corr)
+
+    def cov(self) -> pd.DataFrame:
+        """Pairwise sample covariance matrix (pandas df.cov())."""
+        return self._pairwise(F.covar_samp)
 
     def describe(self, include: str | None = None) -> pd.DataFrame:
         """ref …series_functions.py:4351 lifted per-column. Numeric columns

@@ -742,3 +742,51 @@ def test_value_counts_normalize(spark):
     got2 = s.value_counts(normalize=True, dropna=False).to_pandas()
     exp2 = ps.value_counts(normalize=True, dropna=False)
     assert got2.tolist() == pytest.approx(exp2.tolist())
+
+
+def test_frame_corr_cov_nunique_quantile(spark):
+    rng = np.random.RandomState(9)
+    pdf = pd.DataFrame(
+        {
+            "a": rng.randn(100),
+            "b": rng.randn(100) * 2 + 1,
+            "c": rng.randint(0, 5, 100).astype("int64"),
+        }
+    )
+    pdf.loc[pdf.sample(10, random_state=3).index, "a"] = float("nan")
+    f = from_pandas(spark, pdf)
+
+    got_corr = f.corr()
+    exp_corr = pdf.corr()
+    for x in ("a", "b", "c"):
+        for y in ("a", "b", "c"):
+            assert got_corr.loc[x, y] == pytest.approx(exp_corr.loc[x, y], rel=1e-9)
+
+    got_cov = f.cov()
+    exp_cov = pdf.cov()
+    for x in ("a", "b", "c"):
+        for y in ("a", "b", "c"):
+            assert got_cov.loc[x, y] == pytest.approx(exp_cov.loc[x, y], rel=1e-9)
+
+    assert f.nunique().to_dict() == pdf.nunique().to_dict()
+    assert (
+        f.nunique(dropna=False).to_dict() == pdf.nunique(dropna=False).to_dict()
+    )
+
+    got_q = f.quantile(0.25)
+    exp_q = pdf.quantile(0.25)
+    for c in ("b", "c"):
+        assert got_q[c] == pytest.approx(exp_q[c], rel=1e-9)
+
+
+def test_frame_reductions_skip_nan(spark):
+    pdf = pd.DataFrame(
+        {"a": [1.0, float("nan"), 3.0, 5.0], "b": [2, 4, 6, 8]}
+    )
+    f = from_pandas(spark, pdf)
+    assert f.sum()["a"] == pytest.approx(9.0)
+    assert f.max()["a"] == pytest.approx(5.0)
+    assert f.count()["a"] == 3
+    assert f.median()["a"] == pytest.approx(3.0)
+    assert f.quantile(0.5)["a"] == pytest.approx(pdf["a"].quantile(0.5))
+    assert f.mean()["a"] == pytest.approx(3.0)
