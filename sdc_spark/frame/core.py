@@ -519,6 +519,27 @@ class SparkFrame:
         u = self._df.drop(IDX).unionByName(other._df.drop(IDX), allowMissingColumns=True)
         return SparkFrame(u.withColumn(IDX, F.monotonically_increasing_id()))
 
+    def melt(
+        self,
+        id_vars: Sequence[str],
+        value_vars: Sequence[str] | None = None,
+        var_name: str = "variable",
+        value_name: str = "value",
+    ) -> SparkFrame:
+        """pd.melt — wide-to-long reshape via Spark's native unpivot
+        (Catalyst Expand: one pass, rows x len(value_vars) output, no
+        shuffle). Fresh index labels (unique, not dense — see merge)."""
+        ids = [id_vars] if isinstance(id_vars, str) else list(id_vars)
+        vals = (
+            list(value_vars)
+            if value_vars is not None
+            else [c for c in self.columns if c not in ids]
+        )
+        out = self._df.select(*ids, *vals).unpivot(
+            ids, vals, var_name, value_name
+        )
+        return SparkFrame(out.withColumn(IDX, F.monotonically_increasing_id()))
+
     def sort_values(self, by: str | Sequence[str], ascending: bool = True) -> SparkFrame:
         cols = [by] if isinstance(by, str) else list(by)
         keys = [

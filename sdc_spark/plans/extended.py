@@ -225,3 +225,68 @@ def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query("stats_corr_matrix")
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of lineitem's numeric measures in
+    long form: ONE partial-aggregated pass computes every pair (a 1-row
+    aggregate crosses the wire), then stack() unpivots driver-free."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+    agg = li.agg(
+        *[F.round(F.corr(a, b), 6).alias(f"{a}|{b}") for a, b in pairs]
+    )
+    stack_args = ", ".join(f"'{a}', '{b}', `{a}|{b}`" for a, b in pairs)
+    return agg.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+        )
+    ).select("col_a", "col_b", (F.col("corr") + 0.0).alias("corr"))
+
+
+oracle(
+    "stats_corr_matrix",
+    """
+    SELECT a.col_a, a.col_b, round(a.c, 6) + 0.0 AS corr FROM (
+        SELECT 'l_quantity' col_a, 'l_quantity' col_b, corr(l_quantity, l_quantity) c FROM lineitem
+        UNION ALL SELECT 'l_quantity', 'l_extendedprice', corr(l_quantity, l_extendedprice) FROM lineitem
+        UNION ALL SELECT 'l_quantity', 'l_discount', corr(l_quantity, l_discount) FROM lineitem
+        UNION ALL SELECT 'l_quantity', 'l_tax', corr(l_quantity, l_tax) FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', corr(l_extendedprice, l_extendedprice) FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', 'l_discount', corr(l_extendedprice, l_discount) FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', 'l_tax', corr(l_extendedprice, l_tax) FROM lineitem
+        UNION ALL SELECT 'l_discount', 'l_discount', corr(l_discount, l_discount) FROM lineitem
+        UNION ALL SELECT 'l_discount', 'l_tax', corr(l_discount, l_tax) FROM lineitem
+        UNION ALL SELECT 'l_tax', 'l_tax', corr(l_tax, l_tax) FROM lineitem
+    ) a
+    """,
+)
+
+
+@query("reshape_melt")
+def reshape_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape through the frame layer's melt (Spark native
+    unpivot — Catalyst Expand, zero shuffle)."""
+    from sdc_spark.frame.core import SparkFrame
+    from sdc_spark.frame.series import IDX
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"), F.col("l_linenumber"), "l_quantity", "l_discount"
+    ).withColumn(IDX, F.monotonically_increasing_id())
+    out = SparkFrame(li).melt(
+        ["l_orderkey", "l_linenumber"], ["l_quantity", "l_discount"]
+    )
+    return out._df.select("l_orderkey", "l_linenumber", "variable", "value")
+
+
+oracle(
+    "reshape_melt",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+           l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    """,
+)

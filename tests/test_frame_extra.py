@@ -790,3 +790,22 @@ def test_frame_reductions_skip_nan(spark):
     assert f.median()["a"] == pytest.approx(3.0)
     assert f.quantile(0.5)["a"] == pytest.approx(pdf["a"].quantile(0.5))
     assert f.mean()["a"] == pytest.approx(3.0)
+
+
+def test_frame_melt(spark):
+    pdf = pd.DataFrame(
+        {"k": ["x", "y"], "a": [1.0, 2.0], "b": [3.0, 4.0]}
+    )
+    got = (
+        from_pandas(spark, pdf)
+        .melt(["k"])
+        .to_pandas()
+        .sort_values(["k", "variable"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pdf.melt(["k"])
+        .sort_values(["k", "variable"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "variable", "value"]], exp)
