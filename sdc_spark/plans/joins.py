@@ -209,3 +209,47 @@ oracle(
     ) d ON d.ship_ts <= o.o_orderdate
     """,
 )
+
+
+@query("join_salted_skew")
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-dim join (operators/skew.py): the fact side's
+    hot supplier keys are spread over 8 deterministic salts, the dim side
+    replicated 8x. The oracle is the PLAIN join — salting must be
+    semantics-preserving. At 100 TB this is the fallback when AQE's
+    skew splitting can't apply (broadcast-infeasible dim, sort-merge-only
+    skew on a power-law key)."""
+    from sdc_spark.operators.skew import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
+    supp = read_table(spark, sf_dir, "supplier").withColumnRenamed(
+        "s_suppkey", "l_suppkey"
+    )
+    j = salted_join(
+        li, supp, on="l_suppkey", salt=8,
+        fact_unique=["l_orderkey", "l_linenumber"],
+    )
+    return (
+        j.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "price_cents"
+            ),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+oracle(
+    "join_salted_skew",
+    """
+    SELECT s.s_nationkey, count(*) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey ORDER BY s.s_nationkey
+    """,
+)
