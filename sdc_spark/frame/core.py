@@ -177,6 +177,33 @@ class SparkFrame:
             return SparkFrame(base.join(v, IDX, "left"))
         return SparkFrame(self._df.withColumn(name, s))
 
+    def assign(self, **kwargs) -> SparkFrame:
+        """pd.DataFrame.assign — add/replace columns from SparkSeries,
+        Columns, or callables taking the frame (evaluated in order, so
+        later kwargs may reference earlier ones, matching pandas)."""
+        out = self
+        for name, v in kwargs.items():
+            if callable(v) and not isinstance(v, (SparkSeries, F.Column)):
+                v = v(out)
+            out = out.set_column(name, v)
+        return out
+
+    def astype(self, dtype) -> SparkFrame:
+        """Per-column cast: a single dtype string for every column or a
+        {col: dtype} dict (pandas-style truncating int casts come from the
+        series layer's conventions — Spark cast truncates toward zero,
+        matching numpy)."""
+        mapping = (
+            dtype if isinstance(dtype, dict) else {c: dtype for c in self.columns}
+        )
+        out = self._df
+        for c, t in mapping.items():
+            t = {"int64": "long", "int32": "int", "float64": "double",
+                 "float32": "float", "str": "string", "object": "string",
+                 "bool": "boolean"}.get(str(t), str(t))
+            out = out.withColumn(c, F.col(c).cast(t))
+        return SparkFrame(out)
+
     def drop(self, columns: Sequence[str] | str) -> SparkFrame:
         cols = [columns] if isinstance(columns, str) else list(columns)
         return SparkFrame(self._df.drop(*cols))

@@ -428,6 +428,17 @@ class SparkSeries:
             out.select(IDX, F.col("__cs__").alias(VAL)), name=self.name
         )
 
+    def autocorr(self, lag: int = 1) -> float:
+        """pandas Series.autocorr — Pearson correlation with the
+        lag-shifted self. One boundary-context pass builds the pair;
+        F.corr's pairwise-complete null handling matches pandas."""
+        masked = self._df.select(
+            IDX, F.when(sexpr.notna(F.col(VAL), self._floating), F.col(VAL)).alias(VAL)
+        )
+        out = sorder.shifted(masked, [IDX], F.col(VAL), lag, "__sh__")
+        row = out.agg(F.corr(F.col(VAL), F.col("__sh__")).alias("c")).collect()[0]
+        return float("nan") if row["c"] is None else row["c"]
+
     def _scan(self, agg, combine, empty) -> SparkSeries:
         if self._floating:
             val = F.when(sexpr.notna(F.col(VAL), True), F.col(VAL))

@@ -809,3 +809,22 @@ def test_frame_melt(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["k", "variable", "value"]], exp)
+
+
+def test_assign_astype_autocorr(spark):
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 3.0, 4.0], "b": [10, 20, 30, 40]})
+    f = from_pandas(spark, pdf)
+    got = f.assign(c=lambda d: d["a"] + 1.0, d=lambda d: d["c"] * 2.0).to_pandas()
+    exp = pdf.assign(c=lambda d: d["a"] + 1.0, d=lambda d: d["c"] * 2.0)
+    pd.testing.assert_frame_equal(got[["a", "b", "c", "d"]], exp, check_dtype=False)
+
+    cast = f.astype({"b": "float64"}).to_pandas()
+    assert cast["b"].dtype == "float64"
+    cast2 = f.astype("float64").to_pandas()
+    assert cast2["a"].dtype == "float64" and cast2["b"].dtype == "float64"
+
+    rng = np.random.RandomState(2)
+    ps = pd.Series(rng.randn(200).cumsum())
+    s = from_pandas(spark, ps.to_frame("v"))["v"]
+    for lag in (1, 3):
+        assert s.autocorr(lag) == pytest.approx(ps.autocorr(lag), rel=1e-9)
