@@ -67,7 +67,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(
-                    F.when(F.col("supp_nation") == "CHINA", F.col("volume")).otherwise(
+                    F.when(F.col("supp_nation") == "NATION_9", F.col("volume")).otherwise(
                         F.lit(0)
                     )
                 ).cast("double")
@@ -98,7 +98,7 @@ oracle(
         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
     )
     SELECT o_year,
-           round(CAST(sum(CASE WHEN supp_nation = 'CHINA' THEN volume ELSE 0 END)
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume ELSE 0 END)
                       AS DOUBLE) / sum(volume), 6) AS mkt_share,
            sum(volume) / 100.0 AS total_volume
     FROM j GROUP BY o_year ORDER BY o_year
@@ -354,5 +354,106 @@ oracle(
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = g.c_custkey
                       AND o.o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY cntrycode ORDER BY cntrycode
+    """,
+)
+
+
+@query("q16_supplier_variety")
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier linkage via lineitem — the schema has no
+    partsupp): how many distinct suppliers ship each (brand, size) class,
+    excluding one brand and low-balance suppliers (anti-join). The
+    distinct-agg shuffles (brand, size, suppkey) triples once."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#3")
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+oracle(
+    "q16_supplier_variety",
+    """
+    SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand <> 'Brand#3'
+    WHERE l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+    )
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    """,
+)
+
+
+@query("q21_waiting_supplier")
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (lateness from ship-vs-order dates — no
+    commit/receipt dates in the schema): suppliers in one nation who were
+    the ONLY late shipper in a multi-supplier order. EXISTS (another
+    supplier in the order) + NOT EXISTS (another LATE supplier) become two
+    aggregated semi-join sides computed from ONE scan of the order-line
+    pairs."""
+    ord_ = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    pairs = li.join(
+        ord_.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    return (
+        pairs.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), pairs.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+oracle(
+    "q21_waiting_supplier",
+    """
+    WITH pairs AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+    ), per_order AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+        FROM pairs GROUP BY l_orderkey
+    )
+    SELECT s.s_name, count(DISTINCT p.l_orderkey) AS numwait
+    FROM pairs p
+    JOIN per_order po ON p.l_orderkey = po.l_orderkey
+    JOIN supplier s ON p.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_9'
+    WHERE p.late AND po.n_supp > 1 AND po.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
     """,
 )
