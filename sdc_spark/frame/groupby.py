@@ -112,6 +112,70 @@ class FrameGroupBy:
         )
         return SparkFrame(out)
 
+    def cumcount(self):
+        """groupby().cumcount() — 0-based position of each row within its
+        group (one hash shuffle, group-local window)."""
+        from pyspark.sql import Window as W
+
+        from sdc_spark.frame.core import SparkFrame
+
+        w = W.partitionBy(*self._keys).orderBy(IDX)
+        out = self._frame._df.select(
+            IDX,
+            *self._keys,
+            (F.row_number().over(w) - 1).alias("cumcount"),
+        )
+        return SparkFrame(out)
+
+    def rank(self, method: str = "average", ascending: bool = True):
+        """groupby().rank() — pandas per-group value ranks (average / min /
+        max / dense / first), NaN/null keeps null. Group-local windows, one
+        hash shuffle."""
+        from pyspark.sql import Window as W
+
+        from sdc_spark.frame.core import SparkFrame
+
+        if method not in ("average", "min", "max", "dense", "first"):
+            raise ValueError(f"unsupported rank method {method!r}")
+        cols = self._value_cols()
+        base = self._frame._df
+        floats = {c for c, t in base.dtypes if t in ("double", "float")}
+        # NaN -> null so missing values form one group; nulls-LAST order
+        # keys so missing values never consume the leading ranks
+        clean = base.select(
+            IDX,
+            *self._keys,
+            *[
+                (
+                    F.when(~F.isnan(c) & F.col(c).isNotNull(), F.col(c))
+                    if c in floats
+                    else F.col(c)
+                ).alias(c)
+                for c in cols
+            ],
+        )
+        sel = [IDX, *self._keys]
+        for c in cols:
+            key = (
+                F.col(c).asc_nulls_last() if ascending else F.col(c).desc_nulls_last()
+            )
+            w = W.partitionBy(*self._keys).orderBy(key)
+            wv = W.partitionBy(*self._keys, F.col(c))
+            if method == "dense":
+                rk = F.dense_rank().over(w).cast("double")
+            elif method == "min":
+                rk = F.rank().over(w).cast("double")
+            elif method == "max":
+                rk = (F.rank().over(w) + F.count(F.lit(1)).over(wv) - 1).cast("double")
+            elif method == "first":
+                rk = F.row_number().over(w).cast("double")
+            else:  # average of min..max rank for ties
+                rk = (
+                    F.rank().over(w) + (F.count(F.lit(1)).over(wv) - 1) / 2.0
+                ).cast("double")
+            sel.append(F.when(F.col(c).isNotNull(), rk).alias(c))
+        return SparkFrame(clean.select(*sel))
+
     def shift(self, periods: int = 1):
         """groupby().shift() — lag/lead within each group."""
         fn = (

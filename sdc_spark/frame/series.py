@@ -428,6 +428,23 @@ class SparkSeries:
             out.select(IDX, F.col("__cs__").alias(VAL)), name=self.name
         )
 
+    def _monotonic(self, increasing: bool) -> bool:
+        """One boundary-context pass: any adjacent inversion (or missing
+        value — pandas returns False then) anywhere falsifies."""
+        out = sorder.shifted(self._df, [IDX], F.col(VAL), 1, "__sh__")
+        inv = F.col(VAL) < F.col("__sh__") if increasing else F.col(VAL) > F.col("__sh__")
+        bad = F.when(~sexpr.notna(F.col(VAL), self._floating), True).otherwise(inv)
+        row = out.agg(F.count(F.when(bad, 1)).alias("n")).collect()[0]
+        return row["n"] == 0
+
+    @property
+    def is_monotonic_increasing(self) -> bool:
+        return self._monotonic(True)
+
+    @property
+    def is_monotonic_decreasing(self) -> bool:
+        return self._monotonic(False)
+
     def autocorr(self, lag: int = 1) -> float:
         """pandas Series.autocorr — Pearson correlation with the
         lag-shifted self. One boundary-context pass builds the pair;

@@ -828,3 +828,34 @@ def test_assign_astype_autocorr(spark):
     s = from_pandas(spark, ps.to_frame("v"))["v"]
     for lag in (1, 3):
         assert s.autocorr(lag) == pytest.approx(ps.autocorr(lag), rel=1e-9)
+
+
+def test_groupby_cumcount_rank(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "b", "a", "a", "b", "b", "a"],
+            "v": [3.0, 1.0, 3.0, float("nan"), 2.0, 1.0, 5.0],
+        }
+    )
+    f = from_pandas(spark, pdf)
+    got_cc = f.groupby("k").cumcount().to_pandas()["cumcount"].tolist()
+    exp_cc = pdf.groupby("k").cumcount().tolist()
+    assert got_cc == exp_cc
+    for method in ("average", "min", "max", "dense", "first"):
+        got = f.groupby("k").rank(method=method).to_pandas()["v"]
+        exp = pdf.groupby("k")["v"].rank(method=method)
+        assert got.fillna(-1).tolist() == exp.fillna(-1).tolist(), method
+    got_d = f.groupby("k").rank(ascending=False).to_pandas()["v"]
+    exp_d = pdf.groupby("k")["v"].rank(ascending=False)
+    assert got_d.fillna(-1).tolist() == exp_d.fillna(-1).tolist()
+
+
+def test_is_monotonic(spark):
+    inc = pd.Series([1.0, 2.0, 2.0, 5.0])
+    dec = pd.Series([9.0, 4.0, 4.0, 1.0])
+    wob = pd.Series([1.0, 3.0, 2.0])
+    nan = pd.Series([1.0, float("nan"), 3.0])
+    for ps, up, dn in [(inc, True, False), (dec, False, True), (wob, False, False), (nan, False, False)]:
+        s = from_pandas(spark, ps.to_frame("v"))["v"]
+        assert s.is_monotonic_increasing == up
+        assert s.is_monotonic_decreasing == dn
