@@ -12,6 +12,7 @@ scalars (the reference returns numpy scalars). Order-dependent ops
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 import pandas as pd
@@ -787,6 +788,11 @@ class SparkSeries:
     # isnull/notnull/ndim/shape/index/values/describe) ----------------------
 
     @property
+    def T(self) -> SparkSeries:  # noqa: N802  (pandas attribute name)
+        """Series transpose is the identity (ref …series_functions.py T)."""
+        return self
+
+    @property
     def ndim(self) -> int:
         return 1
 
@@ -1036,6 +1042,25 @@ class _StrAccessor:
 
     def replace(self, pat, repl, regex=False):
         return self._wrap(lambda c: sstr.replace(c, pat, repl, regex))
+
+    def split(self, pat: str | None = None, regex: bool = False):
+        """pandas str.split -> array<string> series (ref str_ext.py:125-214
+        scalar split lifted elementwise). Default pat=None splits on
+        whitespace runs with empty-edge trimming, like CPython str.split."""
+        s = self._s
+
+        def f(c):
+            if pat is None:
+                return F.split(F.trim(c), r"\s+")
+            p = pat if regex else re.escape(pat)
+            return F.split(c, p)
+
+        return s._unary(f, floating=False)
+
+    def join(self, sep: str):
+        """pandas str.join over an array-of-strings series (complement of
+        split; ref str_ext.py:261-276)."""
+        return self._s._unary(lambda c: F.array_join(c, sep), floating=False)
 
     def ljust(self, width, fillchar=" "):
         return self._wrap(lambda c: sstr.ljust(c, width, fillchar))

@@ -859,3 +859,17 @@ def test_is_monotonic(spark):
         s = from_pandas(spark, ps.to_frame("v"))["v"]
         assert s.is_monotonic_increasing == up
         assert s.is_monotonic_decreasing == dn
+
+
+def test_str_split_join_T(spark):
+    ps = pd.Series(["a b  c", "x y", " lead trail "])
+    s = from_pandas(spark, ps.to_frame("v"))["v"]
+    got = s.str.split().to_pandas().map(list).tolist()
+    exp = ps.str.split().tolist()
+    assert got == exp
+    got2 = s.str.split(" ").to_pandas().map(list).tolist()
+    exp2 = ps.str.split(" ").tolist()
+    assert got2 == exp2
+    joined = s.str.split().str.join("-").to_pandas().tolist()
+    assert joined == ps.str.split().str.join("-").tolist()
+    assert s.T is s
