@@ -12,4 +12,4 @@ import sdc_spark.plans.streaming_q  # noqa: F401
 import sdc_spark.plans.tpch_like  # noqa: F401
 import sdc_spark.plans.tpch_more  # noqa: F401
 import sdc_spark.plans.window  # noqa: F401
-from sdc_spark.plans import tpch_wide  # noqa: F401
+from sdc_spark.plans import tpch_final, tpch_wide  # noqa: F401
