@@ -174,6 +174,66 @@ def pii_scrub(x) -> Column:
     return c
 
 
+# -- Gopher-style rule filter (extension: training-data quality gates) ------
+
+# Thresholds follow the published Gopher/MassiveText rules, adapted to the
+# single-line synthetic corpus (the line-shape rules — bullet/ellipsis line
+# fractions — are meaningless on one-line docs and are omitted).
+GOPHER_RULES = {
+    "min_words": 30,
+    "max_words": 50_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "min_alpha_word_frac": 0.8,
+    "min_stop_hits": 2,
+}
+
+
+def gopher_flags(x) -> dict[str, Column]:
+    """Per-document pass/fail booleans for each Gopher-style rule, as pure
+    array/regex expressions (codegen; zero shuffle — a row-local map).
+
+    The word list is materialized once per row via ``split``; every rule
+    reads the same array expression, which Catalyst keeps in one
+    projection (CollapseProject does not inline multi-referenced non-cheap
+    aliases)."""
+    c = F.trim(_c(x))
+    words = F.split(c, r"\s+")
+    n_words = F.when(F.length(c) == 0, F.lit(0)).otherwise(F.size(words))
+    mean_wl = F.try_divide(
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).cast("double"),
+        n_words.cast("double"),
+    )
+    n_symbol = F.regexp_count(c, F.lit(r"#|\.\.\."))
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = _marker_hits(c, LANG_MARKERS["en"])
+    r = GOPHER_RULES
+    return {
+        "ok_word_count": (n_words >= r["min_words"]) & (n_words <= r["max_words"]),
+        "ok_mean_word_len": (mean_wl >= r["min_mean_word_len"])
+        & (mean_wl <= r["max_mean_word_len"]),
+        "ok_symbol_ratio": F.try_divide(n_symbol.cast("double"), n_words.cast("double"))
+        < r["max_symbol_word_ratio"],
+        "ok_alpha_words": F.try_divide(
+            n_alpha_words.cast("double"), n_words.cast("double")
+        )
+        >= r["min_alpha_word_frac"],
+        "ok_stopwords": n_stop >= r["min_stop_hits"],
+    }
+
+
+def gopher_keep(x) -> Column:
+    """AND of every Gopher rule — the document-level keep decision."""
+    flags = gopher_flags(x)
+    keep = F.lit(True)
+    for f in flags.values():
+        keep = keep & F.coalesce(f, F.lit(False))
+    return keep
+
+
 # -- repetition signals (extension: Gopher/C4-style quality filters) --------
 
 

@@ -88,3 +88,61 @@ def sample_stratified(
         .filter(F.col("__rk__") <= n_per_stratum)
         .drop("__rk__")
     )
+
+
+def resample_to_mix(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    target_weights: dict[str, float],
+) -> DataFrame:
+    """Deterministic importance resampling to a target source mix: each
+    stratum s is downsampled with keep-probability
+    ``p_s = min(1, (target_share_s / actual_share_s))`` so the kept corpus
+    approaches the requested mix (strata already under-represented are
+    kept whole — this operator never upsamples).
+
+    The keep decision is a pure function of the row id: a row is kept when
+    the first 8 hex digits of md5(id) fall below ``floor(p_s * 2^32)``
+    (fixed-width hex strings compare like the underlying integers). That
+    makes the sample reproducible across engines, partitionings, and
+    retries — no RNG state — and SQL-oracle-able.
+
+    Scale shape: actual shares are ONE tiny aggregate (one row per
+    stratum) broadcast back; the filter itself is a row-local map. Total
+    cost = one map-side-combined count + one broadcast-join scan; no
+    shuffle of the corpus.
+    """
+    total_w = sum(target_weights.values())
+    tw = F.create_map(
+        *[
+            x
+            for k, v in sorted(target_weights.items())
+            for x in (F.lit(k), F.lit(v / total_w))
+        ]
+    )
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n_s__"))
+    totals = counts.agg(F.sum("__n_s__").alias("__n__"))
+    shares = counts.join(F.broadcast(totals)).select(
+        strata_col,
+        F.least(
+            F.lit(1.0),
+            F.try_divide(
+                tw[F.col(strata_col)],
+                F.col("__n_s__").cast("double") / F.col("__n__"),
+            ),
+        ).alias("__p__"),
+    )
+    thresh = F.lpad(
+        F.lower(F.hex(F.floor(F.col("__p__") * F.lit(4294967296.0)).cast("long"))),
+        9,
+        "0",
+    )
+    u = F.lpad(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8), 9, "0"
+    )
+    return (
+        df.join(F.broadcast(shares), strata_col)
+        .filter(u < thresh)
+        .drop("__p__")
+    )

@@ -184,6 +184,105 @@ def ivf_assign(
     )
 
 
+def ivf_centroids(v: DataFrame, n_cells: int) -> DataFrame:
+    """Deterministic, model-free IVF codebook over a ``(nid, nvec, nrm)``
+    frame: seeds are the n_cells vectors with the smallest xxhash64(id)
+    (a reproducible pseudo-random sample), sharpened by ONE Lloyd step
+    (element-wise mean per cell via posexplode — a hash aggregation, no
+    per-row Python). The result is dim·n_cells doubles — broadcast-sized
+    at any corpus scale."""
+    seeds = (
+        v.withColumn("h", F.xxhash64("nid"))
+        .orderBy("h", "nid")
+        .limit(n_cells)
+        .select(
+            # unpartitioned window is safe here: it runs on the post-limit
+            # n_cells-row frame, not the corpus
+            F.row_number().over(W.orderBy("h", "nid")).alias("cell"),
+            F.col("nvec").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    assigned0 = ivf_assign(v, seeds, "nid", "nvec")
+    return (
+        assigned0.select("cell", F.posexplode("nvec").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("cvec")
+        )
+        .withColumn("cnrm", norm(F.col("cvec")))
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding space
+    with the deterministic IVF codebook, then mark as duplicates the
+    members of each cell whose cosine similarity to a LOWER-id member of
+    the same cell exceeds ``threshold`` (keep-lowest-id, the same
+    canonical survivor rule as the text dedup family).
+
+    Scale shape: the quadratic step is confined to single cells — with
+    n_cells sized ~N/target_cell_size the expected work is
+    Σ O(cell²) ≈ N·target_cell_size, not O(N²); the cell join is one hash
+    partition by cell id. Cross-cell near-duplicates at the Voronoi
+    boundary are the recall price of the blocking (identical to IVF's
+    nprobe trade-off); raise recall by lowering n_cells.
+
+    Returns (id, cell, is_dup, dup_of) — ``dup_of`` is the lowest-id
+    near-neighbor for dropped rows, null for survivors.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    centroids = ivf_centroids(v, n_cells)
+    assigned = ivf_assign(v, centroids, "nid", "nvec")
+    a = assigned.select(
+        F.col("cell"),
+        F.col("nid").alias("aid"),
+        F.col("nvec").alias("avec"),
+        F.col("nrm").alias("anrm"),
+    )
+    b = assigned.select(
+        F.col("cell"),
+        F.col("nid").alias("bid"),
+        F.col("nvec").alias("bvec"),
+        F.col("nrm").alias("bnrm"),
+    )
+    dup_pairs = (
+        a.join(b, "cell")
+        .filter(F.col("aid") < F.col("bid"))
+        .filter(
+            F.try_divide(
+                dot(F.col("avec"), F.col("bvec")), F.col("anrm") * F.col("bnrm")
+            )
+            > threshold
+        )
+        .groupBy("bid")
+        .agg(F.min("aid").alias("dup_of"))
+    )
+    return (
+        assigned.join(dup_pairs, assigned.nid == dup_pairs.bid, "left")
+        .select(
+            F.col("nid").alias(id_col),
+            "cell",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )
+
+
 def ann_ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -216,31 +315,7 @@ def ann_ivf_topk(
         norm(F.col(vec_col)).alias("qnrm"),
     )
 
-    seeds = (
-        v.withColumn("h", F.xxhash64("nid"))
-        .orderBy("h", "nid")
-        .limit(n_cells)
-        .select(
-            # unpartitioned window is safe here: it runs on the post-limit
-            # n_cells-row frame, not the corpus
-            F.row_number().over(W.orderBy("h", "nid")).alias("cell"),
-            F.col("nvec").alias("cvec"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
-    assigned0 = ivf_assign(v, seeds, "nid", "nvec")
-    centroids = (
-        assigned0.select("cell", F.posexplode("nvec").alias("pos", "x"))
-        .groupBy("cell", "pos")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
-            ).alias("cvec")
-        )
-        .withColumn("cnrm", norm(F.col("cvec")))
-    )
+    centroids = ivf_centroids(v, n_cells)
     assigned = ivf_assign(v, centroids, "nid", "nvec")
 
     qscored = q.crossJoin(F.broadcast(centroids)).select(

@@ -5,6 +5,7 @@ import sdc_spark.plans.extended  # noqa: F401
 import sdc_spark.plans.groupby  # noqa: F401
 import sdc_spark.plans.joins  # noqa: F401
 import sdc_spark.plans.llm_data  # noqa: F401
+import sdc_spark.plans.llm_data2  # noqa: F401
 import sdc_spark.plans.relational  # noqa: F401
 import sdc_spark.plans.scalar  # noqa: F401
 import sdc_spark.plans.series_api  # noqa: F401

@@ -1,0 +1,247 @@
+r"""Second batch of LLM-training-data-pipeline queries: Gopher-rule
+quality gating, corpus vocabulary building, token-length histograms,
+deterministic source-mix resampling, and SemDeDup-style semantic
+deduplication over the embedding table.
+
+Everything except ``semantic_dedup`` is exactly SQL-oracle-able (the
+keep decisions are pure functions of row content — no RNG anywhere);
+``semantic_dedup`` depends on xxhash64-seeded clustering that DuckDB
+cannot replicate, so it gets the rows-only check plus a semantic pytest
+(every flagged duplicate really is above-threshold cosine to its
+survivor: tests/test_llm_data2.py).
+
+Scale shapes are inherited from the operators (see their docstrings):
+the quality/vocab/histogram queries are row-local maps feeding
+map-side-combined aggregates; the resampler broadcasts one row per
+source; semantic dedup confines its quadratic step to IVF cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdc_spark.functions import text as stext
+from sdc_spark.operators.curation import resample_to_mix
+from sdc_spark.operators.dedup import normalized_text
+from sdc_spark.operators.similarity import semantic_dedup
+from sdc_spark.plans.registry import oracle, query
+from sdc_spark.sources.readers import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+@query("text_gopher_filter")
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText rule gate: per-source document counts, per-rule
+    failure counts, and the kept fraction. One row-local projection into
+    one map-side-combined aggregate — zero corpus shuffle."""
+    doc = _t(spark, sf_dir, "documents")
+    flags = stext.gopher_flags("text")
+    flagged = doc.select(
+        "source",
+        *[v.alias(k) for k, v in flags.items()],
+        stext.gopher_keep("text").alias("keep"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            *[
+                F.sum((~F.coalesce(F.col(k), F.lit(False))).cast("long")).alias(
+                    f"fail_{k[3:]}"
+                )
+                for k in flags
+            ],
+        )
+        .orderBy("source")
+    )
+
+
+oracle(
+    "text_gopher_filter",
+    r"""
+    WITH f AS (
+        SELECT source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+               list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                       w -> length(w))) AS sum_wl,
+               len(regexp_extract_all(trim(text), '#|\.\.\.')) AS n_symbol,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+               len(regexp_extract_all(
+                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                   '(^| )(the|and|of|to|is|with)( |$)')) AS n_stop
+        FROM documents
+    ), r AS (
+        SELECT source,
+               (n_words >= 30 AND n_words <= 50000) AS ok_word_count,
+               (CAST(sum_wl AS DOUBLE) / n_words >= 3.0
+                AND CAST(sum_wl AS DOUBLE) / n_words <= 10.0) AS ok_mean_word_len,
+               (CAST(n_symbol AS DOUBLE) / n_words < 0.1) AS ok_symbol_ratio,
+               (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8) AS ok_alpha_words,
+               (n_stop >= 2) AS ok_stopwords
+        FROM f
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN coalesce(ok_word_count, FALSE)
+                     AND coalesce(ok_mean_word_len, FALSE)
+                     AND coalesce(ok_symbol_ratio, FALSE)
+                     AND coalesce(ok_alpha_words, FALSE)
+                     AND coalesce(ok_stopwords, FALSE)
+                    THEN 1 ELSE 0 END) AS n_keep,
+           sum(CASE WHEN coalesce(ok_word_count, FALSE) THEN 0 ELSE 1 END) AS fail_word_count,
+           sum(CASE WHEN coalesce(ok_mean_word_len, FALSE) THEN 0 ELSE 1 END) AS fail_mean_word_len,
+           sum(CASE WHEN coalesce(ok_symbol_ratio, FALSE) THEN 0 ELSE 1 END) AS fail_symbol_ratio,
+           sum(CASE WHEN coalesce(ok_alpha_words, FALSE) THEN 0 ELSE 1 END) AS fail_alpha_words,
+           sum(CASE WHEN coalesce(ok_stopwords, FALSE) THEN 0 ELSE 1 END) AS fail_stopwords
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+
+
+@query("text_vocab_topk")
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: normalized-token frequencies, top 100 by
+    (count desc, token asc) — a fully-ordered deterministic cutoff. The
+    token explosion partial-aggregates map-side; the top-k is
+    TakeOrderedAndProject over one row per distinct token, never a full
+    sort of the corpus."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select(
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(100)
+    )
+
+
+oracle(
+    "text_vocab_topk",
+    r"""
+    SELECT token, count(*) AS n
+    FROM (
+        SELECT unnest(string_split(
+            regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS token
+        FROM documents
+    )
+    WHERE length(token) > 0
+    GROUP BY token ORDER BY n DESC, token LIMIT 100
+    """,
+)
+
+
+@query("doc_length_histogram")
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram in log2 buckets — the standard corpus-shape
+    diagnostic before packing/truncation decisions. Bucket is a row-local
+    expression; one tiny aggregate; integer-over-integer fraction."""
+    doc = _t(spark, sf_dir, "documents")
+    n_tok = stext.ws_token_count("text")
+    bucketed = doc.select(
+        F.floor(F.log2(n_tok.cast("double") + F.lit(1.0))).cast("int").alias("bucket"),
+        n_tok.alias("n_tokens"),
+    )
+    total = bucketed.agg(F.count(F.lit(1)).alias("__total__"))
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_docs",
+            "min_tokens",
+            "max_tokens",
+            (F.col("n_docs").cast("double") / F.col("__total__")).alias("frac"),
+        )
+        .orderBy("bucket")
+    )
+
+
+oracle(
+    "doc_length_histogram",
+    r"""
+    WITH b AS (
+        SELECT CAST(floor(log2(CAST(n AS DOUBLE) + 1.0)) AS INT) AS bucket, n
+        FROM (
+            SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+            FROM documents
+        )
+    )
+    SELECT bucket, count(*) AS n_docs, min(n) AS min_tokens, max(n) AS max_tokens,
+           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM b) AS frac
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+
+
+# Deliberately non-uniform target mix over the 20 uniform sources: srcN
+# gets weight (N % 3) + 1 — so a third of the sources are downsampled to
+# ~1/2 and a third to ~1/3 of their natural share.
+_MIX = {f"src{i}": float(i % 3 + 1) for i in range(20)}
+
+
+@query("sample_source_mix")
+def sample_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance resampling to a target source mix
+    (md5-threshold keep decision — reproducible across engines and
+    retries). Returns per-source kept counts."""
+    doc = _t(spark, sf_dir, "documents")
+    kept = resample_to_mix(doc, "source", "doc_id", _MIX)
+    return (
+        kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("source")
+    )
+
+
+_MIX_ROWS = " UNION ALL ".join(
+    f"SELECT 'src{i}' AS m_source, {float(i % 3 + 1) / sum(_MIX.values())!r} AS tshare"
+    for i in range(20)
+)
+
+oracle(
+    "sample_source_mix",
+    rf"""
+    WITH mix AS ({_MIX_ROWS}),
+    counts AS (
+        SELECT source, count(*) AS n_s FROM documents GROUP BY source
+    ),
+    shares AS (
+        SELECT c.source,
+               least(1.0, m.tshare / (CAST(c.n_s AS DOUBLE)
+                                      / (SELECT sum(n_s) FROM counts))) AS p
+        FROM counts c JOIN mix m ON c.source = m.m_source
+    )
+    SELECT d.source, count(*) AS n_kept
+    FROM documents d JOIN shares s ON d.source = s.source
+    WHERE lpad(substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8), 9, '0')
+          < lpad(lower(to_hex(CAST(floor(s.p * 4294967296.0) AS BIGINT))), 9, '0')
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+
+
+@query("semantic_dedup")
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding-space dedup: IVF-cell blocking confines
+    the pairwise step; keep-lowest-id survivor rule. Engine-specific
+    clustering (xxhash64 seeds) → rows-only driver check; the semantic
+    guarantees are pinned by tests/test_llm_data2.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        semantic_dedup(emb, "vec_id", "embedding", n_cells=16, threshold=0.4)
+        .select("vec_id", "cell", "is_dup", "dup_of")
+        .orderBy("vec_id")
+    )
