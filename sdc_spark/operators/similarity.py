@@ -247,7 +247,10 @@ def semantic_dedup(
         norm(F.col(vec_col)).alias("nrm"),
     )
     centroids = ivf_centroids(v, n_cells)
-    assigned = ivf_assign(v, centroids, "nid", "nvec")
+    # The assignment feeds three plan branches (both pair sides + the final
+    # verdict join); materialize it once so the seed/assign pipeline doesn't
+    # re-run per branch (observed 9 corpus scans without this).
+    assigned = ivf_assign(v, centroids, "nid", "nvec").localCheckpoint(eager=True)
     a = assigned.select(
         F.col("cell"),
         F.col("nid").alias("aid"),

@@ -150,15 +150,16 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.log2(n_tok.cast("double") + F.lit(1.0))).cast("int").alias("bucket"),
         n_tok.alias("n_tokens"),
     )
-    total = bucketed.agg(F.count(F.lit(1)).alias("__total__"))
+    per = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+    # total derived from the already-aggregated buckets — ONE corpus pass,
+    # the second aggregate runs on a handful of rows
+    total = per.agg(F.sum("n_docs").alias("__total__"))
     return (
-        bucketed.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("n_tokens").alias("min_tokens"),
-            F.max("n_tokens").alias("max_tokens"),
-        )
-        .join(F.broadcast(total))
+        per.join(F.broadcast(total))
         .select(
             "bucket",
             "n_docs",

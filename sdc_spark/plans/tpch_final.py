@@ -207,7 +207,9 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     return (
         supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .join(heavy_supp, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(
+            F.broadcast(heavy_supp), supp.s_suppkey == F.col("l_suppkey"), "left_semi"
+        )
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
