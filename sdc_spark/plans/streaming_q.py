@@ -118,3 +118,46 @@ oracle(
     FROM panes GROUP BY 1, 2
     """,
 )
+
+
+@query("stream_anomaly_zscore")
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running z-score anomaly detection, batch twin of the stateful
+    streaming operator (streaming/stateful.py:anomaly_zscore — Welford
+    state, O(keys) memory). Each event scored against the user's PRIOR
+    events only; one shuffle on user_id."""
+    from sdc_spark.streaming.stateful import anomaly_zscore_batch
+
+    ev = read_table(spark, sf_dir, "events")
+    out = anomaly_zscore_batch(ev, z_threshold=2.5, min_prior=5)
+    return out.select(
+        "user_id",
+        "event_id",
+        "n_prior",
+        F.round("zscore", 4).alias("zscore"),
+        "is_anomaly",
+    )
+
+
+oracle(
+    "stream_anomaly_zscore",
+    """
+    WITH w AS (
+        SELECT user_id, event_id,
+               count(value) OVER pw AS n_prior,
+               avg(value) OVER pw AS pmean,
+               stddev_samp(value) OVER pw AS pstd,
+               value
+        FROM events
+        WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, n_prior,
+           round(CASE WHEN n_prior >= 5 AND pstd > 0.0
+                      THEN (value - pmean) / pstd END, 4) AS zscore,
+           coalesce(CASE WHEN n_prior >= 5 AND pstd > 0.0
+                         THEN abs((value - pmean) / pstd) > 2.5 END,
+                    FALSE) AS is_anomaly
+    FROM w
+    """,
+)

@@ -49,3 +49,96 @@ def running_ema(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- running z-score anomaly detection --------------------------------------
+
+ANOM_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, ts timestamp, value double, "
+    "n_prior long, zscore double, is_anomaly boolean"
+)
+ANOM_STATE_SCHEMA = "n long, mean double, m2 double"
+
+
+def _anomaly_fn(z_threshold: float, min_prior: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        out = []
+        for pdf in pdfs:
+            for r in pdf.sort_values(["ts", "event_id"]).itertuples():
+                v = float(r.value)
+                # score against PRIOR events only (the batch twin's
+                # unboundedPreceding..-1 frame), then Welford-update
+                if n >= min_prior and m2 > 0.0:
+                    std = (m2 / (n - 1)) ** 0.5
+                    z = (v - mean) / std
+                else:
+                    z = None
+                out.append(
+                    (user_id, r.event_id, r.ts, v, n, z,
+                     bool(z is not None and abs(z) > z_threshold))
+                )
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "event_id", "ts", "value",
+                "n_prior", "zscore", "is_anomaly",
+            ],
+        )
+
+    return fn
+
+
+def anomaly_zscore(
+    stream: DataFrame, z_threshold: float = 3.0, min_prior: int = 5
+) -> DataFrame:
+    """Per-user streaming anomaly detection: each event is z-scored against
+    the running (Welford) mean/std of that user's PRIOR events; state is
+    three scalars per key, so memory is O(keys) regardless of stream
+    length. Batch twin: ``anomaly_zscore_batch`` (exact same frame
+    semantics via an unboundedPreceding..-1 window)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _anomaly_fn(z_threshold, min_prior),
+        outputStructType=ANOM_OUTPUT_SCHEMA,
+        stateStructType=ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def anomaly_zscore_batch(
+    df: DataFrame, z_threshold: float = 3.0, min_prior: int = 5
+) -> DataFrame:
+    """Batch twin of ``anomaly_zscore``: per-user prior-window mean/std via
+    one shuffle on user_id (SQL-oracled in plans/streaming_q.py)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    mean = F.avg("value").over(w)
+    std = F.stddev_samp("value").over(w)
+    n_prior = F.count("value").over(w)
+    z = F.when(
+        (n_prior >= min_prior) & (std > 0.0), (F.col("value") - mean) / std
+    )
+    return df.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("value").cast("double").alias("value"),
+        n_prior.alias("n_prior"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
+    )

@@ -171,3 +171,28 @@ def test_sliding_stream_matches_batch(spark, events_stream_dir):
     assert got_m, "stream emitted nothing"
     assert all(got_m[k] == exp_m[k] for k in got_m)
     assert len(got_m) >= 0.8 * len(exp_m)
+
+
+def test_stateful_anomaly_zscore_matches_batch(spark, events_stream_dir):
+    """The Welford streaming scorer must agree with the window batch twin
+    on every (user, event) it emits — state carries across micro-batches,
+    so run availableNow over the whole directory and compare exactly."""
+    from sdc_spark.streaming.stateful import anomaly_zscore, anomaly_zscore_batch
+
+    batch_df = spark.read.parquet(events_stream_dir)
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(events_stream_dir)
+
+    got = _run_stream(
+        spark, anomaly_zscore(stream_df, 2.5, 5), "anom_out", mode="append"
+    ).collect()
+    exp = anomaly_zscore_batch(batch_df, 2.5, 5).collect()
+
+    def zkey(z):
+        return None if z is None else round(z, 6)
+
+    got_m = {(r.user_id, r.event_id): (r.n_prior, zkey(r.zscore), r.is_anomaly) for r in got}
+    exp_m = {(r.user_id, r.event_id): (r.n_prior, zkey(r.zscore), r.is_anomaly) for r in exp}
+    assert len(got_m) == len(exp_m)
+    mismatched = [k for k in exp_m if got_m.get(k) != exp_m[k]]
+    assert not mismatched, f"{len(mismatched)} mismatches, e.g. {mismatched[:3]}"
+    assert any(v[2] for v in got_m.values()), "no anomalies flagged at z=2.5"
