@@ -290,3 +290,48 @@ oracle(
     SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
     """,
 )
+
+
+@query("src_read_json")
+def src_read_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source round-trip: materialize events as ndjson once,
+    read back through read_json with an explicit schema (no inference
+    pass), aggregate per event_type. Oracle runs on the original parquet."""
+    from sdc_spark.sources.readers import read_json
+    from sdc_spark.sources.writers import to_json
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/sdc_spark_json_{tag}/events"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.col("ts").cast("string").alias("ts"),
+        )
+        to_json(ev, path)
+    df = read_json(
+        spark,
+        path,
+        schema="event_id long, user_id long, event_type string, value double, ts string",
+        usecols=["event_type", "value", "ts"],
+        parse_dates=["ts"],
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+
+
+oracle(
+    "src_read_json",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value,
+           min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+    FROM events GROUP BY event_type
+    """,
+)

@@ -288,3 +288,42 @@ def read_binary_files(spark: SparkSession, path: str) -> DataFrame:
     returns (path, modificationTime, length, content) rows; the multimodal
     operators (sdc_spark.operators.multimodal) decode ``content``."""
     return spark.read.format("binaryFile").load(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: str | T.StructType | None = None,
+    usecols: Sequence[str] | None = None,
+    dtype: Mapping[str, str | T.DataType] | None = None,
+    parse_dates: Sequence[str] | None = None,
+    lines: bool = True,
+) -> DataFrame:
+    """JSON-lines reader with the same parameter conventions as
+    ``read_csv`` (the reference has no JSON source — this rounds out the
+    §2.1 source family with Spark's native scanner).
+
+    - explicit ``schema`` (DDL string or StructType) skips the inference
+      pass — ALWAYS pass one in production: schema inference reads the
+      data twice and samples nondeterministically on dirty corpora;
+    - ``usecols`` prunes columns (reaches the scan);
+    - ``dtype``/``parse_dates`` are post-read casts, as in read_csv;
+    - ``lines=False`` reads multiLine JSON arrays (one JSON doc per file —
+      NOT splittable; at scale keep ndjson).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if not lines:
+        reader = reader.option("multiLine", "true")
+    df = reader.json(path)
+    if usecols is not None:
+        df = df.select(*usecols)
+    if dtype:
+        for c, dt in dtype.items():
+            if c in df.columns:
+                df = df.withColumn(c, F.col(c).cast(_spark_type(dt)))
+    for c in parse_dates or []:
+        if c in df.columns:
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    return df

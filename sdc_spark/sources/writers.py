@@ -54,3 +54,8 @@ def to_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def to_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ndjson writer (one JSON object per line — the splittable layout)."""
+    df.write.mode(mode).json(path)
