@@ -11,6 +11,7 @@ from collections.abc import Sequence
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as _W
 from pyspark.sql import functions as F
 
 from sdc_spark.frame.series import IDX, VAL, SparkSeries
@@ -372,6 +373,25 @@ class SparkFrame:
             agg_idx, *[pick(F.col(c), F.col(IDX)).alias(c) for c in others]
         )
         return SparkFrame(kept.select(IDX, *self.columns))
+
+    def duplicated(self, subset: Sequence[str] | None = None, keep: str | bool = "first"):
+        """pandas df.duplicated: boolean series flagging rows whose
+        subset-key was seen before ('first'/'last' resolve as min/max
+        __index__, as in drop_duplicates; keep=False flags whole >1
+        groups). Shuffles (keys, index) only — never the wide rows."""
+        from sdc_spark.frame.series import VAL, SparkSeries
+
+        keys = list(subset) if subset else self.columns
+        slim = self._df.select(IDX, *keys)
+        # window over the key partition: nulls group together (pandas
+        # duplicated() semantics — NaN keys duplicate each other)
+        w = _W.partitionBy(*keys)
+        if keep is False:
+            flag = F.count(F.lit(1)).over(w) > 1
+        else:
+            pick = F.min if keep == "first" else F.max
+            flag = F.col(IDX) != pick(F.col(IDX)).over(w)
+        return SparkSeries(slim.select(F.col(IDX), flag.alias(VAL)), name=None, floating=False)
 
     def nlargest(self, n: int, columns: str | Sequence[str]) -> SparkFrame:
         cols = [columns] if isinstance(columns, str) else list(columns)

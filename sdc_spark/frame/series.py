@@ -908,6 +908,25 @@ class SparkSeries:
             kept.select(IDX, VAL), name=self.name, floating=self._floating
         )
 
+    def duplicated(self, keep: str | bool = "first") -> SparkSeries:
+        """pandas series.duplicated: boolean series flagging repeated
+        values. 'first'/'last' keep the min/max-index occurrence unflagged
+        (the deterministic stand-in for encounter order, as in
+        drop_duplicates); keep=False flags every member of a >1 group.
+        One hash shuffle on the value; the join back ships (value, index)
+        pairs only."""
+        w = W.partitionBy(VAL)
+        if keep is False:
+            flag = F.count(F.lit(1)).over(w) > 1
+        else:
+            pick = F.min if keep == "first" else F.max
+            flag = F.col(IDX) != pick(IDX).over(w)
+        return SparkSeries(
+            self._df.select(F.col(IDX), flag.alias(VAL)),
+            name=self.name,
+            floating=False,
+        )
+
     def align(self, other: SparkSeries) -> tuple[SparkSeries, SparkSeries]:
         """Full-outer index alignment (ref common_functions.py
         _sdc_internal_join / series align)."""

@@ -146,3 +146,28 @@ def resample_to_mix(
         .filter(u < thresh)
         .drop("__p__")
     )
+
+
+def split_train_val_test(
+    df: DataFrame,
+    id_col: str,
+    val_frac: float = 0.01,
+    test_frac: float = 0.01,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the split of a row is a
+    pure function of md5(id) (same engine-portable uniform device as
+    resample_to_mix), so membership is stable across runs, engines, and
+    data re-partitioning — the property that keeps eval sets honest when
+    the corpus is rebuilt. Adds a ``split`` column; zero shuffle."""
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    scale = 4294967296.0
+    t_val = int(val_frac * scale)
+    t_test = int((val_frac + test_frac) * scale)
+    return df.withColumn(
+        "split",
+        F.when(u < t_val, F.lit("val"))
+        .when(u < t_test, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )

@@ -246,3 +246,90 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cell", "is_dup", "dup_of")
         .orderBy("vec_id")
     )
+
+
+@query("split_train_val_test")
+def split_train_val_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-hash dataset split (operators/curation.py) —
+    5% val / 5% test on doc_id; per-split counts and token totals."""
+    from sdc_spark.operators.curation import split_train_val_test
+
+    doc = _t(spark, sf_dir, "documents")
+    out = split_train_val_test(doc, "doc_id", val_frac=0.05, test_frac=0.05)
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(stext.ws_token_count("text")).alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+oracle(
+    "split_train_val_test",
+    r"""
+    WITH s AS (
+        SELECT CASE
+                 WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      < CAST(floor(0.05 * 4294967296.0) AS BIGINT) THEN 'val'
+                 WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      < CAST(floor(0.10 * 4294967296.0) AS BIGINT) THEN 'test'
+                 ELSE 'train' END AS split,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+        FROM documents
+    )
+    SELECT split, count(*) AS n_docs, sum(n_tok) AS n_tokens
+    FROM s GROUP BY split ORDER BY split
+    """,
+)
+
+
+@query("text_length_outliers")
+def text_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-outlier trimming: docs outside the source's exact
+    [p05, p95] token-length band are dropped. Quantiles are ONE tiny
+    per-source aggregate broadcast back — the classic two-pass trim with
+    no corpus shuffle."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id", "source", stext.ws_token_count("text").alias("n_tok")
+    )
+    bands = toks.groupBy("source").agg(
+        F.percentile(F.col("n_tok").cast("double"), 0.05).alias("p05"),
+        F.percentile(F.col("n_tok").cast("double"), 0.95).alias("p95"),
+    )
+    return (
+        toks.join(F.broadcast(bands), "source")
+        .filter((F.col("n_tok") >= F.col("p05")) & (F.col("n_tok") <= F.col("p95")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+        )
+        .orderBy("source")
+    )
+
+
+oracle(
+    "text_length_outliers",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+        FROM documents
+    ), bands AS (
+        SELECT source,
+               quantile_cont(CAST(n_tok AS DOUBLE), 0.05) AS p05,
+               quantile_cont(CAST(n_tok AS DOUBLE), 0.95) AS p95
+        FROM toks GROUP BY source
+    )
+    SELECT t.source, count(*) AS n_kept, min(n_tok) AS min_tok, max(n_tok) AS max_tok
+    FROM toks t JOIN bands b ON t.source = b.source
+    WHERE t.n_tok >= b.p05 AND t.n_tok <= b.p95
+    GROUP BY t.source ORDER BY t.source
+    """,
+)

@@ -305,3 +305,30 @@ oracle(
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
+
+
+@query("frame_duplicated")
+def frame_duplicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.duplicated / series.duplicated (pandas parity): flag repeat
+    (o_custkey, o_orderpriority) rows keeping the min-index occurrence —
+    one window shuffle on the key, null keys grouped like pandas NaN."""
+    from sdc_spark.frame.core import SparkFrame
+
+    ord_ = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias(IDX), "o_custkey", "o_orderpriority"
+    )
+    flags = SparkFrame(ord_).duplicated(subset=["o_custkey", "o_orderpriority"])
+    return flags._df.select(
+        F.col(IDX).alias("o_orderkey"), F.col(VAL).alias("is_dup")
+    )
+
+
+oracle(
+    "frame_duplicated",
+    """
+    SELECT o_orderkey,
+           o_orderkey <> min(o_orderkey) OVER (
+               PARTITION BY o_custkey, o_orderpriority) AS is_dup
+    FROM orders
+    """,
+)

@@ -873,3 +873,25 @@ def test_str_split_join_T(spark):
     joined = s.str.split().str.join("-").to_pandas().tolist()
     assert joined == ps.str.split().str.join("-").tolist()
     assert s.T is s
+
+
+def test_series_frame_duplicated_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sdc_spark.frame import from_pandas
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "b", "a", "c", "b", "a", None, None],
+            "v": [1, 2, 1, 3, 9, 1, 4, 4],
+        }
+    )
+    f = from_pandas(spark, pdf)
+    for keep in ("first", "last", False):
+        got = f["k"].duplicated(keep=keep).to_pandas()
+        exp = pdf["k"].duplicated(keep=keep)
+        assert list(got) == list(exp), f"series keep={keep}"
+        got_df = f.duplicated(subset=["k", "v"], keep=keep).to_pandas()
+        exp_df = pdf.duplicated(subset=["k", "v"], keep=keep)
+        assert list(got_df) == list(exp_df), f"frame keep={keep}"
