@@ -306,13 +306,24 @@ class FrameGroupBy:
         out = self._frame._df.groupBy(*self._keys).applyInPandas(runner, schema)
         return SparkFrame(out)
 
-    def agg(self, spec: dict[str, str]):
-        """gb.agg({'col': 'sum', ...}) — free Spark extra (SURVEY §2.5)."""
+    def agg(self, spec: dict[str, str | list[str]] | None = None, **named):
+        """gb.agg — all three pandas spellings (free Spark extra, SURVEY
+        §2.5): ``agg({'col': 'sum'})``, ``agg({'col': ['sum', 'mean']})``
+        (result columns ``col_sum``-style), and named aggregation
+        ``agg(out=('col', 'sum'))``."""
         from sdc_spark.frame.core import SparkFrame
 
-        out = self._frame._df.groupBy(*self._keys).agg(
-            *[self._AGGS[kind](c).alias(c) for c, kind in spec.items()]
-        )
+        exprs = []
+        for c, kind in (spec or {}).items():
+            if isinstance(kind, (list, tuple)):
+                exprs += [self._AGGS[k](c).alias(f"{c}_{k}") for k in kind]
+            else:
+                exprs.append(self._AGGS[kind](c).alias(c))
+        for name, (c, k) in named.items():
+            exprs.append(self._AGGS[k](c).alias(name))
+        if not exprs:
+            raise ValueError("agg needs a spec dict or named aggregations")
+        out = self._frame._df.groupBy(*self._keys).agg(*exprs)
         if self._sort:
             out = out.orderBy(*self._keys)
         if len(self._keys) == 1:

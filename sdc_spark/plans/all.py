@@ -8,6 +8,7 @@ import sdc_spark.plans.llm_data  # noqa: F401
 import sdc_spark.plans.llm_data2  # noqa: F401
 import sdc_spark.plans.ml_q  # noqa: F401
 import sdc_spark.plans.relational  # noqa: F401
+import sdc_spark.plans.relational2  # noqa: F401
 import sdc_spark.plans.scalar  # noqa: F401
 import sdc_spark.plans.series_api  # noqa: F401
 import sdc_spark.plans.streaming_q  # noqa: F401

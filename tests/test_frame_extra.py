@@ -895,3 +895,25 @@ def test_series_frame_duplicated_matches_pandas(spark):
         got_df = f.duplicated(subset=["k", "v"], keep=keep).to_pandas()
         exp_df = pdf.duplicated(subset=["k", "v"], keep=keep)
         assert list(got_df) == list(exp_df), f"frame keep={keep}"
+
+
+def test_groupby_agg_spellings_match_pandas(spark):
+    import pandas as pd
+
+    from sdc_spark.frame import from_pandas
+
+    pdf = pd.DataFrame(
+        {"k": ["a", "b", "a", "b", "a"], "x": [1.0, 2.0, 3.0, 4.0, 5.0],
+         "y": [10, 20, 30, 40, 50]}
+    )
+    f = from_pandas(spark, pdf)
+    got = f.groupby("k").agg({"x": ["sum", "mean"], "y": "max"}).to_pandas()
+    exp = pdf.groupby("k").agg(x_sum=("x", "sum"), x_mean=("x", "mean"), y=("y", "max"))
+    assert got["x_sum"].tolist() == exp["x_sum"].tolist()
+    assert got["x_mean"].tolist() == exp["x_mean"].tolist()
+    assert got["y"].tolist() == exp["y"].tolist()
+
+    got2 = f.groupby("k").agg(total=("x", "sum"), biggest=("y", "max")).to_pandas()
+    exp2 = pdf.groupby("k").agg(total=("x", "sum"), biggest=("y", "max"))
+    assert got2["total"].tolist() == exp2["total"].tolist()
+    assert got2["biggest"].tolist() == exp2["biggest"].tolist()
