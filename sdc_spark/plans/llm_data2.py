@@ -333,3 +333,144 @@ oracle(
     GROUP BY t.source ORDER BY t.source
     """,
 )
+
+
+@query("passage_dedup")
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (sub-document) duplication audit, the CCNet/MassiveText
+    granularity between exact-doc and n-gram dedup: each doc is cut into
+    16-token passages, passages are md5-hashed, and a passage is duplicate
+    when its hash occurs in more than one document. Returns each document's
+    duplicated-passage fraction.
+
+    Scale shape: only 16-byte passage hashes + doc ids cross the wire
+    (never text); the count is one map-side-combined aggregate keyed by
+    hash; the per-doc fraction is a second small aggregate. Work is linear
+    in corpus tokens."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id", F.split(normalized_text(F.col("text")), " ").alias("toks")
+    )
+    n_pass = F.ceil(F.size("toks") / F.lit(16.0)).cast("int")
+    passages = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_pass - 1),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("toks"), i * 16 + 1, 16)).cast(
+                        "binary"
+                    )
+                ),
+            )
+        ).alias("pidx", "phash"),
+    )
+    cross_doc = passages.groupBy("phash").agg(
+        F.countDistinct("doc_id").alias("__docs__")
+    )
+    return (
+        passages.join(cross_doc, "phash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum((F.col("__docs__") > 1).cast("long")).alias("n_dup_passages"),
+            (
+                F.sum((F.col("__docs__") > 1).cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+oracle(
+    "passage_dedup",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                            ' ') AS arr
+        FROM documents
+    ), passages AS (
+        SELECT doc_id, i,
+               md5(array_to_string(list_slice(arr, i * 16 + 1, i * 16 + 16),
+                                   ' ')) AS phash
+        FROM toks CROSS JOIN range(0, 4096) t(i)
+        WHERE i < ceil(len(arr) / 16.0)
+    ), cross_doc AS (
+        SELECT phash, count(DISTINCT doc_id) AS n_docs FROM passages GROUP BY phash
+    )
+    SELECT p.doc_id,
+           count(*) AS n_passages,
+           sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup_passages,
+           CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS dup_frac
+    FROM passages p JOIN cross_doc c ON p.phash = c.phash
+    GROUP BY p.doc_id ORDER BY p.doc_id
+    """,
+)
+
+
+_TFIDF_TERMS = ["spark", "table", "query", "window", "merge"]
+
+
+@query("text_tfidf_topk")
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF retrieval scoring: the 20 documents scoring highest for a
+    fixed term set, smooth idf = ln((N+1)/(df+1)) + 1. Document
+    frequencies are one tiny per-term aggregate broadcast back; per-doc
+    term frequencies partial-aggregate map-side; ranking is a fully
+    ordered deterministic top-k."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("token"),
+    ).filter(F.col("token").isin(_TFIDF_TERMS))
+    n_docs = doc.agg(F.count(F.lit(1)).alias("__n__"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            (
+                F.col("tf")
+                * (
+                    F.log((F.col("__n__") + 1.0) / (F.col("df") + 1.0))
+                    + F.lit(1.0)
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+oracle(
+    "text_tfidf_topk",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(
+                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS token
+        FROM documents
+    ), hits AS (
+        SELECT doc_id, token FROM toks
+        WHERE token IN ('spark', 'table', 'query', 'window', 'merge')
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM hits GROUP BY 1, 2
+    ), df AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1
+    )
+    SELECT tf.doc_id,
+           round(sum(tf.tf * (ln(((SELECT count(*) FROM documents) + 1.0)
+                                 / (df.df + 1.0)) + 1.0)), 4) AS score
+    FROM tf JOIN df ON tf.token = df.token
+    GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 20
+    """,
+)
