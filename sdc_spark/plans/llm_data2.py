@@ -474,3 +474,49 @@ oracle(
     GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 20
     """,
 )
+
+
+@query("text_token_entropy")
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (nats) — the
+    information-density quality signal complementing the repetition
+    fractions: machine-generated loops score low, diverse prose high.
+    Plan: token explosion → per-(doc,token) counts → per-doc Σ p·ln p.
+    Same cost class as any inverted-index build, partial-aggregated."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("token"),
+    ).filter(F.length("token") > 0)
+    per_tok = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(
+                F.log(F.sum("c"))
+                - F.sum(F.col("c") * F.log(F.col("c"))) / F.sum("c"),
+                4,
+            ).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+oracle(
+    "text_token_entropy",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(
+                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS token
+        FROM documents
+    ), per_tok AS (
+        SELECT doc_id, token, count(*) AS c FROM toks
+        WHERE length(token) > 0 GROUP BY 1, 2
+    )
+    SELECT doc_id, sum(c) AS n_tokens,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+    FROM per_tok GROUP BY doc_id ORDER BY doc_id
+    """,
+)

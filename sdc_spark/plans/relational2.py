@@ -237,3 +237,38 @@ oracle(
     FROM r WHERE rk <= 3 ORDER BY win_start, rk
     """,
 )
+
+
+@query("rolling_time_window")
+def rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based (offset) rolling window — pandas rolling('30min', on=ts)
+    semantics, which the reference's integer-row windows can't express:
+    per-user trailing 30-minute mean/count over event time via a
+    rangeBetween window on epoch seconds. One hash shuffle on user_id;
+    in-partition ordering is the sort Spark already does for the window."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp(F.col("ts").cast("timestamp")))
+        .rangeBetween(-1800, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("value").over(w).alias("n_30m"),
+        F.round(F.avg("value").over(w), 4).alias("avg_30m"),
+    ).orderBy("user_id", "event_id")
+
+
+oracle(
+    "rolling_time_window",
+    """
+    SELECT user_id, event_id,
+           count(value) OVER tw AS n_30m,
+           round(avg(value) OVER tw, 4) AS avg_30m
+    FROM events
+    WINDOW tw AS (PARTITION BY user_id ORDER BY epoch(ts)
+                  RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
