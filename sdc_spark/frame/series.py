@@ -927,6 +927,44 @@ class SparkSeries:
             floating=False,
         )
 
+    def cut(self, bins: list[float], labels: list | None = None) -> SparkSeries:
+        """pd.cut with explicit edges: right-closed intervals (lo, hi] —
+        values outside the span map to null, like pandas. Bucket index is
+        a row-local when-chain over literal edges; zero shuffle."""
+        expr = F.lit(None).cast("int")
+        for i in range(len(bins) - 1, 0, -1):
+            expr = F.when(
+                (F.col(VAL) > F.lit(float(bins[i - 1])))
+                & (F.col(VAL) <= F.lit(float(bins[i]))),
+                F.lit(i - 1),
+            ).otherwise(expr)
+        if labels is not None:
+            lab = F.array(*[F.lit(x) for x in labels])
+            expr = F.when(expr.isNotNull(), F.element_at(lab, expr + 1))
+        return SparkSeries(
+            self._df.select(IDX, expr.alias(VAL)), name=self.name, floating=False
+        )
+
+    def qcut(self, q: int) -> SparkSeries:
+        """pd.qcut(q): quantile binning — exact interior boundaries from
+        ONE percentile aggregate (broadcast back as a 1-row join), bucket
+        assignment row-local: bucket = #{interior boundaries < value}.
+        No global window/ntile — the corpus never single-partitions."""
+        qs = [i / q for i in range(1, q)]
+        bounds = self._df.agg(
+            F.percentile(F.col(VAL).cast("double"), qs).alias("__b__")
+        )
+        b = self._df.join(F.broadcast(bounds))
+        bucket = F.aggregate(
+            F.col("__b__"),
+            F.lit(0),
+            lambda acc, e: acc + F.when(F.col(VAL) > e, 1).otherwise(0),
+        )
+        val = F.when(F.col(VAL).isNotNull(), bucket)
+        return SparkSeries(
+            b.select(IDX, val.alias(VAL)), name=self.name, floating=False
+        )
+
     def align(self, other: SparkSeries) -> tuple[SparkSeries, SparkSeries]:
         """Full-outer index alignment (ref common_functions.py
         _sdc_internal_join / series align)."""

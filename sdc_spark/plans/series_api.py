@@ -332,3 +332,46 @@ oracle(
     FROM orders
     """,
 )
+
+
+@query("series_qcut_deciles")
+def series_qcut_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """series.qcut(10) — scalable quantile binning (exact percentile
+    boundaries broadcast, row-local bucket assignment; no global ntile
+    window). Verified by per-decile counts and spans."""
+    ord_ = read_table(spark, sf_dir, "orders")
+    s = SparkSeries.from_column(ord_, "o_totalprice", index_col="o_orderkey")
+    deciles = s.qcut(10)
+    joined = ord_.select("o_orderkey", "o_totalprice").join(
+        deciles._df.select(
+            F.col(IDX).alias("o_orderkey"), F.col(VAL).alias("decile")
+        ),
+        "o_orderkey",
+    )
+    return (
+        joined.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+oracle(
+    "series_qcut_deciles",
+    """
+    WITH b AS (
+        SELECT quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+        FROM orders
+    ), assigned AS (
+        SELECT o_totalprice,
+               len(list_filter(b.bs, e -> o_totalprice > e)) AS decile
+        FROM orders, b
+    )
+    SELECT decile, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+    FROM assigned GROUP BY decile ORDER BY decile
+    """,
+)

@@ -917,3 +917,29 @@ def test_groupby_agg_spellings_match_pandas(spark):
     exp2 = pdf.groupby("k").agg(total=("x", "sum"), biggest=("y", "max"))
     assert got2["total"].tolist() == exp2["total"].tolist()
     assert got2["biggest"].tolist() == exp2["biggest"].tolist()
+
+
+def test_cut_qcut_match_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sdc_spark.frame import from_pandas
+
+    rng = np.random.RandomState(7)
+    s = pd.Series(rng.uniform(0, 100, 200))
+    f = from_pandas(spark, s.to_frame("v"))["v"]
+
+    bins = [0.0, 25.0, 50.0, 75.0, 100.0]
+    got = f.cut(bins).to_pandas()
+    exp = pd.cut(s, bins, labels=False)
+    assert [(-1 if pd.isna(x) else int(x)) for x in got] == [
+        (-1 if pd.isna(x) else int(x)) for x in exp
+    ]
+
+    got_lab = f.cut(bins, labels=["a", "b", "c", "d"]).to_pandas()
+    exp_lab = pd.cut(s, bins, labels=["a", "b", "c", "d"])
+    assert list(got_lab) == [x if isinstance(x, str) else None for x in exp_lab]
+
+    got_q = f.qcut(4).to_pandas()
+    exp_q = pd.qcut(s, 4, labels=False)
+    assert got_q.tolist() == exp_q.tolist()
