@@ -335,3 +335,38 @@ oracle(
     FROM events GROUP BY event_type
     """,
 )
+
+
+@query("storage_partition_pruning")
+def storage_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned layout in the graded surface: orders re-written
+    once partitioned by order year (the write shuffle is paid once), then
+    a single-year read that scans ONLY that year's files — the file-level
+    pruning contract a 100-TB table lives by (tests/test_partition_pruning
+    asserts the plan shape; here the driver grades the result)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/sdc_spark_part_{tag}/orders_by_year"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            _t(spark, sf_dir, "orders")
+            .withColumn("o_year", F.year("o_orderdate"))
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(path)
+        )
+    df = spark.read.parquet(path).filter(F.col("o_year") == 1997)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    ).orderBy("o_orderpriority")
+
+
+oracle(
+    "storage_partition_pruning",
+    """
+    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE year(o_orderdate) = 1997
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
