@@ -374,6 +374,26 @@ class SparkFrame:
         )
         return SparkFrame(kept.select(IDX, *self.columns))
 
+    def get_dummies(
+        self, col: str, categories: Sequence[str] | None = None, prefix: str | None = None
+    ) -> SparkFrame:
+        """pd.get_dummies for one column: 0/1 indicator columns per
+        category. With ``categories=None`` the distinct values are read
+        once (a dim-sized boxing boundary, like pivot's value discovery —
+        pass the list explicitly when the domain is known to keep the plan
+        single-pass). Indicators are row-local when-expressions."""
+        if categories is None:
+            categories = sorted(
+                r[0] for r in self._df.select(col).distinct().collect() if r[0] is not None
+            )
+        p = prefix if prefix is not None else col
+        out = self._df
+        for cat in categories:
+            out = out.withColumn(
+                f"{p}_{cat}", (F.col(col) == F.lit(cat)).cast("int")
+            )
+        return SparkFrame(out.drop(col))
+
     def duplicated(self, subset: Sequence[str] | None = None, keep: str | bool = "first"):
         """pandas df.duplicated: boolean series flagging rows whose
         subset-key was seen before ('first'/'last' resolve as min/max

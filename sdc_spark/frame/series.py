@@ -927,6 +927,23 @@ class SparkSeries:
             floating=False,
         )
 
+    def mode(self) -> SparkSeries:
+        """pandas series.mode: every maximally-frequent value, ascending.
+        One hash aggregate + a 1-row broadcast max join — no global sort
+        of the data, only of the (tiny) modal set."""
+        counts = self._df.groupBy(VAL).agg(F.count(F.lit(1)).alias("__n__"))
+        mx = counts.agg(F.max("__n__").alias("__mx__"))
+        modes = (
+            counts.join(F.broadcast(mx), counts["__n__"] == F.col("__mx__"))
+            .select(VAL)
+        )
+        w = sorder.with_position(modes, [VAL], "__pos__")
+        return SparkSeries(
+            w.select(F.col("__pos__").alias(IDX), F.col(VAL)),
+            name=self.name,
+            floating=self._floating,
+        )
+
     def cut(self, bins: list[float], labels: list | None = None) -> SparkSeries:
         """pd.cut with explicit edges: right-closed intervals (lo, hi] —
         values outside the span map to null, like pandas. Bucket index is
@@ -1096,6 +1113,12 @@ class _StrAccessor:
 
     def find(self, sub):
         return self._wrap(lambda c: sstr.find(c, sub))
+
+    def extract(self, pat, group: int = 1):
+        return self._wrap(lambda c: sstr.extract(c, pat, group))
+
+    def count(self, pat):
+        return self._wrap(lambda c: sstr.count_matches(c, pat))
 
     def replace(self, pat, repl, regex=False):
         return self._wrap(lambda c: sstr.replace(c, pat, repl, regex))

@@ -94,6 +94,19 @@ def join(x, sep: str) -> Column:
     return F.array_join(_c(x), sep)
 
 
+def extract(x, pat: str, group: int = 1) -> Column:
+    """pandas str.extract single-group form: first regex capture group (or
+    ``group``); null when the pattern does not match (regexp_extract
+    returns '' on no-match — mapped to null for pandas NaN parity)."""
+    got = F.regexp_extract(_c(x), pat, group)
+    return F.when(got == "", F.lit(None)).otherwise(got)
+
+
+def count_matches(x, pat: str) -> Column:
+    """pandas str.count: non-overlapping regex match count."""
+    return F.regexp_count(_c(x), F.lit(pat))
+
+
 # -- padding (Python semantics: never truncate) ----------------------------
 
 def ljust(x, width: int, fillchar: str = " ") -> Column:

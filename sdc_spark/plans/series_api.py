@@ -375,3 +375,53 @@ oracle(
     FROM assigned GROUP BY decile ORDER BY decile
     """,
 )
+
+
+@query("onehot_priority")
+def onehot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.get_dummies (one-hot encoding, explicit category list → single
+    scan, row-local indicators) summed per order year."""
+    from sdc_spark.frame.core import SparkFrame
+
+    cats = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    ord_ = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias(IDX),
+        F.year("o_orderdate").alias("o_year"),
+        "o_orderpriority",
+    )
+    dummies = SparkFrame(ord_).get_dummies("o_orderpriority", categories=cats, prefix="p")
+    agg_cols = [
+        F.sum(f"`p_{c}`").alias(f"n_{c.split('-')[0]}") for c in cats
+    ]
+    return dummies._df.groupBy("o_year").agg(*agg_cols).orderBy("o_year")
+
+
+oracle(
+    "onehot_priority",
+    """
+    SELECT year(o_orderdate) AS o_year,
+           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_1,
+           sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_2,
+           sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS n_3,
+           sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS n_4,
+           sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n_5
+    FROM orders GROUP BY 1 ORDER BY o_year
+    """,
+)
+
+
+@query("series_mode")
+def series_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """series.mode — all maximally-frequent values (1-row broadcast max)."""
+    ev = read_table(spark, sf_dir, "events")
+    s = SparkSeries.from_column(ev, "event_type", index_col="event_id")
+    return s.mode()._df.select(F.col(VAL).alias("event_type")).orderBy("event_type")
+
+
+oracle(
+    "series_mode",
+    """
+    WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+    SELECT event_type FROM c WHERE n = (SELECT max(n) FROM c) ORDER BY event_type
+    """,
+)

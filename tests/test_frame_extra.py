@@ -943,3 +943,34 @@ def test_cut_qcut_match_pandas(spark):
     got_q = f.qcut(4).to_pandas()
     exp_q = pd.qcut(s, 4, labels=False)
     assert got_q.tolist() == exp_q.tolist()
+
+
+def test_mode_get_dummies_str_extract_match_pandas(spark):
+    import pandas as pd
+
+    from sdc_spark.frame import from_pandas
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "b", "a", "c", "b", "a", "b"],
+            "txt": ["id=12 x", "id=7", "nope", "id=303 y", "", "id=1", "id=44"],
+        }
+    )
+    f = from_pandas(spark, pdf)
+
+    got_mode = f["k"].mode().to_pandas()
+    exp_mode = pdf["k"].mode()
+    assert sorted(got_mode) == sorted(exp_mode)
+
+    got_d = f.get_dummies("k").to_pandas()
+    exp_d = pd.get_dummies(pdf, columns=["k"], dtype=int)
+    for c in ("k_a", "k_b", "k_c"):
+        assert got_d[c].tolist() == exp_d[c].tolist()
+
+    got_x = f["txt"].str.extract(r"id=(\d+)").to_pandas()
+    exp_x = pdf["txt"].str.extract(r"id=(\d+)")[0]
+    assert [x for x in got_x] == [None if pd.isna(x) else x for x in exp_x]
+
+    got_c = f["txt"].str.count(r"\d").to_pandas()
+    exp_c = pdf["txt"].str.count(r"\d")
+    assert got_c.tolist() == exp_c.tolist()
