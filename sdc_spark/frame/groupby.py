@@ -306,6 +306,23 @@ class FrameGroupBy:
         out = self._frame._df.groupBy(*self._keys).applyInPandas(runner, schema)
         return SparkFrame(out)
 
+    def filter(self, predicate):
+        """pandas gb.filter, declarative form: ``predicate`` is an
+        aggregate boolean Column over the group (e.g.
+        ``F.sum('x') > 10``); rows of qualifying groups pass through.
+        Plan: one hash aggregate to find the keys + a semi join back —
+        the keys table is group-sized (broadcast when small via AQE)."""
+        from sdc_spark.frame.core import SparkFrame
+
+        keys = (
+            self._frame._df.groupBy(*self._keys)
+            .agg(predicate.alias("__keep__"))
+            .filter(F.col("__keep__"))
+            .select(*self._keys)
+        )
+        out = self._frame._df.join(keys, self._keys, "left_semi")
+        return SparkFrame(out)
+
     def agg(self, spec: dict[str, str | list[str]] | None = None, **named):
         """gb.agg — all three pandas spellings (free Spark extra, SURVEY
         §2.5): ``agg({'col': 'sum'})``, ``agg({'col': ['sum', 'mean']})``

@@ -974,3 +974,19 @@ def test_mode_get_dummies_str_extract_match_pandas(spark):
     got_c = f["txt"].str.count(r"\d").to_pandas()
     exp_c = pdf["txt"].str.count(r"\d")
     assert got_c.tolist() == exp_c.tolist()
+
+
+def test_groupby_filter_matches_pandas(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sdc_spark.frame import from_pandas
+
+    pdf = pd.DataFrame(
+        {"k": ["a", "b", "a", "b", "c"], "x": [1.0, 10.0, 2.0, 20.0, 5.0]}
+    )
+    f = from_pandas(spark, pdf)
+    got = f.groupby("k").filter(F.sum("x") > 6.0).to_pandas()
+    exp = pdf.groupby("k").filter(lambda g: g.x.sum() > 6.0)
+    assert sorted(got["x"].tolist()) == sorted(exp["x"].tolist())
+    assert sorted(got["k"].tolist()) == sorted(exp["k"].tolist())
