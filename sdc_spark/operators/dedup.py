@@ -483,3 +483,42 @@ def decontaminate(
     ).select("doc", F.xxhash64("g").alias("gram"))
     hits = corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
     return hits.groupBy("doc").agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+
+
+def lsh_band_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    ngram: int = 3,
+) -> DataFrame:
+    """Materializable LSH index: (band, bhash, doc) bucket rows for the
+    corpus — the static side of streaming near-dup screening
+    (streaming/dedup_join.streaming_near_dedup_against_index) and of any
+    incremental re-dedup. Signature family and band hashing are identical
+    to minhash_lsh_pairs, so indexes and ad-hoc runs agree."""
+    rows = num_hashes // bands
+    docs = with_grams(df, text_col, id_col, ngram)
+    base = docs.select("doc", F.explode("grams").alias("g")).select(
+        "doc", F.xxhash64("g").alias("h")
+    )
+    sig = base.groupBy("doc").agg(
+        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"m{b * rows + j}") for j in range(rows)], F.lit(b)
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc", "bh.band", "bh.bhash")

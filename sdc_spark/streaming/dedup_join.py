@@ -73,3 +73,62 @@ def stream_stream_interval_join(
             f"AND r.{right_ts} <= l.{left_ts} + INTERVAL {horizon}"
         ),
     )
+
+
+def streaming_near_dedup_against_index(
+    stream: DataFrame,
+    index_buckets: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    ngram: int = 3,
+) -> DataFrame:
+    """Streaming near-duplicate screening against a STATIC MinHash/LSH
+    index (the 'is this incoming doc a near-dup of the existing corpus?'
+    gate every continuously-ingesting training pipeline needs).
+
+    ``index_buckets`` is the batch-built (band, bhash, doc) table from
+    ``sdc_spark.operators.dedup.lsh_band_table``. Each arriving doc
+    computes its signature row-locally (pure array expressions — no state,
+    no shuffle of the stream), derives its band hashes, and stream-static
+    inner-joins the bucket table. Stream-static joins are stateless on the
+    stream side; the static side is just a (re-broadcastable) DataFrame,
+    so the operator's memory is O(index), not O(stream).
+
+    Emits (id, band, cand_doc) candidate rows; exact verification joins
+    the candidate's shingle sets batch-side downstream (candidates are a
+    trickle, not a corpus)."""
+    from sdc_spark.operators.dedup import minhash_signature, ngrams_of_tokens
+
+    rows = num_hashes // bands
+    toks = stream.select(
+        F.col(id_col),
+        F.split(normalized_text(text_col), " ").alias("__toks__"),
+    )
+    grams = toks.select(
+        id_col, ngrams_of_tokens(F.col("__toks__"), ngram).alias("__grams__")
+    )
+    sig = grams.select(
+        F.col(id_col), minhash_signature(F.col("__grams__"), num_hashes).alias("sig")
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows + j + 1) for j in range(rows)],
+                            F.lit(b),
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.bhash")
+    return banded.join(
+        index_buckets, on=["band", "bhash"], how="inner"
+    ).select(F.col(id_col).alias("incoming_id"), "band", F.col("doc").alias("cand_doc"))

@@ -196,3 +196,36 @@ def test_stateful_anomaly_zscore_matches_batch(spark, events_stream_dir):
     mismatched = [k for k in exp_m if got_m.get(k) != exp_m[k]]
     assert not mismatched, f"{len(mismatched)} mismatches, e.g. {mismatched[:3]}"
     assert any(v[2] for v in got_m.values()), "no anomalies flagged at z=2.5"
+
+
+def test_streaming_near_dedup_against_index(spark, sf_dir, tmp_path_factory):
+    """Incoming docs that near-duplicate the indexed corpus must hit the
+    static LSH index through the stream-static join; novel docs must not."""
+    from sdc_spark.operators.dedup import lsh_band_table
+    from sdc_spark.streaming.dedup_join import streaming_near_dedup_against_index
+
+    docs = read_table(spark, sf_dir, "documents")
+    index = lsh_band_table(docs, "text", "doc_id").localCheckpoint(eager=True)
+
+    # stream: 5 exact copies of corpus docs (near-dups by construction)
+    # and 5 novel word-soup docs that share no 3-gram with the corpus
+    copies = (
+        docs.filter(F.col("doc_id") < 5)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text", "ts" if "ts" in docs.columns else F.lit(None))
+        .select("doc_id", "text")
+    )
+    novel = spark.createDataFrame(
+        [(200000 + i, f"zzq{i} wwx{i} yyk{i} vvm{i} uun{i} ttb{i}") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    src_dir = str(tmp_path_factory.mktemp("near_dedup_stream"))
+    copies.unionByName(novel).write.mode("overwrite").parquet(src_dir)
+
+    batch_src = spark.read.parquet(src_dir)
+    stream_src = spark.readStream.schema(batch_src.schema).parquet(src_dir)
+    out = streaming_near_dedup_against_index(stream_src, index)
+    got = _run_stream(spark, out, "near_dedup_out").collect()
+
+    hit_ids = {r.incoming_id for r in got}
+    assert all(i in hit_ids for i in range(100000, 100005)), hit_ids
+    assert all(i not in hit_ids for i in range(200000, 200005)), hit_ids
