@@ -217,6 +217,10 @@ def ivf_centroids(v: DataFrame, n_cells: int) -> DataFrame:
             ).alias("cvec")
         )
         .withColumn("cnrm", norm(F.col("cvec")))
+        # n_cells rows; materializing collapses the seed+assign lineage so
+        # downstream consumers (assign pass + query probing) don't re-run
+        # the two corpus passes hidden inside it
+        .localCheckpoint(eager=True)
     )
 
 
