@@ -520,3 +520,94 @@ oracle(
     FROM per_tok GROUP BY doc_id ORDER BY doc_id
     """,
 )
+
+
+@query("pipeline_end_to_end")
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation DAG a real pretraining prep run executes —
+    quality gate → exact dedup → deterministic split — as ONE lazy plan
+    (no materialization between stages; Catalyst fuses the row-local
+    stages into the dedup aggregate's map side):
+
+      1. Gopher rule gate (row-local filter),
+      2. exact dedup on normalized-content md5 keeping the min doc_id
+         (one hash aggregate shuffling 16-byte hashes + ids),
+      3. md5 train/val/test split (row-local),
+      4. per-split corpus stats.
+
+    Every stage is individually oracled elsewhere; this query pins the
+    COMPOSITION (stage ordering and interactions) against one nested-CTE
+    SQL twin."""
+    from sdc_spark.operators.curation import split_train_val_test
+    from sdc_spark.operators.dedup import normalized_text
+
+    doc = _t(spark, sf_dir, "documents")
+    gated = doc.filter(stext.gopher_keep("text"))
+    hashed = gated.select(
+        "doc_id",
+        "text",
+        F.md5(normalized_text(F.col("text")).cast("binary")).alias("__h__"),
+    )
+    survivors = hashed.groupBy("__h__").agg(F.min("doc_id").alias("doc_id"))
+    deduped = hashed.join(survivors, ["__h__", "doc_id"], "left_semi")
+    split = split_train_val_test(deduped, "doc_id", val_frac=0.05, test_frac=0.05)
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(stext.ws_token_count("text")).alias("n_tokens"),
+            F.countDistinct("__h__").alias("n_unique"),
+        )
+        .orderBy("split")
+    )
+
+
+oracle(
+    "pipeline_end_to_end",
+    r"""
+    WITH gated AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+                   list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                           w -> length(w))) AS sum_wl,
+                   len(regexp_extract_all(trim(text), '#|\.\.\.')) AS n_symbol,
+                   len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+                   len(regexp_extract_all(
+                       regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                       '(^| )(the|and|of|to|is|with)( |$)')) AS n_stop
+            FROM documents
+        )
+        WHERE coalesce(n_words >= 30 AND n_words <= 50000, FALSE)
+          AND coalesce(CAST(sum_wl AS DOUBLE) / n_words >= 3.0
+                       AND CAST(sum_wl AS DOUBLE) / n_words <= 10.0, FALSE)
+          AND coalesce(CAST(n_symbol AS DOUBLE) / n_words < 0.1, FALSE)
+          AND coalesce(CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8, FALSE)
+          AND coalesce(n_stop >= 2, FALSE)
+    ), hashed AS (
+        SELECT doc_id, text,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+        FROM gated
+    ), deduped AS (
+        SELECT hh.* FROM hashed hh
+        JOIN (SELECT h, min(doc_id) AS doc_id FROM hashed GROUP BY h) s
+          ON hh.h = s.h AND hh.doc_id = s.doc_id
+    ), split AS (
+        SELECT *,
+               CASE
+                 WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      < CAST(floor(0.05 * 4294967296.0) AS BIGINT) THEN 'val'
+                 WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      < CAST(floor(0.10 * 4294967296.0) AS BIGINT) THEN 'test'
+                 ELSE 'train' END AS split
+        FROM deduped
+    )
+    SELECT split, count(*) AS n_docs,
+           sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS n_tokens,
+           count(DISTINCT h) AS n_unique
+    FROM split GROUP BY split ORDER BY split
+    """,
+)
