@@ -56,3 +56,41 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    target_partition_mb: int = 256,
+    data_tb: float = 100.0,
+) -> dict[str, str]:
+    """The knob set for running these plans on a real cluster at ~100 TB —
+    pass as ``extra_conf`` to get_spark (or to spark-submit). Values are
+    derived, not magic:
+
+    - shuffle partitions ≈ max(total-cores, data / target-partition-size):
+      every shuffled partition lands ≈ target_partition_mb, comfortably
+      inside executor memory, while never leaving cores idle. AQE then
+      coalesces small stages down, so oversizing is cheap.
+    - maxPartitionBytes bounds scan-side partitions the same way.
+    - advisoryPartitionSizeInBytes steers AQE's coalescing/skew-split to
+      the same target so pre- and post-shuffle sizing agree.
+    - broadcast threshold stays 64 MB: every dimension table in the plan
+      set fits; 100 TB fact sides never qualify, so no accidental
+      broadcast of a fact.
+    - Kryo + shuffle compression are the standard wide-shuffle wins.
+    """
+    total_cores = executors * cores_per_executor
+    by_size = int(data_tb * 1024 * 1024 / target_partition_mb)
+    parts = max(total_cores, by_size)
+    return {
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            target_partition_mb * 1024 * 1024
+        ),
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(parts),
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.shuffle.compress": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
