@@ -611,3 +611,63 @@ oracle(
     FROM split GROUP BY split ORDER BY split
     """,
 )
+
+
+@query("quality_calibrated_filter")
+def quality_calibrated_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration: documents ranked by quality score
+    WITHIN their source (percent_rank over a per-source window — one hash
+    shuffle on source), keeping each source's top 60%. Absolute-threshold
+    filters starve clean sources and flood noisy ones; percentile
+    calibration keeps the mix stable — the practical form of quality
+    gating when sources differ systematically."""
+    doc = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    scored = doc.select(
+        "doc_id", "source", stext.quality_score("text").alias("q")
+    )
+    w = W.partitionBy("source").orderBy("q", "doc_id")
+    ranked = scored.withColumn("pr", F.percent_rank().over(w))
+    return (
+        ranked.filter(F.col("pr") >= 0.4)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.min("q"), 4).alias("q_floor"),
+        )
+        .orderBy("source")
+    )
+
+
+oracle(
+    "quality_calibrated_filter",
+    r"""
+    WITH c AS (
+        SELECT doc_id, source,
+               length(text) AS n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+               len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+               len(regexp_extract_all(
+                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                   '(^| )(the|and|of|to|is|with)( |$)')) AS n_stop
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, source,
+               (CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.4
+                 + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.2
+                 + least((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 4.0,
+                         1.0) * 0.4 AS q
+        FROM c
+    ), ranked AS (
+        SELECT source, q,
+               percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id) AS pr
+        FROM scored
+    )
+    SELECT source, count(*) AS n_kept, round(min(q), 4) AS q_floor
+    FROM ranked WHERE pr >= 0.4
+    GROUP BY source ORDER BY source
+    """,
+)
