@@ -22,6 +22,12 @@ _PD_TO_SPARK = {
     "int8": "tinyint", "int16": "smallint", "int32": "int", "int64": "bigint",
     "float32": "float", "float64": "double", "bool": "boolean",
     "object": "string", "datetime64[ns]": "timestamp",
+    # pandas nullable extension dtypes (masked arrays) — same storage
+    # class, null mask handled by Arrow at the boxing boundary
+    "Int8": "tinyint", "Int16": "smallint", "Int32": "int", "Int64": "bigint",
+    "UInt8": "smallint", "UInt16": "int", "UInt32": "bigint", "UInt64": "bigint",
+    "Float32": "float", "Float64": "double", "boolean": "boolean",
+    "string": "string",
 }
 
 
