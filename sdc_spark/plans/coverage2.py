@@ -553,3 +553,43 @@ oracle(
     GROUP BY 1, 2
     """,
 )
+
+
+@query("window_value_family")
+def window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value / cume_dist — rounds out the
+    §2.6 window-function family (rank family has its own query). Frames
+    pinned explicitly: first/nth over the growing frame, last over the
+    full partition (the default growing frame makes last_value ≡ current
+    row — always a bug, never an intent)."""
+    ord_ = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ord_.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first_value("o_orderkey").over(w).alias("top_key"),
+        F.last_value("o_orderkey").over(wfull).alias("bottom_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        F.round(F.cume_dist().over(w), 4).alias("cdist"),
+    )
+
+
+oracle(
+    "window_value_family",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           first_value(o_orderkey) OVER w AS top_key,
+           last_value(o_orderkey) OVER wf AS bottom_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key,
+           round(cume_dist() OVER w, 4) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey),
+           wf AS (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
