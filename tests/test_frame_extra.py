@@ -990,3 +990,39 @@ def test_groupby_filter_matches_pandas(spark):
     exp = pdf.groupby("k").filter(lambda g: g.x.sum() > 6.0)
     assert sorted(got["x"].tolist()) == sorted(exp["x"].tolist())
     assert sorted(got["k"].tolist()) == sorted(exp["k"].tolist())
+
+
+def test_reduction_dtype_grid_matches_pandas(spark):
+    """Reference-style dtype grid: reductions across storage dtypes, with
+    and without missing values (nullable extension dtypes for ints)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from sdc_spark.frame import from_pandas
+
+    rng = np.random.RandomState(3)
+    cases = {
+        "int8": pd.array(rng.randint(-100, 100, 50), dtype="Int8"),
+        "int32": pd.array(rng.randint(-10**6, 10**6, 50), dtype="Int32"),
+        "int64": pd.array(rng.randint(-10**9, 10**9, 50), dtype="Int64"),
+        "float32": rng.randn(50).astype("float32"),
+        "float64": rng.randn(50) * 1e6,
+        "float64_nan": np.where(rng.rand(50) < 0.3, np.nan, rng.randn(50)),
+    }
+    for name, arr in cases.items():
+        s = pd.Series(arr)
+        f = from_pandas(spark, s.to_frame("v"))["v"]
+        for op in ("sum", "mean", "min", "max", "std", "count"):
+            got = getattr(f, op)()
+            exp = getattr(s, op)()
+            if isinstance(exp, (float, np.floating)):
+                exp = float(exp)  # float32 accumulations differ at 1e-7
+            if isinstance(exp, float) and not math.isnan(exp):
+                rel = abs(got - exp) / max(1.0, abs(exp))
+                assert rel < 1e-6, f"{name}.{op}: {got} vs {exp}"
+            else:
+                assert got == exp or (
+                    isinstance(exp, float) and math.isnan(exp) and got is None
+                ), f"{name}.{op}: {got} vs {exp}"
