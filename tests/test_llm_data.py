@@ -158,3 +158,57 @@ def test_pack_sequences_deterministic_and_exact(spark):
     assert got["pack_id"].astype("int64").tolist() == exp_pack.tolist()
     assert got["offset"].astype("int64").tolist() == (start % 512).tolist()
     assert got["spans_boundary"].tolist() == exp_span.tolist()
+
+
+def _make_bmp(w, h, rgb):
+    """Minimal 24-bit bottom-up BMP with constant color."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    row = bytes([rgb[2], rgb[1], rgb[0]] * w) + bytes(stride - w * 3)
+    for _ in range(h):
+        raster += row
+    off = 54
+    size = off + len(raster)
+    hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return hdr + info + bytes(raster)
+
+
+def _make_wav(rate, n, amp=1000, ch=1):
+    import struct
+
+    import numpy as np
+
+    t = np.arange(n * ch)
+    samples = (amp * np.sign(np.sin(t * 0.5 + 0.25))).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    riff_sz = 4 + (8 + len(fmt)) + (8 + len(data))
+    return (
+        b"RIFF" + struct.pack("<I", riff_sz) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_decode_bmp_real(spark):
+    bmp = _make_bmp(5, 3, (200, 100, 50))
+    df = spark.createDataFrame([(1, bytearray(bmp)), (2, bytearray(b"junk"))], "id long, content binary")
+    rows = {r.id: r for r in smm.decode_bmp(df).collect()}
+    r = rows[1]
+    assert (r.width, r.height, r.bpp) == (5, 3, 24)
+    assert (r.mean_r, r.mean_g, r.mean_b) == (200.0, 100.0, 50.0)
+    assert rows[2].width is None  # poison pill -> nulls, not a failed batch
+
+
+def test_decode_wav_real(spark):
+    wav = _make_wav(8000, 4000, amp=1000)
+    df = spark.createDataFrame([(1, bytearray(wav)), (2, bytearray(b"xx"))], "id long, content binary")
+    rows = {r.id: r for r in smm.decode_wav(df).collect()}
+    r = rows[1]
+    assert (r.sample_rate, r.channels, r.bit_depth, r.n_samples) == (8000, 1, 16, 4000)
+    assert abs(r.duration_s - 0.5) < 1e-9
+    assert abs(r.rms - 1000.0) < 1.0  # square wave -> RMS == amplitude
+    assert rows[2].sample_rate is None
