@@ -671,3 +671,124 @@ oracle(
     GROUP BY source ORDER BY source
     """,
 )
+
+
+@query("multimodal_decode_bmp")
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the Arrow plumbing, hash-verified: each
+    embeddings row synthesizes a constant-color 24-bit BMP (color/size are
+    pure functions of vec_id/label), the payload goes through the
+    production decode_bmp mapInPandas stage, and the oracle predicts the
+    decoded dimensions and channel means analytically. Pins header
+    parsing, stride alignment, bottom-up raster order, and the Arrow
+    binary round-trip — not just schema shape."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from sdc_spark.operators.multimodal import decode_bmp
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for vid, lab in zip(pdf["vec_id"], pdf["label"]):
+                w = 4 + int(vid) % 5
+                h = 2 + int(lab) % 3
+                rgb = (int(lab) * 37 % 256, int(lab) * 57 % 256, int(lab) * 77 % 256)
+                stride = (w * 3 + 3) & ~3
+                row = bytes([rgb[2], rgb[1], rgb[0]] * w) + bytes(stride - w * 3)
+                raster = row * h
+                hdr = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+                info = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+                )
+                rows.append((int(vid), hdr + info + raster))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    payloads = emb.mapInPandas(synth, "id long, content binary")
+    return decode_bmp(payloads).select(
+        "id", "width", "height", "bpp", "mean_r", "mean_g", "mean_b"
+    ).orderBy("id")
+
+
+oracle(
+    "multimodal_decode_bmp",
+    """
+    SELECT vec_id AS id,
+           CAST(4 + vec_id % 5 AS INT) AS width,
+           CAST(2 + label % 3 AS INT) AS height,
+           CAST(24 AS INT) AS bpp,
+           CAST(label * 37 % 256 AS DOUBLE) AS mean_r,
+           CAST(label * 57 % 256 AS DOUBLE) AS mean_g,
+           CAST(label * 77 % 256 AS DOUBLE) AS mean_b
+    FROM embeddings ORDER BY id
+    """,
+)
+
+
+@query("multimodal_decode_wav")
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, hash-verified like multimodal_decode_bmp: each
+    event row synthesizes a 16-bit PCM square-wave WAV (rate/length/
+    amplitude are pure functions of the row), decoded by the production
+    decode_wav stage; the oracle predicts duration and RMS analytically
+    (square wave -> RMS == amplitude exactly, in integer samples)."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from sdc_spark.operators.multimodal import decode_wav
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id").filter(
+        F.col("event_id") < 2000
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for eid, uid in zip(pdf["event_id"], pdf["user_id"]):
+                rate = 8000
+                n = 400 + int(eid) % 100
+                amp = (int(uid) % 50 + 1) * 100
+                t = np.arange(n)
+                samples = np.where(t % 2 == 0, amp, -amp).astype("<i2")
+                data = samples.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+                riff_sz = 4 + (8 + len(fmt)) + (8 + len(data))
+                buf = (
+                    b"RIFF" + struct.pack("<I", riff_sz) + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                rows.append((int(eid), buf))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    payloads = ev.mapInPandas(synth, "id long, content binary")
+    return decode_wav(payloads).select(
+        "id",
+        "sample_rate",
+        "channels",
+        "bit_depth",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+    ).orderBy("id")
+
+
+oracle(
+    "multimodal_decode_wav",
+    """
+    SELECT event_id AS id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(16 AS INT) AS bit_depth,
+           CAST(400 + event_id % 100 AS BIGINT) AS n_samples,
+           round((400 + event_id % 100) / 8000.0, 6) AS duration_s,
+           round(CAST((user_id % 50 + 1) * 100 AS DOUBLE), 4) AS rms
+    FROM events WHERE event_id < 2000 ORDER BY id
+    """,
+)
