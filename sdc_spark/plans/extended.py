@@ -370,3 +370,52 @@ oracle(
     GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
+
+
+@query("src_numpy_roundtrip")
+def src_numpy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """np.ndarray.tofile / np.fromfile round-trip, hash-verified (ref
+    sdc/io/np_io.py:58-180): events.value written as raw little-endian
+    float64 part files via the distributed binary writer, read back
+    through binaryFile + an Arrow-batched frombuffer stage, aggregated.
+    The oracle aggregates the original column — bytes must round-trip
+    bit-exactly for the hash to match."""
+    import numpy as np
+    import pandas as pd
+
+    from sdc_spark.sources.readers import read_binary_files
+    from sdc_spark.sources.writers import to_numpy_binary
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/sdc_spark_npbin_{tag}/values"
+    if not os.path.exists(path) or not os.listdir(path):
+        ev = _t(spark, sf_dir, "events").select("value")
+        to_numpy_binary(ev, "value", path)
+
+    files = read_binary_files(spark, path + "/*.bin").select("content")
+
+    def decode(batches):
+        for pdf in batches:
+            vals = np.concatenate(
+                [np.frombuffer(b, dtype="<f8") for b in pdf["content"]]
+                or [np.array([], dtype="<f8")]
+            )
+            yield pd.DataFrame({"value": vals})
+
+    vals = files.mapInPandas(decode, "value double")
+    return vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+oracle(
+    "src_numpy_roundtrip",
+    """
+    SELECT count(*) AS n, round(sum(value), 4) AS total,
+           round(min(value), 4) AS vmin, round(max(value), 4) AS vmax
+    FROM events
+    """,
+)
