@@ -272,3 +272,59 @@ oracle(
     ORDER BY user_id, event_id
     """,
 )
+
+
+_TS_PATTERN = [0.0, 1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0]
+
+
+@query("ts_pattern_match")
+def ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed subsequence similarity search (the shape of the
+    time-series matching literature — e.g. streaming subsequence matching
+    systems): find the 20 length-8 windows of per-user event-value series
+    closest (squared euclidean) to a broadcast query pattern. The
+    sliding window materializes inside per-user window frames (one hash
+    shuffle on user_id); the distance is a row-local zip_with; top-k is
+    a fully-ordered TakeOrdered — the corpus is never globally sorted."""
+    ev = _t(spark, sf_dir, "events")
+    m = len(_TS_PATTERN)
+    pat = F.array(*[F.lit(x) for x in _TS_PATTERN])
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(m - 1), 0)
+    )
+    sub = ev.select(
+        "user_id",
+        "event_id",
+        F.collect_list(F.col("value")).over(w).alias("win"),
+    ).filter(F.size("win") == m)
+    dist = F.aggregate(
+        F.zip_with(F.col("win"), pat, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        sub.select("user_id", "event_id", F.round(dist, 4).alias("dist"))
+        .orderBy("dist", "user_id", "event_id")
+        .limit(20)
+    )
+
+
+oracle(
+    "ts_pattern_match",
+    """
+    WITH sub AS (
+        SELECT user_id, event_id,
+               array_agg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS win
+        FROM events
+    )
+    SELECT user_id, event_id,
+           round(list_sum(list_transform(
+               list_zip(win, [0.0, 1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0]),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), 4) AS dist
+    FROM sub WHERE len(win) = 8
+    ORDER BY dist, user_id, event_id LIMIT 20
+    """,
+)
