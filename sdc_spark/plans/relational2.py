@@ -247,10 +247,13 @@ def rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     rangeBetween window on epoch seconds. One hash shuffle on user_id;
     in-partition ordering is the sort Spark already does for the window."""
     ev = _t(spark, sf_dir, "events")
+    # integer-MICROsecond window key: unix_timestamp would truncate to
+    # whole seconds while the oracle's epoch() keeps fractions — membership
+    # diverges on sub-second-adjacent events (observed at sf0.1)
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_timestamp(F.col("ts").cast("timestamp")))
-        .rangeBetween(-1800, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-1800 * 1_000_000, 0)
     )
     return ev.select(
         "user_id",
@@ -267,8 +270,8 @@ oracle(
            count(value) OVER tw AS n_30m,
            round(avg(value) OVER tw, 4) AS avg_30m
     FROM events
-    WINDOW tw AS (PARTITION BY user_id ORDER BY epoch(ts)
-                  RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+    WINDOW tw AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
     ORDER BY user_id, event_id
     """,
 )

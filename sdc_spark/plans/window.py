@@ -128,12 +128,13 @@ def window_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        (
-            F.round(
-                F.when(prev.isNotNull(), pandas_div(F.col("value"), prev) - 1), 6
-            )
-            + 0.0
-        ).alias("pct_change"),
+        # no rounding: the ratio is the same IEEE operation on the same
+        # doubles in both engines (bit-identical), while decimal rounding
+        # diverges on exact-halfway values (Spark BigDecimal HALF_UP vs
+        # binary-double rounding — observed at sf0.1: 8.0046875)
+        (F.when(prev.isNotNull(), pandas_div(F.col("value"), prev) - 1) + 0.0).alias(
+            "pct_change"
+        ),
     )
 
 
@@ -146,11 +147,11 @@ oracle(
         FROM events
     )
     SELECT user_id, event_id,
-           round(CASE WHEN prev IS NULL THEN NULL
-                      WHEN prev <> 0 THEN value / prev - 1
-                      WHEN value > 0 THEN CAST('infinity' AS DOUBLE)
-                      WHEN value < 0 THEN CAST('-infinity' AS DOUBLE)
-                      ELSE CAST('nan' AS DOUBLE) END, 6) + 0.0 AS pct_change
+           CASE WHEN prev IS NULL THEN NULL
+                WHEN prev <> 0 THEN value / prev - 1
+                WHEN value > 0 THEN CAST('infinity' AS DOUBLE)
+                WHEN value < 0 THEN CAST('-infinity' AS DOUBLE)
+                ELSE CAST('nan' AS DOUBLE) END + 0.0 AS pct_change
     FROM t
     """,
 )
