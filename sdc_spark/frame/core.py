@@ -565,6 +565,7 @@ class SparkFrame:
         on: Sequence[str] | str,
         how: str = "inner",
         suffixes: tuple[str, str] = ("_x", "_y"),
+        indicator: bool = False,
     ) -> SparkFrame:
         """pd.merge (legacy-only in the reference, test_join.py:52-414).
         Result index is reset (pandas semantics for non-index joins).
@@ -582,7 +583,23 @@ class SparkFrame:
         for c in overlap:
             left = left.withColumnRenamed(c, f"{c}{suffixes[0]}")
             right = right.withColumnRenamed(c, f"{c}{suffixes[1]}")
+        if indicator:
+            # pandas merge(indicator=True): provenance column. Null-proof
+            # presence flags (a key-matched row always has its side flag).
+            left = left.withColumn("__l_present__", F.lit(True))
+            right = right.withColumn("__r_present__", F.lit(True))
         joined = left.join(right, on=keys, how=how)
+        if indicator:
+            joined = joined.withColumn(
+                "_merge",
+                F.when(
+                    F.col("__l_present__").isNotNull()
+                    & F.col("__r_present__").isNotNull(),
+                    F.lit("both"),
+                )
+                .when(F.col("__l_present__").isNotNull(), F.lit("left_only"))
+                .otherwise(F.lit("right_only")),
+            ).drop("__l_present__", "__r_present__")
         return SparkFrame(joined.withColumn(IDX, F.monotonically_increasing_id()))
 
     def append(self, other: SparkFrame, ignore_index: bool = True) -> SparkFrame:

@@ -1026,3 +1026,20 @@ def test_reduction_dtype_grid_matches_pandas(spark):
                 assert got == exp or (
                     isinstance(exp, float) and math.isnan(exp) and got is None
                 ), f"{name}.{op}: {got} vs {exp}"
+
+
+def test_merge_indicator_matches_pandas(spark):
+    import pandas as pd
+
+    from sdc_spark.frame import from_pandas
+
+    left = pd.DataFrame({"k": ["a", "b", "c"], "v": [1, 2, 3]})
+    right = pd.DataFrame({"k": ["b", "c", "d"], "w": [20, 30, 40]})
+    got = (
+        from_pandas(spark, left)
+        .merge(from_pandas(spark, right), on="k", how="outer", indicator=True)
+        .to_pandas()
+        .sort_values("k")
+    )
+    exp = left.merge(right, on="k", how="outer", indicator=True).sort_values("k")
+    assert got["_merge"].tolist() == [str(x) for x in exp["_merge"]]
