@@ -792,3 +792,51 @@ oracle(
     FROM events WHERE event_id < 2000 ORDER BY id
     """,
 )
+
+
+@query("retrieval_end_to_end")
+def retrieval_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed retrieval pipeline: exact cosine top-3 neighbors for 5
+    query vectors (broadcast queries, one corpus scan — ann_cosine_topk's
+    plan), then neighbor ids joined back to the documents table for
+    display metadata (broadcast dim join keyed on doc_id = vec_id in the
+    synthetic corpus). Pins the retrieval DAG end-to-end: scoring, per-
+    query ranking, and the metadata join."""
+    from sdc_spark.operators.similarity import ann_bruteforce_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    doc = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), "source", "lang", "n_chars"
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    topk = ann_bruteforce_topk(emb, q, k=3)
+    return (
+        topk.join(F.broadcast(doc), topk.nid == doc.doc_id)
+        .select("qid", "rank", "nid", "source", "lang", "n_chars")
+        .orderBy("qid", "rank")
+    )
+
+
+oracle(
+    "retrieval_end_to_end",
+    """
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+        SELECT q.qid, v.vec_id AS nid,
+               list_sum(list_transform(list_zip(q.qvec, v.embedding),
+                                       p -> CAST(p[1] AS DOUBLE) * p[2]))
+               / (sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * x))))
+               AS cos
+        FROM q CROSS JOIN embeddings v WHERE v.vec_id <> q.qid
+    ), ranked AS (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        FROM scored
+    )
+    SELECT r.qid, r.rank, r.nid, d.source, d.lang, d.n_chars
+    FROM ranked r JOIN documents d ON r.nid = d.doc_id
+    WHERE r.rank <= 3 ORDER BY r.qid, r.rank
+    """,
+)
