@@ -172,3 +172,73 @@ def sliding_agg_batch(
             *[c for c in ["n_events", "sum_value", "avg_value"]][: len(aggs)],
         )
     )
+
+
+def trending_topk_stream(
+    stream: DataFrame,
+    sink_table: str,
+    k: int = 3,
+    window: str = "6 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+):
+    """Streaming trending top-k via foreachBatch: windowed counts stream
+    in update mode; each micro-batch's emitted (window, key, count) deltas
+    are merged into an in-memory result table and re-ranked per window.
+
+    foreachBatch is the standard escape hatch when the per-window RANK
+    (not expressible in a streaming aggregation) must stay fresh: the
+    expensive part — the windowed count — is incremental streaming state;
+    only the tiny aggregated delta is re-ranked per batch. Returns the
+    started query; read results from ``sink_table`` (global temp-ish
+    session view maintained by the batch function)."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        _with_event_time(stream, ts_col)
+        .withWatermark(ts_col, "1 day")
+        .groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("win_start"), key_col, "n"
+        )
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # The sink keeps FULL merged counts (not just the current top-k):
+        # a key outside today's top-k can enter it in a later batch, so
+        # truncating state here would corrupt future rankings. Ranking is
+        # a cheap read-time view over the (windows x keys)-sized table.
+        # foreachBatch runs on a CLONED SparkSession: plain temp views
+        # registered here are invisible to the driver session, so the
+        # sink lives in the global_temp database.
+        spark = batch_df.sparkSession
+        cur = (
+            spark.table("global_temp." + sink_table + "_counts")
+            if spark.catalog.tableExists("global_temp." + sink_table + "_counts")
+            else None
+        )
+        if cur is not None:
+            # update-mode deltas supersede previous rows for their
+            # (window, key); keep other keys' standing counts
+            keep = cur.join(
+                batch_df.select("win_start", key_col),
+                ["win_start", key_col],
+                "left_anti",
+            )
+            merged = keep.unionByName(batch_df.select(cur.columns))
+        else:
+            merged = batch_df
+        merged = merged.localCheckpoint(eager=True)
+        merged.createOrReplaceGlobalTempView(sink_table + "_counts")
+        wr = W.partitionBy("win_start").orderBy(F.desc("n"), key_col)
+        merged.withColumn("rk", F.row_number().over(wr)).filter(
+            F.col("rk") <= k
+        ).createOrReplaceGlobalTempView(sink_table)
+
+    return (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -229,3 +229,36 @@ def test_streaming_near_dedup_against_index(spark, sf_dir, tmp_path_factory):
     hit_ids = {r.incoming_id for r in got}
     assert all(i in hit_ids for i in range(100000, 100005)), hit_ids
     assert all(i not in hit_ids for i in range(200000, 200005)), hit_ids
+
+
+def test_trending_topk_stream_matches_batch(spark, events_stream_dir):
+    """foreachBatch-maintained trending table must equal the batch top-k
+    after availableNow drains the directory."""
+    from sdc_spark.streaming.windows import trending_topk_stream
+
+    batch_df = spark.read.parquet(events_stream_dir)
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(events_stream_dir)
+
+    q = trending_topk_stream(stream_df, "trend_sink", k=3, window="6 hours")
+    q.awaitTermination(120)
+
+    got = {
+        (r.win_start, r.rk): (r.event_type, r.n)
+        for r in spark.table("global_temp.trend_sink").collect()
+    }
+
+    from pyspark.sql import Window as W
+
+    counts = (
+        batch_df.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("win_start"), "event_type", "n")
+    )
+    wr = W.partitionBy("win_start").orderBy(F.desc("n"), "event_type")
+    exp = {
+        (r.win_start, r.rk): (r.event_type, r.n)
+        for r in counts.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    }
+    assert got == exp
