@@ -298,6 +298,7 @@ def read_json(
     dtype: Mapping[str, str | T.DataType] | None = None,
     parse_dates: Sequence[str] | None = None,
     lines: bool = True,
+    mode: str | None = None,
 ) -> DataFrame:
     """JSON-lines reader with the same parameter conventions as
     ``read_csv`` (the reference has no JSON source — this rounds out the
@@ -316,6 +317,13 @@ def read_json(
         reader = reader.schema(schema)
     if not lines:
         reader = reader.option("multiLine", "true")
+    if mode is not None:
+        # PERMISSIVE (default): corrupt lines land in
+        # ``_corrupt_record`` (add it to the schema to observe them);
+        # DROPMALFORMED: silently dropped; FAILFAST: abort the job. At
+        # ingest scale PERMISSIVE + a corrupt-record quarantine column is
+        # the operable choice — bad rows are countable and auditable.
+        reader = reader.option("mode", mode)
     df = reader.json(path)
     if usecols is not None:
         df = df.select(*usecols)

@@ -127,3 +127,33 @@ def test_numpy_binary_roundtrip(spark, tmp_path):
     assert len(parts) == 4
     back = np.concatenate([np.fromfile(p, dtype="float64") for p in parts])
     assert sorted(back.tolist()) == sorted(vals)
+
+
+def test_read_json_malformed_modes(spark, tmp_path):
+    """Corrupt ndjson lines: DROPMALFORMED drops them; PERMISSIVE
+    quarantines them in _corrupt_record for auditing."""
+    from sdc_spark.sources.readers import read_json
+
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"id": 1, "v": 10}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "v": 20}\n'
+        '{"id": 3 "v": broken}\n'
+    )
+    dropped = read_json(
+        spark, str(p), schema="id long, v long", mode="DROPMALFORMED"
+    )
+    assert sorted(r.id for r in dropped.collect()) == [1, 2]
+
+    permissive = read_json(
+        spark,
+        str(p),
+        schema="id long, v long, _corrupt_record string",
+        mode="PERMISSIVE",
+    )
+    rows = permissive.collect()
+    assert len(rows) == 4
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 2 and all(r.id is None for r in bad)
