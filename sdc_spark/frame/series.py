@@ -446,6 +446,29 @@ class SparkSeries:
     def is_monotonic_decreasing(self) -> bool:
         return self._monotonic(False)
 
+    @property
+    def is_unique(self) -> bool:
+        """pandas series.is_unique: no value occurs twice (NaNs compare
+        equal to each other, as pandas counts them). One aggregate."""
+        row = self._df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(VAL)).alias("d"),
+            F.count(F.when(~sexpr.notna(F.col(VAL), self._floating), 1)).alias("na"),
+        ).collect()[0]
+        distinct_with_na = row["d"] + (1 if row["na"] else 0)
+        return row["n"] == distinct_with_na and row["na"] <= 1
+
+    @property
+    def hasnans(self) -> bool:
+        row = self._df.agg(
+            F.count(F.when(~sexpr.notna(F.col(VAL), self._floating), 1)).alias("na")
+        ).collect()[0]
+        return row["na"] > 0
+
+    @property
+    def empty(self) -> bool:
+        return self._df.limit(1).count() == 0
+
     def autocorr(self, lag: int = 1) -> float:
         """pandas Series.autocorr — Pearson correlation with the
         lag-shifted self. One boundary-context pass builds the pair;

@@ -1043,3 +1043,22 @@ def test_merge_indicator_matches_pandas(spark):
     )
     exp = left.merge(right, on="k", how="outer", indicator=True).sort_values("k")
     assert got["_merge"].tolist() == [str(x) for x in exp["_merge"]]
+
+
+def test_series_scalar_attrs_match_pandas(spark):
+    import pandas as pd
+
+    from sdc_spark.frame import from_pandas
+
+    cases = [
+        pd.Series([1.0, 2.0, 3.0]),
+        pd.Series([1.0, 2.0, 2.0]),
+        pd.Series([1.0, float("nan"), 2.0]),
+        pd.Series([1.0, float("nan"), float("nan")]),
+        pd.Series([], dtype="float64"),
+    ]
+    for ps in cases:
+        s = from_pandas(spark, ps.to_frame("v"))["v"]
+        assert s.is_unique == ps.is_unique, ps.tolist()
+        assert s.hasnans == ps.hasnans, ps.tolist()
+        assert s.empty == ps.empty, ps.tolist()
