@@ -98,7 +98,7 @@ def global_fill(
     )
     axis = df.sparkSession.range(n).select(F.col("id").cast("int").alias(PID))
     ordp = F.col(PID).desc() if backward else F.col(PID).asc()
-    w2 = W.partitionBy(F.lit(0)).orderBy(ordp).rowsBetween(W.unboundedPreceding, -1)
+    w2 = W.partitionBy(_one()).orderBy(ordp).rowsBetween(W.unboundedPreceding, -1)
     prev = axis.join(summary, PID, "left").select(
         PID, *[F.last(c, ignorenulls=True).over(w2).alias(f"__p_{c}") for c in cols]
     )
@@ -164,7 +164,7 @@ def scan_agg(
     """
     part = range_partitioned(df, order_cols)
     per = part.groupBy(PID).agg(agg(value).alias("__t__"))
-    w0 = W.partitionBy(F.lit(0)).orderBy(PID).rowsBetween(W.unboundedPreceding, -1)
+    w0 = W.partitionBy(_one()).orderBy(PID).rowsBetween(W.unboundedPreceding, -1)
     offs = per.select(PID, agg(F.col("__t__")).over(w0).alias("__soff__"))
     w = (
         W.partitionBy(PID)
@@ -268,7 +268,7 @@ def scan_sum_multi(
     re-shuffle once per column)."""
     part = range_partitioned(df, order_cols)
     per = part.groupBy(PID).agg(*[F.sum(c).alias(c) for c in cols])
-    w0 = W.partitionBy(F.lit(0)).orderBy(PID).rowsBetween(W.unboundedPreceding, -1)
+    w0 = W.partitionBy(_one()).orderBy(PID).rowsBetween(W.unboundedPreceding, -1)
     offs = per.select(
         PID,
         *[F.coalesce(F.sum(c).over(w0), F.lit(0)).alias(f"__off_{c}__") for c in cols],
