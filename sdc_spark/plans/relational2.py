@@ -331,3 +331,63 @@ oracle(
     ORDER BY dist, user_id, event_id LIMIT 20
     """,
 )
+
+
+@query("fuzzy_join_names")
+def fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: deterministically corrupted supplier
+    names (4th char dropped) matched back to the catalog by levenshtein
+    distance — BLOCKED on the 2-char name prefix so the candidate set is
+    per-block, never the full cross product (the standard blocking-key
+    discipline that makes fuzzy joins feasible at catalog scale). Best
+    match per probe = min (distance, name)."""
+    supp = _t(spark, sf_dir, "supplier")
+    probes = supp.filter(F.col("s_suppkey") < 10).select(
+        F.col("s_suppkey").alias("probe_id"),
+        F.concat(
+            F.substring("s_name", 1, 3), F.substring("s_name", 5, 100)
+        ).alias("corrupt"),
+    )
+    cands = (
+        probes.join(
+            supp.select("s_name"),
+            F.substring(F.col("corrupt"), 1, 2) == F.substring(F.col("s_name"), 1, 2),
+        )
+        .select(
+            "probe_id",
+            "corrupt",
+            "s_name",
+            F.levenshtein("corrupt", "s_name").alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+    best = cands.groupBy("probe_id").agg(
+        F.min(F.struct("dist", "s_name")).alias("b")
+    )
+    return best.select(
+        "probe_id", F.col("b.s_name").alias("matched"), F.col("b.dist").alias("dist")
+    ).orderBy("probe_id")
+
+
+oracle(
+    "fuzzy_join_names",
+    """
+    WITH probes AS (
+        SELECT s_suppkey AS probe_id,
+               substring(s_name, 1, 3) || substring(s_name, 5) AS corrupt
+        FROM supplier WHERE s_suppkey < 10
+    ), cands AS (
+        SELECT p.probe_id, s.s_name,
+               levenshtein(p.corrupt, s.s_name) AS dist
+        FROM probes p JOIN supplier s
+          ON substring(p.corrupt, 1, 2) = substring(s.s_name, 1, 2)
+        WHERE levenshtein(p.corrupt, s.s_name) <= 2
+    ), ranked AS (
+        SELECT probe_id, s_name, dist,
+               row_number() OVER (PARTITION BY probe_id ORDER BY dist, s_name) AS rn
+        FROM cands
+    )
+    SELECT probe_id, s_name AS matched, dist FROM ranked WHERE rn = 1
+    ORDER BY probe_id
+    """,
+)
