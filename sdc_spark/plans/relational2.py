@@ -391,3 +391,51 @@ oracle(
     ORDER BY probe_id
     """,
 )
+
+
+@query("incremental_agg_merge")
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the standing
+    per-(year, priority) revenue table is NOT recomputed from scratch when
+    a new batch lands — the batch's partial aggregate (tiny) merges into
+    the standing partials by re-aggregating mergeable states (sum of sums,
+    sum of counts; avg derived at read time). This query simulates the
+    cycle — base partials + delta partials merged — and the oracle is the
+    full-recompute answer they must equal. At 100 TB this is the
+    difference between scanning one day and scanning the archive."""
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    keys = [F.year("o_orderdate").alias("o_year"), F.col("o_orderpriority")]
+
+    def partials(df):
+        return df.groupBy(*keys).agg(
+            F.sum("o_totalprice").alias("rev_sum"),
+            F.count(F.lit(1)).alias("rev_n"),
+        )
+
+    base = partials(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partials(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_year", "o_orderpriority")
+        .agg(F.sum("rev_sum").alias("rev_sum"), F.sum("rev_n").alias("n"))
+    )
+    return merged.select(
+        "o_year",
+        "o_orderpriority",
+        F.round("rev_sum", 2).alias("revenue"),
+        "n",
+        F.round(F.col("rev_sum") / F.col("n"), 4).alias("avg_price"),
+    ).orderBy("o_year", "o_orderpriority")
+
+
+oracle(
+    "incremental_agg_merge",
+    """
+    SELECT year(o_orderdate) AS o_year, o_orderpriority,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n,
+           round(sum(o_totalprice) / count(*), 4) AS avg_price
+    FROM orders GROUP BY 1, 2 ORDER BY o_year, o_orderpriority
+    """,
+)
