@@ -212,3 +212,29 @@ def test_decode_wav_real(spark):
     assert abs(r.duration_s - 0.5) < 1e-9
     assert abs(r.rms - 1000.0) < 1.0  # square wave -> RMS == amplitude
     assert rows[2].sample_rate is None
+
+
+def test_hll_sketches_merge_like_partials(spark, sf_dir):
+    """Mergeable distinct-count sketches: union of per-slice HLL sketches
+    must give the same estimate as one whole-data sketch (the property
+    that makes incremental distinct-count maintenance possible), and land
+    within a few percent of the exact count."""
+    ev = read_table(spark, sf_dir, "events")
+    whole = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).collect()[0]["est"]
+
+    a = ev.filter(F.col("event_id") % 2 == 0).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    b = ev.filter(F.col("event_id") % 2 == 1).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = (
+        a.unionByName(b)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    exact = ev.select("user_id").distinct().count()
+    assert merged == whole, (merged, whole)
+    assert abs(merged - exact) / exact < 0.05, (merged, exact)
