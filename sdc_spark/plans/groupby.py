@@ -219,3 +219,35 @@ oracle(
     FROM nation GROUP BY n_regionkey
     """,
 )
+
+
+@query("grouping_sets_id")
+def grouping_sets_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id — the general form behind
+    cube/rollup (SURVEY §2.5 'free in Spark'): per-flag, per-status, and
+    grand-total rows distinguished by the grouping bitmask."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               round(sum(l_quantity), 4) AS sum_qty,
+               count(*) AS cnt
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+oracle(
+    "grouping_sets_id",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+           round(sum(l_quantity), 4) AS sum_qty,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
