@@ -609,3 +609,112 @@ oracle(
     FROM documents GROUP BY source, lang ORDER BY source, lang
     """,
 )
+
+
+@query("dedup_cluster_sizes")
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup audit readout
+    operators teams actually look at (how much of the corpus sits in
+    2-clusters vs mega-clusters). Derived from the connected components
+    (Pregel-lite min-label, one shuffle per round); the histogram itself
+    is two tiny aggregates over one row per doc."""
+    doc = _t(spark, sf_dir, "documents")
+    pairs = sdedup.minhash_lsh_pairs(doc, "text", "doc_id", threshold=0.8)
+    comp = sdedup.dedup_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+oracle(
+    "dedup_cluster_sizes",
+    f"""
+    WITH RECURSIVE {_GRAMS_SQL},
+    e AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs WHERE jac >= 0.8
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs WHERE jac >= 0.8
+    ),
+    walk(u, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        UNION
+        SELECT e.u, w.lbl FROM e JOIN walk w ON e.v = w.u
+    ),
+    comp AS (SELECT u AS doc, min(lbl) AS component FROM walk GROUP BY u),
+    csize AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+    SELECT cluster_size, count(*) AS n_clusters
+    FROM csize GROUP BY cluster_size ORDER BY cluster_size
+    """,
+)
+
+
+_STOPWORD_K = 10
+
+
+@query("text_stopword_prune")
+def text_stopword_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-adaptive stopword pruning: the top-10 global tokens (by
+    frequency, deterministic tie-break) are broadcast as a literal-free
+    array and filtered out of every document's token stream. Per-source
+    before/after token totals. The classic preprocessing shape: one tiny
+    frequency aggregate feeds a row-local array_except — the corpus is
+    scanned twice, shuffled never."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select(
+        "source",
+        F.split(sdedup.normalized_text(F.col("text")), " ").alias("toks"),
+    )
+    top = (
+        toks.select(F.explode("toks").alias("t"))
+        .filter(F.length("t") > 0)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "t")
+        .limit(_STOPWORD_K)
+        .agg(F.collect_list("t").alias("__stops__"))
+    )
+    pruned = toks.crossJoin(F.broadcast(top)).select(
+        "source",
+        F.size("toks").alias("n_before"),
+        # array_except is a SET op (dedupes survivors); element-wise
+        # filter keeps multiplicity like the oracle's list_filter
+        F.size(
+            F.filter("toks", lambda x: ~F.array_contains(F.col("__stops__"), x))
+        ).alias("n_after"),
+    )
+    return (
+        pruned.groupBy("source")
+        .agg(
+            F.sum("n_before").alias("tokens_before"),
+            F.sum("n_after").alias("tokens_after"),
+        )
+        .orderBy("source")
+    )
+
+
+oracle(
+    "text_stopword_prune",
+    r"""
+    WITH toks AS (
+        SELECT source,
+               string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                            ' ') AS toks
+        FROM documents
+    ), top AS (
+        SELECT t FROM (
+            SELECT unnest(toks) AS t FROM toks
+        ) WHERE length(t) > 0
+        GROUP BY t ORDER BY count(*) DESC, t LIMIT 10
+    ), stops AS (
+        SELECT list(t) AS s FROM top
+    )
+    SELECT source,
+           sum(len(toks)) AS tokens_before,
+           sum(len(list_filter(toks, x -> NOT list_contains(stops.s, x))))
+             AS tokens_after
+    FROM toks, stops GROUP BY source ORDER BY source
+    """,
+)
