@@ -288,3 +288,36 @@ def decode_wav(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, WAV_SCHEMA)
+
+
+def decode_and_featurize_arrow(df: DataFrame) -> DataFrame:
+    """mapInArrow twin of ``decode_and_featurize`` (stub path): consumes
+    raw ``pyarrow.RecordBatch``es — no pandas materialization at all, the
+    zero-copy shape for payload-heavy modality columns where even the
+    Arrow→pandas conversion of big binary cells costs real memory.
+    Output matches decode_and_featurize bit-for-bit (tests pin it)."""
+    import pyarrow as pa
+
+    def run(batches):
+        for rb in batches:
+            ids = rb.column(0).to_pylist()
+            contents = rb.column(1).to_pylist()
+            n_bytes, means, stds, feats = [], [], [], []
+            for buf in contents:
+                a = np.frombuffer(buf, dtype=np.uint8) if buf else np.array([], np.uint8)
+                n_bytes.append(len(buf) if buf else 0)
+                means.append(float(a.mean()) if a.size else 0.0)
+                stds.append(float(a.std()) if a.size else 0.0)
+                feats.append([float(x) for x in _stub_features(buf or b"")])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(n_bytes, pa.int64()),
+                    pa.array(means, pa.float64()),
+                    pa.array(stds, pa.float64()),
+                    pa.array(feats, pa.list_(pa.float32())),
+                ],
+                names=["id", "n_bytes", "byte_mean", "byte_std", "feat"],
+            )
+
+    return df.select("id", "content").mapInArrow(run, FEATURE_SCHEMA)

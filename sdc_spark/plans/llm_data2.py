@@ -840,3 +840,45 @@ oracle(
     WHERE r.rank <= 3 ORDER BY r.qid, r.rank
     """,
 )
+
+
+@query("embedding_label_stats")
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space slice diagnostics: per label, vector count and the
+    norm distribution (mean/std/min/max) — the cheap per-slice sanity
+    readout before clustering/ANN index decisions. Norm is a row-local
+    array fold; one tiny aggregate."""
+    from sdc_spark.operators.similarity import norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    withn = emb.select("label", norm(F.col("embedding")).alias("nrm"))
+    return (
+        withn.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 4).alias("norm_mean"),
+            F.round(F.stddev_samp("nrm"), 4).alias("norm_std"),
+            F.round(F.min("nrm"), 4).alias("norm_min"),
+            F.round(F.max("nrm"), 4).alias("norm_max"),
+        )
+        .orderBy("label")
+    )
+
+
+oracle(
+    "embedding_label_stats",
+    """
+    WITH n AS (
+        SELECT label,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    )
+    SELECT label, count(*) AS n,
+           round(avg(nrm), 4) AS norm_mean,
+           round(stddev_samp(nrm), 4) AS norm_std,
+           round(min(nrm), 4) AS norm_min,
+           round(max(nrm), 4) AS norm_max
+    FROM n GROUP BY label ORDER BY label
+    """,
+)

@@ -238,3 +238,15 @@ def test_hll_sketches_merge_like_partials(spark, sf_dir):
     exact = ev.select("user_id").distinct().count()
     assert merged == whole, (merged, whole)
     assert abs(merged - exact) / exact < 0.05, (merged, exact)
+
+
+def test_map_in_arrow_matches_map_in_pandas(spark, sf_dir):
+    """The zero-copy mapInArrow feature stage must agree bit-for-bit with
+    the mapInPandas stage on the same payloads."""
+    doc = read_table(spark, sf_dir, "documents").limit(50)
+    binmod = smm.attach_binary(doc, "text", "doc_id")
+    a = {r.id: (r.n_bytes, r.byte_mean, r.byte_std, tuple(r.feat))
+         for r in smm.decode_and_featurize(binmod).collect()}
+    b = {r.id: (r.n_bytes, r.byte_mean, r.byte_std, tuple(r.feat))
+         for r in smm.decode_and_featurize_arrow(binmod).collect()}
+    assert a == b
