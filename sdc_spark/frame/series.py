@@ -883,11 +883,14 @@ class SparkSeries:
 
         return self._unary(f, floating=False)
 
-    def rank(self, method: str = "average", ascending: bool = True) -> SparkSeries:
+    def rank(
+        self, method: str = "average", ascending: bool = True, pct: bool = False
+    ) -> SparkSeries:
         """pandas rank: per-value average (default) / min / max / dense of
-        1-based positions; NaN keeps NaN. Distributed: global positions by
-        value order, then a per-value aggregate joined back — two hash
-        shuffles, no single partition."""
+        1-based positions; NaN keeps NaN; ``pct=True`` divides by the
+        non-null count (dense: by the distinct count, as pandas does).
+        Distributed: global positions by value order, then a per-value
+        aggregate joined back — two hash shuffles, no single partition."""
         if method not in ("average", "min", "max", "dense"):
             raise ValueError(f"unsupported rank method {method!r}")
         valid = self._df.filter(sexpr.notna(F.col(VAL), self._floating))
@@ -907,6 +910,13 @@ class SparkSeries:
                 (agg(F.col("__p__") + 1)).cast("double").alias("__rk__")
             )
             ranked = pos.join(per_val, VAL)
+        if pct:
+            denom = (
+                valid.select(VAL).distinct().count()
+                if method == "dense"
+                else valid.count()
+            )
+            ranked = ranked.withColumn("__rk__", F.col("__rk__") / F.lit(float(denom)))
         out = self._df.select(IDX).join(
             ranked.select(IDX, F.col("__rk__")), IDX, "left"
         )

@@ -882,3 +882,63 @@ oracle(
     FROM n GROUP BY label ORDER BY label
     """,
 )
+
+
+@query("pack_sequences_by_source")
+def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-scoped sequence packing: each source packs its own document
+    stream into 2048-token windows (the per-shard layout used when
+    shards must stay self-contained for resumable training). Unlike the
+    global pack (operators/curation.pack_sequences — distributed prefix
+    scan), the per-source prefix sum is a plain window inside the source
+    partition: one hash shuffle, no cross-partition carry needed."""
+    from pyspark.sql import Window as W
+
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id", "source", stext.ws_token_count("text").alias("n_tok")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    staged = toks.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
+        "start", F.col("cum") - F.col("n_tok")
+    )
+    budget = 2048
+    return staged.select(
+        "source",
+        "doc_id",
+        F.expr(f"start div {budget}").alias("pack_id"),
+        (F.col("start") % budget).alias("offset"),
+        (
+            (F.col("n_tok") > 0)
+            & (F.expr(f"start div {budget}") != F.expr(f"(cum - 1) div {budget}"))
+        ).alias("spans_boundary"),
+    ).orderBy("source", "doc_id")
+
+
+oracle(
+    "pack_sequences_by_source",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+        FROM documents
+    ), staged AS (
+        SELECT source, doc_id, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+        FROM toks
+    )
+    SELECT source, doc_id,
+           (cum - n_tok) // 2048 AS pack_id,
+           (cum - n_tok) % 2048 AS offset,
+           (n_tok > 0 AND (cum - n_tok) // 2048 <> (cum - 1) // 2048)
+             AS spans_boundary
+    FROM staged ORDER BY source, doc_id
+    """,
+)

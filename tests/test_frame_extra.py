@@ -1062,3 +1062,18 @@ def test_series_scalar_attrs_match_pandas(spark):
         assert s.is_unique == ps.is_unique, ps.tolist()
         assert s.hasnans == ps.hasnans, ps.tolist()
         assert s.empty == ps.empty, ps.tolist()
+
+
+def test_rank_pct_matches_pandas(spark):
+    import pandas as pd
+
+    from sdc_spark.frame import from_pandas
+
+    ps = pd.Series([3.0, 1.0, 4.0, 1.0, float("nan"), 5.0, 3.0], name="v")
+    s = from_pandas(spark, ps.to_frame())["v"]
+    for method in ("average", "min", "max", "dense"):
+        got = s.rank(method=method, pct=True).to_pandas()
+        exp = ps.rank(method=method, pct=True)
+        pd.testing.assert_series_equal(
+            got, exp, check_names=False, check_dtype=False, check_index_type=False
+        )
