@@ -487,7 +487,18 @@ class SparkFrame:
         )
 
     def fillna(self, value) -> SparkFrame:
+        """Scalar fill (float columns only — integer columns carry no NaN)
+        or pandas dict form ``{col: fill}`` filling exactly the named
+        columns."""
         floats = {c for c, t in self._df.dtypes if t in ("double", "float")}
+        if isinstance(value, dict):
+            cols = [
+                sexpr.fillna(F.col(c), value[c], c in floats).alias(c)
+                if c in value
+                else F.col(c)
+                for c in self.columns
+            ]
+            return SparkFrame(self._df.select(IDX, *cols))
         return SparkFrame(
             self._df.select(
                 IDX,

@@ -1015,6 +1015,20 @@ class SparkSeries:
             b.select(IDX, val.alias(VAL)), name=self.name, floating=False
         )
 
+    def combine_first(self, other: SparkSeries) -> SparkSeries:
+        """pandas combine_first: self's values, holes patched from other —
+        a coalesce over the full-outer index alignment (one join on the
+        index, same plan class as every aligned binop)."""
+        a = self._df.select(F.col(IDX), F.col(VAL).alias("__a__"))
+        b = other._df.select(F.col(IDX), F.col(VAL).alias("__b__"))
+        j = a.join(b, IDX, "full")
+        av = F.when(sexpr.notna(F.col("__a__"), self._floating), F.col("__a__"))
+        return SparkSeries(
+            j.select(IDX, F.coalesce(av, F.col("__b__")).alias(VAL)),
+            name=self.name,
+            floating=True,
+        )
+
     def align(self, other: SparkSeries) -> tuple[SparkSeries, SparkSeries]:
         """Full-outer index alignment (ref common_functions.py
         _sdc_internal_join / series align)."""

@@ -1077,3 +1077,27 @@ def test_rank_pct_matches_pandas(spark):
         pd.testing.assert_series_equal(
             got, exp, check_names=False, check_dtype=False, check_index_type=False
         )
+
+
+def test_fillna_dict_and_combine_first(spark):
+    import pandas as pd
+
+    from sdc_spark.frame import from_pandas
+
+    pdf = pd.DataFrame(
+        {"a": [1.0, float("nan"), 3.0], "b": [float("nan"), 2.0, float("nan")]}
+    )
+    f = from_pandas(spark, pdf)
+    got = f.fillna({"a": 0.0}).to_pandas()
+    exp = pdf.fillna({"a": 0.0})
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
+
+    s1 = pd.Series([1.0, float("nan"), 3.0, float("nan")])
+    s2 = pd.Series([10.0, 20.0, 30.0, float("nan"), 50.0])
+    g1 = from_pandas(spark, s1.to_frame("v"))["v"]
+    g2 = from_pandas(spark, s2.to_frame("v"))["v"]
+    got_c = g1.combine_first(g2).to_pandas()
+    exp_c = s1.combine_first(s2)
+    pd.testing.assert_series_equal(
+        got_c, exp_c, check_names=False, check_dtype=False, check_index_type=False
+    )
