@@ -100,7 +100,12 @@ def main() -> None:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs.append(time.time() - t0)
                 _release_session_state(spark)
-            timings[name] = round(sorted(runs)[1], 4)
+                if runs[-1] > 60:
+                    # Pathologically slow run (contended host or a real
+                    # regression): repeating it only burns the benchmark
+                    # budget and starves every later query. Record it once.
+                    break
+            timings[name] = round(sorted(runs)[(len(runs) - 1) // 2], 4)
         except Exception as e:  # noqa: BLE001
             print(f"bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0

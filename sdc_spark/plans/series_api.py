@@ -425,3 +425,40 @@ oracle(
     SELECT event_type FROM c WHERE n = (SELECT max(n) FROM c) ORDER BY event_type
     """,
 )
+
+
+@query("series_expanding_quantile")
+def series_expanding_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expanding().median()/.quantile(0.25) through the Series API — the
+    value-bucketed prefix-histogram scan (operators/order.py
+    scan_quantile). floor(value) has a few hundred distinct values, far
+    under max_buckets, so the histogram buckets ARE the distinct values
+    and the result is exact (pandas linear interpolation between true
+    order statistics) — hash-comparable against DuckDB's windowed
+    quantile_cont. floor (not round) keeps the bucketed value free of
+    half-even/half-away divergence between engines."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias(IDX),
+        F.floor(F.col("value")).cast("double").alias("fv"),
+    )
+    s = SparkSeries.from_column(ev, "fv", index_col=IDX)
+    med = s.expanding(min_periods=1).median()
+    q25 = s.expanding(min_periods=1).quantile(0.25)
+    a = med.round(4)._df.select(F.col(IDX).alias("event_id"), F.col(VAL).alias("emedian"))
+    b = q25.round(4)._df.select(F.col(IDX).alias("event_id"), F.col(VAL).alias("eq25"))
+    return a.join(b, "event_id")
+
+
+oracle(
+    "series_expanding_quantile",
+    """
+    WITH t AS (
+        SELECT event_id, CAST(floor(value) AS DOUBLE) AS fv FROM events
+    )
+    SELECT event_id,
+           round(quantile_cont(fv, 0.5) OVER w, 4) AS emedian,
+           round(quantile_cont(fv, 0.25) OVER w, 4) AS eq25
+    FROM t
+    WINDOW w AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)

@@ -1101,3 +1101,33 @@ def test_fillna_dict_and_combine_first(spark):
     pd.testing.assert_series_equal(
         got_c, exp_c, check_names=False, check_dtype=False, check_index_type=False
     )
+
+
+def test_series_expanding_quantile(spark):
+    rng = np.random.RandomState(23)
+    ps = pd.Series(rng.randn(400).round(1), name="v")  # ~100 distinct -> exact path
+    ps[ps.sample(40, random_state=7).index] = float("nan")
+    s = from_pandas(spark, ps.to_frame())["v"]
+    for q, mp in ((0.5, 1), (0.25, 5), (0.9, 3)):
+        got = s.expanding(min_periods=mp).quantile(q).to_pandas()
+        exp = ps.expanding(min_periods=mp).quantile(q)
+        pd.testing.assert_series_equal(
+            got, exp, check_names=False, check_dtype=False, atol=1e-12
+        )
+    got = s.expanding(min_periods=2).median().to_pandas()
+    exp = ps.expanding(min_periods=2).median()
+    pd.testing.assert_series_equal(
+        got, exp, check_names=False, check_dtype=False, atol=1e-12
+    )
+
+
+def test_series_expanding_quantile_approx_bound(spark):
+    # > max_buckets distinct values -> approximate path with bounded rank
+    # error; check the realized value error stays small for a smooth dist.
+    rng = np.random.RandomState(29)
+    ps = pd.Series(rng.randn(2000), name="v")
+    s = from_pandas(spark, ps.to_frame())["v"]
+    got = s.expanding().quantile(0.5, max_buckets=256).to_pandas()
+    exp = ps.expanding().quantile(0.5)
+    err = (got - exp).abs()
+    assert err.iloc[50:].max() < 0.05
