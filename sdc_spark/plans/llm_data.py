@@ -718,3 +718,102 @@ oracle(
     FROM toks, stops GROUP BY source ORDER BY source
     """,
 )
+
+
+@query("dedup_incremental")
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental dedup: the corpus is split into an 'existing'
+    snapshot (doc_id % 5 != 0) and a 'new' batch (doc_id % 5 == 0); the
+    batch is screened against the snapshot's LSH index only — no
+    corpus-self pairs, the per-batch cost production pipelines actually
+    pay. Exact-verified, so it hash-matches the exact cross-pairs
+    oracle."""
+    doc = _t(spark, sf_dir, "documents")
+    existing = doc.filter(F.col("doc_id") % 5 != 0)
+    new = doc.filter(F.col("doc_id") % 5 == 0)
+    return sdedup.incremental_near_dups(existing, new, "text", "doc_id", threshold=0.8)
+
+
+oracle(
+    "dedup_incremental",
+    f"""
+    WITH {_GRAMS_SQL}
+    SELECT doc_a AS corpus_doc, doc_b AS new_doc, jac FROM pairs
+    WHERE jac >= 0.8 AND doc_a % 5 <> 0 AND doc_b % 5 = 0
+    UNION ALL
+    SELECT doc_b, doc_a, jac FROM pairs
+    WHERE jac >= 0.8 AND doc_b % 5 <> 0 AND doc_a % 5 = 0
+    """,
+)
+
+
+@query("split_leakage_safe")
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-dup clusters (connected
+    components over verified MinHash pairs) are split as UNITS — the split
+    key is the md5 of the cluster representative (min doc id), so two
+    near-duplicate documents can never land in different splits (the
+    classic eval-contamination bug in per-doc splits). Singletons hash
+    their own id. Deterministic, oracled end-to-end through the recursive
+    components CTE."""
+    doc = _t(spark, sf_dir, "documents")
+    pairs = sdedup.minhash_lsh_pairs(doc, "text", "doc_id", threshold=0.8)
+    comp = sdedup.dedup_components(pairs)
+    rep = doc.select("doc_id").join(
+        comp.select(F.col("doc").alias("doc_id"), "component"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("rep")
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("rep").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    val_cut = int(0.05 * 4294967296.0)
+    test_cut = int(0.10 * 4294967296.0)
+    split = (
+        F.when(bucket < val_cut, F.lit("val"))
+        .when(bucket < test_cut, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return rep.select("doc_id", "rep", split.alias("split")).orderBy("doc_id")
+
+
+oracle(
+    "split_leakage_safe",
+    f"""
+    WITH RECURSIVE {_GRAMS_SQL},
+    e AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs WHERE jac >= 0.8
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs WHERE jac >= 0.8
+    ),
+    walk(u, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        UNION
+        SELECT e.u, w.lbl FROM e JOIN walk w ON e.v = w.u
+    ),
+    comp AS (SELECT u AS doc, min(lbl) AS component FROM walk GROUP BY u),
+    r AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
+    )
+    SELECT doc_id, rep,
+           CASE WHEN ('0x' || substring(md5(CAST(rep AS VARCHAR)), 1, 8))::BIGINT
+                     < CAST(floor(0.05 * 4294967296.0) AS BIGINT) THEN 'val'
+                WHEN ('0x' || substring(md5(CAST(rep AS VARCHAR)), 1, 8))::BIGINT
+                     < CAST(floor(0.10 * 4294967296.0) AS BIGINT) THEN 'test'
+                ELSE 'train' END AS split
+    FROM r ORDER BY doc_id
+    """,
+)
+
+
+@query("ann_pq_topk")
+def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-5: 8x16 codebooks, ADC scoring over
+    8-byte codes, exact re-rank of the top-20. Codes are
+    engine-specific → rows-only; recall vs brute force asserted in
+    tests/test_llm_data.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ssim.ann_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, m=8, ksub=16, refine=4
+    )

@@ -250,3 +250,39 @@ def test_map_in_arrow_matches_map_in_pandas(spark, sf_dir):
     b = {r.id: (r.n_bytes, r.byte_mean, r.byte_std, tuple(r.feat))
          for r in smm.decode_and_featurize_arrow(binmod).collect()}
     assert a == b
+
+
+def test_ann_pq_recall(spark, sf_dir):
+    """PQ/ADC with 8x16 codebooks + 4k exact re-rank must recover most of
+    the exact top-5 and be deterministic across runs (seeded codebooks,
+    tie-broken argmins)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.qid, r.nid) for r in ssim.ann_bruteforce_topk(emb, q, k=5).collect()}
+    run1 = {(r.qid, r.nid) for r in ssim.ann_pq_topk(emb, q, k=5).collect()}
+    run2 = {(r.qid, r.nid) for r in ssim.ann_pq_topk(emb, q, k=5).collect()}
+    assert run1 == run2, "PQ output not deterministic"
+    recall = len(exact & run1) / len(exact)
+    assert recall >= 0.5, f"PQ recall too low: {recall}"
+
+
+def test_incremental_dedup_equals_cross_pairs(spark, sf_dir):
+    """Incremental screen (new batch vs existing index) == the cross-split
+    subset of the full all-pairs near-dup answer."""
+    doc = read_table(spark, sf_dir, "documents")
+    existing = doc.filter(F.col("doc_id") % 5 != 0)
+    new = doc.filter(F.col("doc_id") % 5 == 0)
+    inc = {
+        (r.corpus_doc, r.new_doc)
+        for r in sdedup.incremental_near_dups(
+            existing, new, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    full = sdedup.minhash_lsh_pairs(doc, "text", "doc_id", threshold=0.8).collect()
+    cross = set()
+    for r in full:
+        if r.doc_a % 5 != 0 and r.doc_b % 5 == 0:
+            cross.add((r.doc_a, r.doc_b))
+        elif r.doc_b % 5 != 0 and r.doc_a % 5 == 0:
+            cross.add((r.doc_b, r.doc_a))
+    assert inc == cross
