@@ -942,3 +942,98 @@ oracle(
     FROM staged ORDER BY source, doc_id
     """,
 )
+
+
+@query("text_bigram_lm_score")
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical quality score: a bigram language model with
+    add-one smoothing is fitted on the corpus itself (two hash aggregates:
+    bigram counts, unigram counts) and every document is scored by its
+    mean token log-probability — low scores flag boilerplate/garbled text,
+    the classic perplexity gate before training.
+
+    Plan shape at 100 TB: bigram extraction is row-local (zip of the token
+    array with its own tail — no self-join, no positions shuffle); the
+    count tables are partial-aggregated; the scoring join is keyed by
+    bigram with map-side-combined per-(doc,bigram) multiplicities. Nothing
+    leaves the JVM."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id", F.split(normalized_text(F.col("text")), " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    per_doc = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = big.select(F.countDistinct("w2").alias("v"))
+    scored = (
+        per_doc.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "m",
+            (F.log((F.col("c12") + 1).cast("double"))
+             - F.log((F.col("c1") + F.col("v")).cast("double"))).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.round(F.sum(F.col("m") * F.col("lp")) / F.sum("m"), 4).alias("mean_lp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+oracle(
+    "text_bigram_lm_score",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents
+    ), big AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+        WHERE len(t) >= 2
+    ), per_doc AS (
+        SELECT doc_id, w1, w2, count(*) AS m FROM big GROUP BY 1, 2, 3
+    ), c12 AS (
+        SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w1, count(*) AS c1 FROM big GROUP BY 1
+    ), v AS (
+        SELECT count(DISTINCT w2) AS v FROM big
+    )
+    SELECT doc_id, sum(m) AS n_bigrams,
+           round(sum(m * (ln(CAST(c12 + 1 AS DOUBLE)) - ln(CAST(c1 + v.v AS DOUBLE)))) / sum(m), 4) AS mean_lp
+    FROM per_doc JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+
+
+@query("text_bpe_tokenize")
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE subword tokenization (operators/bpe.py): vocabulary
+    trained on the corpus word-frequency table (one scan + driver-side
+    merge learning, deterministic), then applied per document in an
+    Arrow-batched map. Not SQL-expressible (iterative merge model) →
+    rows-only; reconstruction/determinism pinned in
+    tests/test_llm_data2.py."""
+    from sdc_spark.operators import bpe
+
+    doc = _t(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(doc, "text", num_merges=200, max_words=20000)
+    tok = bpe.bpe_tokenize(doc, "text", "doc_id", merges)
+    return tok.select("doc_id", "n_tokens").orderBy("doc_id")

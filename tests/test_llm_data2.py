@@ -79,3 +79,38 @@ def test_resample_to_mix_moves_toward_target(spark, sf_dir):
         for r in resample_to_mix(doc, "source", "doc_id", mix).select("doc_id").collect()
     )
     assert ids_a == ids_b
+
+
+def test_bpe_roundtrip_and_determinism(spark, sf_dir):
+    """BPE: (1) training is bit-deterministic, (2) tokens reconstruct the
+    normalized text exactly, (3) merges actually compress vs characters."""
+    from pyspark.sql import functions as F
+
+    from sdc_spark.operators import bpe
+    from sdc_spark.operators.dedup import normalized_text
+    from sdc_spark.sources.readers import read_table
+
+    doc = read_table(spark, sf_dir, "documents")
+    m1 = bpe.train_bpe(doc, "text", num_merges=150, max_words=10000)
+    m2 = bpe.train_bpe(doc, "text", num_merges=150, max_words=10000)
+    assert m1 == m2 and len(m1) > 0
+
+    tok = bpe.bpe_tokenize(doc, "text", "doc_id", m1)
+    joined = tok.select(
+        "doc_id",
+        "n_tokens",
+        F.regexp_replace(F.concat_ws("", "tokens"), "</w>", " ").alias("rejoined"),
+    )
+    ref = doc.select(
+        "doc_id", F.concat(normalized_text(F.col("text")), F.lit(" ")).alias("norm")
+    )
+    bad = joined.join(ref, "doc_id").filter(
+        F.col("rejoined") != F.col("norm")
+    ).count()
+    assert bad == 0, f"{bad} documents failed BPE round-trip"
+
+    # merges compress: strictly fewer tokens than characters for real docs
+    worse = joined.join(ref, "doc_id").filter(
+        (F.col("n_tokens") >= F.length("norm")) & (F.length("norm") > 20)
+    ).count()
+    assert worse == 0
