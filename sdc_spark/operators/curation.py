@@ -171,3 +171,53 @@ def split_train_val_test(
         .when(u < t_test, F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual/multi-source
+    mixing rule: target share ∝ actual_share^alpha, alpha<1 flattens the
+    distribution toward rare sources). Unlike resample_to_mix the target
+    mix is DERIVED from the corpus itself — no hand-written weights.
+
+    Keep probability: p_s = (w_s / share_s) / max_t(w_t / share_t), where
+    w_s = share_s^alpha / Σ share^alpha — scaled so the most
+    over-boosted stratum is kept whole (never upsamples). The keep
+    decision is the same engine-portable md5-threshold device as
+    resample_to_mix: reproducible across engines, partitionings, retries.
+
+    Scale shape: two tiny aggregates (per-stratum counts, global max
+    ratio — one row each per stratum / in total) broadcast back; the
+    corpus itself is filtered row-locally, zero corpus shuffle."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n_s__"))
+    tot = counts.agg(
+        F.sum("__n_s__").alias("__n__"),
+    )
+    shares = counts.join(F.broadcast(tot)).select(
+        strata_col,
+        (F.col("__n_s__").cast("double") / F.col("__n__")).alias("__share__"),
+    )
+    wsum = shares.agg(F.sum(F.pow("__share__", F.lit(alpha))).alias("__wsum__"))
+    ratios = shares.join(F.broadcast(wsum)).select(
+        strata_col,
+        (
+            (F.pow("__share__", F.lit(alpha)) / F.col("__wsum__")) / F.col("__share__")
+        ).alias("__r__"),
+    )
+    rmax = ratios.agg(F.max("__r__").alias("__rmax__"))
+    probs = ratios.join(F.broadcast(rmax)).select(
+        strata_col, (F.col("__r__") / F.col("__rmax__")).alias("__p__")
+    )
+    thresh = F.lpad(
+        F.lower(F.hex(F.floor(F.col("__p__") * F.lit(4294967296.0)).cast("long"))),
+        9,
+        "0",
+    )
+    u = F.lpad(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8), 9, "0"
+    )
+    return df.join(F.broadcast(probs), strata_col).filter(u < thresh).drop("__p__")

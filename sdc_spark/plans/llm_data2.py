@@ -961,15 +961,22 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = doc.select(
         "doc_id", F.split(normalized_text(F.col("text")), " ").alias("t")
     ).filter(F.size("t") >= 2)
-    big = toks.select(
-        "doc_id",
-        F.explode(
-            F.arrays_zip(
-                F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
-                F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
-            )
-        ).alias("b"),
-    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    big = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                    F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        # four consumers (per-doc multiplicities, c12, c1, vocab): without
+        # this the normalize+split+zip pipeline re-scans the raw corpus 4x
+        # (explain_audit showed scans=4); on a cluster persist instead
+        .localCheckpoint(eager=True)
+    )
     per_doc = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
     c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
@@ -1037,3 +1044,95 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe.train_bpe(doc, "text", num_merges=200, max_words=20000)
     tok = bpe.bpe_tokenize(doc, "text", "doc_id", merges)
     return tok.select("doc_id", "n_tokens").orderBy("doc_id")
+
+
+@query("sample_temperature_mix")
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing (alpha=0.5): target share ∝ actual^0.5, rare
+    sources boosted, dominant sources downsampled, most-boosted stratum
+    kept whole. Deterministic md5-threshold keep — exactly oracled."""
+    from sdc_spark.operators.curation import temperature_resample
+
+    doc = _t(spark, sf_dir, "documents")
+    kept = temperature_resample(doc, "source", "doc_id", alpha=0.5)
+    return (
+        kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("source")
+    )
+
+
+oracle(
+    "sample_temperature_mix",
+    r"""
+    WITH counts AS (
+        SELECT source, count(*) AS n_s FROM documents GROUP BY source
+    ),
+    shares AS (
+        SELECT source, CAST(n_s AS DOUBLE) / (SELECT sum(n_s) FROM counts) AS share
+        FROM counts
+    ),
+    ratios AS (
+        SELECT source,
+               (pow(share, 0.5) / (SELECT sum(pow(share, 0.5)) FROM shares)) / share AS r
+        FROM shares
+    ),
+    probs AS (
+        SELECT source, r / (SELECT max(r) FROM ratios) AS p FROM ratios
+    )
+    SELECT d.source, count(*) AS n_kept
+    FROM documents d JOIN probs s ON d.source = s.source
+    WHERE lpad(substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8), 9, '0')
+          < lpad(lower(to_hex(CAST(floor(s.p * 4294967296.0) AS BIGINT))), 9, '0')
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+
+
+@query("pack_efficiency")
+def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-audit readout over the sequence packer: per 2048-token pack,
+    how many documents START in it, how many tokens those docs carry, and
+    how many of them get split across the cut — the doc-fragmentation
+    dashboard for a concat-and-chunk batch builder (which by construction
+    never pads, so fragmentation is the cost metric)."""
+    from sdc_spark.operators.curation import pack_sequences
+
+    doc = _t(spark, sf_dir, "documents").select(
+        "doc_id", stext.ws_token_count("text").alias("n_tok")
+    )
+    packed = pack_sequences(doc, "doc_id", "n_tok", budget=2048)
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_started"),
+            F.sum(F.col("spans_boundary").cast("long")).alias("n_split"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+oracle(
+    "pack_efficiency",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        FROM documents
+    ), s AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    ), p AS (
+        SELECT CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id, n_tokens,
+               (n_tokens > 0 AND
+                CAST((cum - n_tokens) // 2048 AS BIGINT)
+                  <> CAST((cum - 1) // 2048 AS BIGINT)) AS spans_boundary
+        FROM s
+    )
+    SELECT pack_id, count(*) AS n_docs, sum(n_tokens) AS tokens_started,
+           sum(CASE WHEN spans_boundary THEN 1 ELSE 0 END) AS n_split
+    FROM p GROUP BY pack_id ORDER BY pack_id
+    """,
+)
