@@ -396,9 +396,10 @@ class GroupExpanding(GroupRolling):
 
     Inherits every kernel from GroupRolling and only widens the frame to
     unbounded-preceding. Group-local windows mean expanding median and
-    quantile are exact here (the global SeriesExpanding documents them
-    unsupported — prefix scans cannot decompose order statistics, but a
-    per-group window recompute can)."""
+    quantile are exact here by direct window recompute; the global
+    SeriesExpanding reaches them through the value-bucketed
+    prefix-histogram scan instead (order.scan_quantile — exact when the
+    value domain has <= max_buckets distinct values)."""
 
     def __init__(self, frame, keys, min_periods: int = 1):
         self._frame = frame

@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sdc_spark.functions.categorical import encode
@@ -417,5 +418,206 @@ oracle(
     SELECT count(*) AS n, round(sum(value), 4) AS total,
            round(min(value), 4) AS vmin, round(max(value), 4) AS vmax
     FROM events
+    """,
+)
+
+
+@query("graph_pagerank")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (3 damped power
+    iterations, unrolled): nodes are event types, edge weights are
+    observed next-event transition counts per user stream.
+
+    Scale shape: the expensive part — building the transition edges — is
+    one lag window PARTITIONED BY USER (the natively scalable order; no
+    global sort) plus a map-side-combined count; the iteration itself
+    runs on the node table (tiny by construction: node count = distinct
+    event types, broadcast to wherever it is joined). The same unrolled
+    dataflow is the SQL oracle, so every iteration is bit-checked.
+    Dangling nodes keep their base share (no out-edge mass
+    redistribution) — identical convention on both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    edges = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")).localCheckpoint(
+        eager=True
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select("dst")
+    ).distinct()
+    n = nodes.count()
+    d = 0.85
+    rank = nodes.select("node", F.lit(1.0 / n).alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(out_w, "src")
+            .join(F.broadcast(rank.withColumnRenamed("node", "src")), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("out_w")).alias("inflow"))
+        )
+        rank = nodes.join(
+            F.broadcast(contrib.withColumnRenamed("dst", "node")), "node", "left"
+        ).select(
+            "node",
+            (F.lit((1 - d) / n) + F.lit(d) * F.coalesce("inflow", F.lit(0.0))).alias("r"),
+        )
+    return rank.select("node", F.round("r", 6).alias("pagerank")).orderBy("node")
+
+
+oracle(
+    "graph_pagerank",
+    """
+    WITH steps AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events
+    ),
+    edges AS (
+        SELECT src, dst, count(*) AS w FROM steps WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    out_w AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM (SELECT src FROM edges UNION SELECT dst FROM edges) u(src)),
+    n AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / n.n AS r FROM nodes CROSS JOIN n),
+    c1 AS (
+        SELECT e.dst, sum(r.r * e.w / o.out_w) AS inflow
+        FROM edges e JOIN out_w o ON e.src = o.src JOIN r0 r ON e.src = r.node
+        GROUP BY e.dst
+    ),
+    r1 AS (
+        SELECT nd.node, 0.15 / n.n + 0.85 * coalesce(c.inflow, 0.0) AS r
+        FROM nodes nd CROSS JOIN n LEFT JOIN c1 c ON nd.node = c.dst
+    ),
+    c2 AS (
+        SELECT e.dst, sum(r.r * e.w / o.out_w) AS inflow
+        FROM edges e JOIN out_w o ON e.src = o.src JOIN r1 r ON e.src = r.node
+        GROUP BY e.dst
+    ),
+    r2 AS (
+        SELECT nd.node, 0.15 / n.n + 0.85 * coalesce(c.inflow, 0.0) AS r
+        FROM nodes nd CROSS JOIN n LEFT JOIN c2 c ON nd.node = c.dst
+    ),
+    c3 AS (
+        SELECT e.dst, sum(r.r * e.w / o.out_w) AS inflow
+        FROM edges e JOIN out_w o ON e.src = o.src JOIN r2 r ON e.src = r.node
+        GROUP BY e.dst
+    ),
+    r3 AS (
+        SELECT nd.node, 0.15 / n.n + 0.85 * coalesce(c.inflow, 0.0) AS r
+        FROM nodes nd CROSS JOIN n LEFT JOIN c3 c ON nd.node = c.dst
+    )
+    SELECT node, round(r, 6) AS pagerank FROM r3 ORDER BY node
+    """,
+)
+
+
+_CMS_W = 64  # count-min width (buckets per hash row)
+_CMS_D = 4  # count-min depth (independent hash rows)
+
+
+@query("sketch_count_min")
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, probed for the
+    20 most frequent tokens: estimate = min over d=4 md5-derived hash
+    rows of w=64 counters. The sketch build is ONE map-side-combined
+    aggregate over (row, bucket) — d*w = 256 cells total regardless of
+    corpus size — the classic bounded-memory frequency summary for
+    streams too wide for exact counting. md5-derived bucketing makes the
+    sketch bit-identical across engines, so estimates (always >= truth)
+    are exactly oracled."""
+    doc = read_table(spark, sf_dir, "documents")
+    from sdc_spark.operators.dedup import normalized_text
+
+    toks = doc.select(
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("tok")
+    ).filter(F.length("tok") > 0).localCheckpoint(eager=True)
+    rows = []
+    for j in range(_CMS_D):
+        b = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"s{j}:"), F.col("tok")).cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long") % _CMS_W
+        rows.append(toks.select(F.lit(j).alias("hrow"), b.alias("bucket")))
+    cells = rows[0]
+    for r in rows[1:]:
+        cells = cells.unionByName(r)
+    sketch = cells.groupBy("hrow", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("truth"))
+        .orderBy(F.desc("truth"), "tok")
+        .limit(20)
+    )
+    probes = top.select(
+        "tok",
+        "truth",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("hrow"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(F.lit(f"s{j}:"), F.col("tok")).cast(
+                                            "binary"
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % _CMS_W
+                        ).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "truth", "p.hrow", "p.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["hrow", "bucket"])
+        .groupBy("tok", "truth")
+        .agg(F.min("c").alias("cms_estimate"))
+        .orderBy(F.desc("truth"), "tok")
+    )
+
+
+oracle(
+    "sketch_count_min",
+    r"""
+    WITH toks AS (
+        SELECT unnest(string_split(
+            regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+    ), t AS (SELECT tok FROM toks WHERE length(tok) > 0),
+    cells AS (
+        SELECT j AS hrow,
+               ('0x' || substring(md5('s' || j || ':' || tok), 1, 8))::BIGINT % 64 AS bucket,
+               count(*) AS c
+        FROM t, UNNEST([0, 1, 2, 3]) AS s(j)
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT tok, count(*) AS truth FROM t
+        GROUP BY tok ORDER BY truth DESC, tok LIMIT 20
+    ),
+    probes AS (
+        SELECT tok, truth, j AS hrow,
+               ('0x' || substring(md5('s' || j || ':' || tok), 1, 8))::BIGINT % 64 AS bucket
+        FROM top, UNNEST([0, 1, 2, 3]) AS s(j)
+    )
+    SELECT p.tok, p.truth, min(c.c) AS cms_estimate
+    FROM probes p JOIN cells c ON p.hrow = c.hrow AND p.bucket = c.bucket
+    GROUP BY p.tok, p.truth ORDER BY p.truth DESC, p.tok
     """,
 )
