@@ -667,6 +667,35 @@ class SparkSeries:
 
         return SeriesRolling(self, window, min_periods, center)
 
+    def ewm(
+        self,
+        com: float | None = None,
+        span: float | None = None,
+        halflife: float | None = None,
+        alpha: float | None = None,
+        min_periods: int = 0,
+    ):
+        """pandas Series.ewm (adjust=True, ignore_na=False). The reference
+        only cross-references ewm in its rolling docs
+        (hpat_pandas_rolling_types.py:204) without implementing it; here it
+        runs distributed on the segmented decay scan (order.scan_ewm — a
+        linear recurrence carried across range partitions by one scalar
+        per partition)."""
+        import math
+
+        given = [x is not None for x in (com, span, halflife, alpha)]
+        if sum(given) != 1:
+            raise ValueError("exactly one of com/span/halflife/alpha required")
+        if com is not None:
+            a = 1.0 / (1.0 + com)
+        elif span is not None:
+            a = 2.0 / (span + 1.0)
+        elif halflife is not None:
+            a = 1.0 - math.exp(-math.log(2.0) / halflife)
+        else:
+            a = float(alpha)
+        return SeriesEwm(self, a, min_periods)
+
     def map(self, arg, dtype: str | None = None) -> SparkSeries:
         """dict → literal map lookup (JVM); callable → Arrow pandas UDF
         (ref pandas_series_functions/map.py:38-115).
@@ -1341,6 +1370,29 @@ class SeriesExpanding:
 
     def median(self, max_buckets: int = 1024) -> SparkSeries:
         return self.quantile(0.5, max_buckets=max_buckets)
+
+
+class SeriesEwm:
+    """series.ewm(...).mean() — exponentially-weighted mean on the
+    segmented decay scan (operators/order.py scan_ewm): per-partition
+    decayed reductions + a P-scalar carry composition, never a
+    single-partition pass."""
+
+    def __init__(self, s: SparkSeries, alpha: float, min_periods: int):
+        self._s = s
+        self._alpha = alpha
+        self._minp = min_periods
+
+    def mean(self) -> SparkSeries:
+        df = self._s._df.select(IDX, VAL)
+        out = sorder.scan_ewm(
+            df, [IDX], VAL, self._alpha, "__e__", min_periods=self._minp
+        )
+        return SparkSeries(
+            out.select(IDX, F.col("__e__").alias(VAL)),
+            name=self._s.name,
+            floating=True,
+        )
 
 
 class _DtAccessor:

@@ -553,3 +553,173 @@ def scan_quantile(
         return res
 
     return part.groupBy(PID).applyInPandas(_quant, out_schema)
+
+
+def scan_ewm(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    val_col: str,
+    alpha: float,
+    out_col: str,
+    min_periods: int = 0,
+) -> DataFrame:
+    """Exponentially-weighted mean (pandas ``ewm(alpha).mean()``,
+    adjust=True, ignore_na=False) over a global order — a linear
+    recurrence, i.e. the one windowed kernel that is neither
+    sum-decomposable nor bounded-context: every output depends on ALL
+    history, but the dependence is a single scalar carry.
+
+    Distributed form (segmented decay scan, two passes, no full-data
+    single partition):
+
+    1. Range-partition by the order keys (shared machinery).
+    2. Pass A: each partition reduces to THREE scalars — its
+       end-of-partition decayed numerator N_p = Σ q^(n_p-1-j)·x_j,
+       decayed weight D_p, and length n_p (q = 1-alpha). A P-row
+       driver-side scan composes carries: S_p = S_{p-1}·q^{n_p} + N_p.
+    3. Pass B: per partition, Arrow-batched; the within-partition prefix
+       is vectorized with the scaling identity
+       Σ_{j<=k} q^(k-j) v_j = q^k · cumsum(v_j·q^(-j)), applied in
+       chunks sized so q^(-chunk) cannot overflow
+       (chunk = min(4096, 600 / -ln q)); the incoming carry contributes
+       S_{p-1}·q^(k+1).
+
+    pandas semantics: NaN values contribute nothing but still advance the
+    decay clock (ignore_na=False); outputs before the first valid value
+    (or before ``min_periods`` valids) are null. Exact up to float
+    reassociation (~1 ulp vs pandas' sequential recurrence).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    q = 1.0 - alpha
+    spark = df.sparkSession
+    base = df.select(*[F.col(c) for c in order_cols], F.col(val_col).cast("double"))
+    part = range_partitioned(base, order_cols, pin=True)
+    # chunk bound keeps q^(-chunk) <= e^600 (~4e260): even with the
+    # geometric cumsum growth and large |x| the scaled prefix stays far
+    # from float64 overflow
+    chunk = 4096 if q == 0.0 else max(16, min(4096, int(600.0 / -math.log(q))))
+
+    def _decayed_tail(x: "np.ndarray", v: "np.ndarray") -> tuple[float, float]:
+        """(Σ q^(n-1-j)·x_j·v_j, Σ q^(n-1-j)·v_j) without overflow: fold
+        chunks left-to-right, decaying the running value by q^len(chunk).
+        For q == 0 (alpha == 1, memoryless) the carry degenerates to the
+        LAST VALID value — pandas still carries it through trailing NaNs."""
+        if q == 0.0:
+            idx = np.flatnonzero(v)
+            if len(idx) == 0:
+                return 0.0, 0.0
+            return float(x[idx[-1]]), 1.0
+        num = den = 0.0
+        for lo in range(0, len(x), chunk):
+            xs, vs = x[lo : lo + chunk], v[lo : lo + chunk]
+            c = len(xs)
+            pw = q ** np.arange(c - 1, -1, -1, dtype="float64")
+            num = num * (q**c) + float(np.dot(pw, np.where(vs, xs, 0.0)))
+            den = den * (q**c) + float(np.dot(pw, vs.astype("float64")))
+        return num, den
+
+    def _summary(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_cols), kind="mergesort")
+        x = pdf[val_col].to_numpy(dtype="float64")
+        v = ~np.isnan(x)
+        num, den = _decayed_tail(x, v)
+        return pd.DataFrame(
+            {
+                "pid": [int(pdf[PID].iloc[0])],
+                "n": [len(x)],
+                "nvalid": [int(v.sum())],
+                "num": [num],
+                "den": [den],
+            }
+        )
+
+    rows = part.groupBy(PID).applyInPandas(
+        _summary, "pid int, n long, nvalid long, num double, den double"
+    ).collect()
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    info = {r["pid"]: r for r in rows}
+    carry_num = [0.0] * n_part  # decayed state ENTERING partition p
+    carry_den = [0.0] * n_part
+    carry_cnt = [0] * n_part  # valid count before partition p
+    cn = cd = 0.0
+    cc = 0
+    for p in range(n_part):
+        carry_num[p], carry_den[p], carry_cnt[p] = cn, cd, cc
+        r = info.get(p)
+        if r is not None:
+            if q == 0.0:
+                # memoryless: a partition with any valid value replaces the
+                # carry; an all-NaN partition passes it through unchanged
+                if r["den"] > 0.0:
+                    cn, cd = r["num"], r["den"]
+            else:
+                decay = q ** r["n"]
+                cn = cn * decay + r["num"]
+                cd = cd * decay + r["den"]
+            cc += r["nvalid"]
+
+    schema_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in part.schema.fields
+        if f.name in order_cols
+    )
+    out_schema = f"{schema_fields}, `{out_col}` double"
+    minp = max(min_periods, 1)
+
+    def _ewm(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_cols), kind="mergesort")
+        pid = int(pdf[PID].iloc[0])
+        x = pdf[val_col].to_numpy(dtype="float64")
+        valid = ~np.isnan(x)
+        n = len(x)
+        num = np.empty(n)
+        den = np.empty(n)
+        s_num, s_den = carry_num[pid], carry_den[pid]
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            c = hi - lo
+            k = np.arange(c, dtype="float64")
+            xs = np.where(valid[lo:hi], x[lo:hi], 0.0)
+            vs = valid[lo:hi].astype("float64")
+            if q > 0.0:
+                inv = q**-k
+                pw = q**k
+                loc_num = pw * np.cumsum(xs * inv)
+                loc_den = pw * np.cumsum(vs * inv)
+                num[lo:hi] = loc_num + s_num * q ** (k + 1)
+                den[lo:hi] = loc_den + s_den * q ** (k + 1)
+                s_num = num[hi - 1]
+                s_den = den[hi - 1]
+            else:
+                # alpha == 1: memoryless update, but pandas still CARRIES
+                # the last valid value through NaN rows — a forward fill
+                # seeded with the cross-partition carry
+                seg = np.where(valid[lo:hi], x[lo:hi], np.nan)
+                filled_idx = np.where(valid[lo:hi], np.arange(c), -1)
+                filled_idx = np.maximum.accumulate(filled_idx)
+                has_prev = s_den > 0.0
+                seg_out = np.where(
+                    filled_idx >= 0,
+                    seg[np.maximum(filled_idx, 0)],
+                    s_num if has_prev else np.nan,
+                )
+                num[lo:hi] = seg_out
+                den[lo:hi] = np.where(
+                    (filled_idx >= 0) | has_prev, 1.0, 0.0
+                )
+                if valid[lo:hi].any():
+                    s_num = seg[filled_idx[-1]]
+                    s_den = 1.0
+        cum_valid = carry_cnt[pid] + np.cumsum(valid.astype("int64"))
+        out = np.where((den > 0.0) & (cum_valid >= minp), num / np.maximum(den, 1e-300), np.nan)
+        res = pdf[list(order_cols)].copy()
+        res[out_col] = out
+        return res
+
+    return part.groupBy(PID).applyInPandas(_ewm, out_schema)

@@ -462,3 +462,38 @@ oracle(
     WINDOW w AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
+
+
+@query("series_ewm_mean")
+def series_ewm_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ewm(alpha=0.02).mean() through the Series API — the segmented decay
+    scan (operators/order.py scan_ewm). The oracle spells the same
+    adjust=True definition with the scaling identity
+    q^i · Σ q^(-j)x_j; the slice is bounded to 5000 rows so q^(-j) stays
+    far from float overflow in plain SQL (the engine path needs no such
+    bound — it renormalizes per chunk)."""
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 5000)
+        .select(F.col("event_id").alias(IDX), F.col("value").alias("v"))
+    )
+    s = SparkSeries.from_column(ev, "v", index_col=IDX)
+    out = s.ewm(alpha=0.02).mean().round(4)
+    return out._df.select(F.col(IDX).alias("event_id"), F.col(VAL).alias("ewm_mean"))
+
+
+oracle(
+    "series_ewm_mean",
+    """
+    WITH t AS (
+        SELECT event_id, value,
+               row_number() OVER (ORDER BY event_id) - 1 AS i
+        FROM events WHERE event_id < 5000
+    )
+    SELECT event_id,
+           round((pow(0.98, i) * sum(value * pow(0.98, -i)) OVER w)
+                 / (pow(0.98, i) * sum(pow(0.98, -i)) OVER w), 4) AS ewm_mean
+    FROM t
+    WINDOW w AS (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)

@@ -1131,3 +1131,25 @@ def test_series_expanding_quantile_approx_bound(spark):
     exp = ps.expanding().quantile(0.5)
     err = (got - exp).abs()
     assert err.iloc[50:].max() < 0.05
+
+
+def test_series_ewm_mean(spark):
+    rng = np.random.RandomState(31)
+    ps = pd.Series(rng.randn(600) * 100, name="v")
+    ps[ps.sample(50, random_state=3).index] = float("nan")
+    ps.iloc[:4] = float("nan")  # leading NaNs exercise the carry seed
+    s = from_pandas(spark, ps.to_frame())["v"]
+    for kw in (
+        dict(alpha=0.1),
+        dict(alpha=0.9),
+        dict(span=20),
+        dict(com=5),
+        dict(halflife=10),
+        dict(alpha=0.001),
+        dict(alpha=1.0),  # memoryless: degenerates to forward-fill carry
+    ):
+        got = s.ewm(**kw, min_periods=3).mean().to_pandas()
+        exp = ps.ewm(**kw, min_periods=3).mean()
+        np.testing.assert_allclose(
+            got.to_numpy(), exp.to_numpy(), rtol=1e-9, atol=1e-12, equal_nan=True
+        )
