@@ -1394,6 +1394,34 @@ class SeriesEwm:
             floating=True,
         )
 
+    def var(self, bias: bool = False) -> SparkSeries:
+        """Reliability-weighted ewm variance (pandas bias=False default):
+        var = (Σw·x²/Σw − mean²) · (Σw)²/((Σw)² − Σw²), all four decayed
+        sums from ONE pass of the segmented decay scan
+        (order.scan_ewm_moments). A single observation has (Σw)² == Σw² →
+        null, matching pandas."""
+        df = self._s._df.select(IDX, VAL)
+        m = sorder.scan_ewm_moments(df, [IDX], VAL, self._alpha, self._minp)
+        mean = F.col("__num__") / F.col("__den__")
+        biased = F.col("__num2__") / F.col("__den__") - mean * mean
+        if bias:
+            var = biased
+        else:
+            d2 = F.col("__den__") * F.col("__den__")
+            var = biased * F.try_divide(d2, d2 - F.col("__den2__"))
+        minp = max(self._minp, 1)
+        out = m.select(
+            IDX,
+            F.when(
+                (F.col("__den__") > 0) & (F.col("__cnt__") >= minp),
+                F.greatest(var, F.lit(0.0)),  # clamp float-cancellation negatives
+            ).alias(VAL),
+        )
+        return SparkSeries(out, name=self._s.name, floating=True)
+
+    def std(self, bias: bool = False) -> SparkSeries:
+        return self.var(bias=bias)._unary(F.sqrt, floating=True)
+
 
 class _DtAccessor:
     """series.dt — datetime field extraction (ref pd_timestamp_ext.py:120-160

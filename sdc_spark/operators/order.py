@@ -723,3 +723,133 @@ def scan_ewm(
         return res
 
     return part.groupBy(PID).applyInPandas(_ewm, out_schema)
+
+
+def scan_ewm_moments(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    val_col: str,
+    alpha: float,
+    min_periods: int = 0,
+) -> DataFrame:
+    """Per-row decayed-moment sums for ewm var/std (adjust=True,
+    ignore_na=False, bias=False): num = Σ q^d·x, num2 = Σ q^d·x²,
+    den = Σ q^d, den2 = Σ q^(2d) (d = steps back, NaNs advance d but add
+    nothing). Same segmented decay-scan shape as scan_ewm — per-partition
+    scalar reductions, P-scalar carry composition, chunk-renormalized
+    vectorized prefixes — just four parallel scans (den2 runs at decay
+    q²). Returns (order_cols..., __num__, __den__, __num2__, __den2__,
+    __cnt__).
+
+    Requires alpha < 1: the memoryless case has an undefined
+    reliability-weight correction (pandas returns all-NaN var there too).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("ewm moments require alpha in (0, 1)")
+    q = 1.0 - alpha
+    q2 = q * q
+    spark = df.sparkSession
+    base = df.select(*[F.col(c) for c in order_cols], F.col(val_col).cast("double"))
+    part = range_partitioned(base, order_cols, pin=True)
+    chunk = max(16, min(4096, int(600.0 / -math.log(q2))))
+
+    def _tails(x, v):
+        """End-of-partition decayed sums for all four (series, decay)."""
+        outs = [0.0, 0.0, 0.0, 0.0]
+        specs = [
+            (np.where(v, x, 0.0), q),
+            (np.where(v, x * x, 0.0), q),
+            (v.astype("float64"), q),
+            (v.astype("float64"), q2),
+        ]
+        for lo in range(0, len(x), chunk):
+            c = min(chunk, len(x) - lo)
+            for i, (s, dq) in enumerate(specs):
+                pw = dq ** np.arange(c - 1, -1, -1, dtype="float64")
+                outs[i] = outs[i] * (dq**c) + float(np.dot(pw, s[lo : lo + c]))
+        return outs
+
+    def _summary(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_cols), kind="mergesort")
+        x = pdf[val_col].to_numpy(dtype="float64")
+        v = ~np.isnan(x)
+        num, num2, den, den2 = _tails(x, v)
+        return pd.DataFrame(
+            {
+                "pid": [int(pdf[PID].iloc[0])],
+                "n": [len(x)],
+                "nvalid": [int(v.sum())],
+                "num": [num],
+                "num2": [num2],
+                "den": [den],
+                "den2": [den2],
+            }
+        )
+
+    rows = part.groupBy(PID).applyInPandas(
+        _summary,
+        "pid int, n long, nvalid long, num double, num2 double, den double, den2 double",
+    ).collect()
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    info = {r["pid"]: r for r in rows}
+    carries = {p: None for p in range(n_part)}
+    state = [0.0, 0.0, 0.0, 0.0, 0]  # num, num2, den, den2, cnt
+    for p in range(n_part):
+        carries[p] = tuple(state)
+        r = info.get(p)
+        if r is not None:
+            d1, d2 = q ** r["n"], q2 ** r["n"]
+            state = [
+                state[0] * d1 + r["num"],
+                state[1] * d1 + r["num2"],
+                state[2] * d1 + r["den"],
+                state[3] * d2 + r["den2"],
+                state[4] + r["nvalid"],
+            ]
+
+    schema_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in part.schema.fields
+        if f.name in order_cols
+    )
+    out_schema = (
+        f"{schema_fields}, `__num__` double, `__den__` double,"
+        " `__num2__` double, `__den2__` double, `__cnt__` long"
+    )
+
+    def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_cols), kind="mergesort")
+        pid = int(pdf[PID].iloc[0])
+        x = pdf[val_col].to_numpy(dtype="float64")
+        valid = ~np.isnan(x)
+        n = len(x)
+        c_num, c_num2, c_den, c_den2, c_cnt = carries[pid]
+        series = [
+            (np.where(valid, x, 0.0), q, c_num),
+            (np.where(valid, x * x, 0.0), q, c_num2),
+            (valid.astype("float64"), q, c_den),
+            (valid.astype("float64"), q2, c_den2),
+        ]
+        outs = [np.empty(n) for _ in series]
+        states = [s for _, _, s in series]
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            k = np.arange(hi - lo, dtype="float64")
+            for i, (s, dq, _) in enumerate(series):
+                inv = dq**-k
+                pw = dq**k
+                loc = pw * np.cumsum(s[lo:hi] * inv)
+                outs[i][lo:hi] = loc + states[i] * dq ** (k + 1)
+                states[i] = outs[i][hi - 1]
+        res = pdf[list(order_cols)].copy()
+        res["__num__"], res["__num2__"] = outs[0], outs[1]
+        res["__den__"], res["__den2__"] = outs[2], outs[3]
+        res["__cnt__"] = c_cnt + np.cumsum(valid.astype("int64"))
+        return res
+
+    return part.groupBy(PID).applyInPandas(_scan, out_schema)

@@ -497,3 +497,45 @@ oracle(
     WINDOW w AS (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
+
+
+@query("series_ewm_var")
+def series_ewm_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ewm(alpha=0.02).var() — the four decayed sums (num, num2, den at
+    decay q; den2 at q²) come from one pass of scan_ewm_moments; the
+    oracle spells the identical reliability-weighted definition with the
+    q^i scaling identity on the bounded slice."""
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 5000)
+        .select(F.col("event_id").alias(IDX), F.col("value").alias("v"))
+    )
+    s = SparkSeries.from_column(ev, "v", index_col=IDX)
+    out = s.ewm(alpha=0.02).var().round(4)
+    return out._df.select(F.col(IDX).alias("event_id"), F.col(VAL).alias("ewm_var"))
+
+
+oracle(
+    "series_ewm_var",
+    """
+    WITH t AS (
+        SELECT event_id, value,
+               row_number() OVER (ORDER BY event_id) - 1 AS i
+        FROM events WHERE event_id < 5000
+    ), s AS (
+        SELECT event_id,
+               pow(0.98, i) * sum(value * pow(0.98, -i)) OVER w AS num,
+               pow(0.98, i) * sum(value * value * pow(0.98, -i)) OVER w AS num2,
+               pow(0.98, i) * sum(pow(0.98, -i)) OVER w AS den,
+               pow(0.9604, i) * sum(pow(0.9604, -i)) OVER w AS den2
+        FROM t
+        WINDOW w AS (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id,
+           round(greatest(
+               (num2 / den - (num / den) * (num / den))
+                   * (den * den) / nullif(den * den - den2, 0.0),
+               0.0), 4) AS ewm_var
+    FROM s
+    """,
+)

@@ -1153,3 +1153,22 @@ def test_series_ewm_mean(spark):
         np.testing.assert_allclose(
             got.to_numpy(), exp.to_numpy(), rtol=1e-9, atol=1e-12, equal_nan=True
         )
+
+
+def test_series_ewm_var_std(spark):
+    rng = np.random.RandomState(37)
+    ps = pd.Series(rng.randn(500) * 50, name="v")
+    ps[ps.sample(40, random_state=9).index] = float("nan")
+    s = from_pandas(spark, ps.to_frame())["v"]
+    for kw in (dict(alpha=0.1), dict(span=20), dict(alpha=0.8)):
+        for stat in ("var", "std"):
+            got = getattr(s.ewm(**kw, min_periods=2), stat)().to_pandas()
+            exp = getattr(ps.ewm(**kw, min_periods=2), stat)()
+            np.testing.assert_allclose(
+                got.to_numpy(), exp.to_numpy(), rtol=1e-7, atol=1e-10, equal_nan=True
+            )
+    got = s.ewm(alpha=0.2).var(bias=True).to_pandas()
+    exp = ps.ewm(alpha=0.2).var(bias=True)
+    np.testing.assert_allclose(
+        got.to_numpy(), exp.to_numpy(), rtol=1e-7, atol=1e-10, equal_nan=True
+    )
