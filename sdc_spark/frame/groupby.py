@@ -235,6 +235,15 @@ class FrameGroupBy:
 
         return GroupExpanding(self._frame, self._keys, min_periods)
 
+    def ewm(self, alpha: float, min_periods: int = 0):
+        """df.groupby(keys).ewm(alpha) — per-group exponentially-weighted
+        kernels (mean/var/std). Group-local, so pandas' own ewm runs
+        Arrow-batched inside each group; the global series path uses the
+        segmented decay scan instead (order.scan_ewm)."""
+        from sdc_spark.frame.rolling import GroupEwm
+
+        return GroupEwm(self._frame, self._keys, alpha, min_periods)
+
     def quantile(self, q: float = 0.5, approx: bool = False, accuracy: int = 10000):
         """Per-group exact linear-interpolation quantile; ``approx=True``
         uses the approx_percentile sketch (mergeable, no per-group sort

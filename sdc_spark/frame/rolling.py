@@ -412,3 +412,51 @@ class GroupExpanding(GroupRolling):
         minp = max(min_periods, 1)
         self._minp = minp
         self._minp_count = minp
+
+
+class GroupEwm:
+    """df.groupby(keys).ewm(...) — per-group exponentially-weighted
+    kernels. Groups are the partitioning key, so no decay-scan
+    decomposition is needed: one hash shuffle, then pandas' own ewm runs
+    Arrow-batched inside each group (the same group-fits-in-memory
+    contract as gb.apply). Output shape matches the other group windows:
+    (__index__, keys, numeric columns)."""
+
+    def __init__(self, frame, keys, alpha: float, min_periods: int = 0):
+        self._frame = frame
+        self._keys = list(keys)
+        self._alpha = alpha
+        self._minp = min_periods
+
+    def _stat(self, name: str):
+        from sdc_spark.frame.core import SparkFrame
+
+        cols = [c for c in self._frame._numeric_cols() if c not in self._keys]
+        keys, alpha, minp = self._keys, self._alpha, self._minp
+        src = self._frame._df.select(IDX, *keys, *cols)
+        fields = {f.name: f.dataType.simpleString() for f in src.schema.fields}
+        schema = ", ".join(
+            [f"`{IDX}` {fields[IDX]}"]
+            + [f"`{k}` {fields[k]}" for k in keys]
+            + [f"`{c}` double" for c in cols]
+        )
+
+        def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(IDX, kind="mergesort")
+            out = pdf[[IDX, *keys]].copy()
+            ew = pdf[cols].ewm(alpha=alpha, min_periods=minp)
+            res = getattr(ew, name)()
+            for c in cols:
+                out[c] = res[c].to_numpy()
+            return out
+
+        return SparkFrame(src.groupBy(*keys).applyInPandas(_apply, schema))
+
+    def mean(self):
+        return self._stat("mean")
+
+    def var(self):
+        return self._stat("var")
+
+    def std(self):
+        return self._stat("std")

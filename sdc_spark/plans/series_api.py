@@ -539,3 +539,42 @@ oracle(
     FROM s
     """,
 )
+
+
+@query("groupby_ewm_mean")
+def groupby_ewm_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.groupby(user).ewm(alpha=0.1).mean() through the frame layer —
+    group-local pandas ewm inside applyInPandas (one hash shuffle on the
+    key). Groups are <100 rows, so the oracle's q^i scaling identity is
+    overflow-safe without slicing."""
+    from sdc_spark.frame.core import SparkFrame
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias(IDX),
+        F.col("user_id"),
+        F.col("value"),
+    )
+    out = SparkFrame(ev).groupby("user_id").ewm(alpha=0.1, min_periods=1).mean()
+    return out._df.select(
+        F.col(IDX).alias("event_id"),
+        "user_id",
+        F.round(F.col("value"), 4).alias("ewm_value"),
+    )
+
+
+oracle(
+    "groupby_ewm_mean",
+    """
+    WITH t AS (
+        SELECT event_id, user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS i
+        FROM events
+    )
+    SELECT event_id, user_id,
+           round((pow(0.9, i) * sum(value * pow(0.9, -i)) OVER w)
+                 / (pow(0.9, i) * sum(pow(0.9, -i)) OVER w), 4) AS ewm_value
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)

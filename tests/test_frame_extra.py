@@ -1172,3 +1172,28 @@ def test_series_ewm_var_std(spark):
     np.testing.assert_allclose(
         got.to_numpy(), exp.to_numpy(), rtol=1e-7, atol=1e-10, equal_nan=True
     )
+
+
+def test_groupby_ewm(spark):
+    rng = np.random.RandomState(41)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 300),
+            "v": rng.randn(300) * 10,
+            "u": rng.randn(300),
+        }
+    )
+    pdf.loc[pdf.sample(25, random_state=2).index, "v"] = float("nan")
+    sf2 = from_pandas(spark, pdf)
+    for stat in ("mean", "var", "std"):
+        got = getattr(sf2.groupby("k").ewm(alpha=0.3, min_periods=2), stat)().to_pandas()
+        exp = getattr(pdf.groupby("k").ewm(alpha=0.3, min_periods=2), stat)()
+        for c in ("v", "u"):
+            exp_flat = exp[c].reset_index(level=0, drop=True).sort_index()
+            np.testing.assert_allclose(
+                got[c].sort_index().to_numpy(),
+                exp_flat.to_numpy(),
+                rtol=1e-9,
+                atol=1e-12,
+                equal_nan=True,
+            )
