@@ -575,7 +575,10 @@ class SparkSeries:
         surviving rows only."""
         s = self.dropna() if self._floating else self
         top = s._df.orderBy(*keys).limit(n)
-        w = W.partitionBy(F.lit(0)).orderBy(*keys)
+        # non-foldable all-equal key: partitionBy(lit(0)) is folded away and
+        # WindowExec warns "No Partition Defined" even though this window
+        # runs over the n post-limit survivors only
+        w = W.partitionBy(F.pmod(F.spark_partition_id(), F.lit(1))).orderBy(*keys)
         out = top.select(IDX, VAL, F.row_number().over(w).alias("__ord__"))
         return SparkSeries(out, name=self.name, floating=self._floating)
 

@@ -122,7 +122,15 @@ def _with_carries(
         # from their predecessor), then running carry over the P-row table.
         pid_axis = pid_axis_df
         ordp = F.col("__pid__").asc() if backward else F.col("__pid__").desc()
-        w2 = W.partitionBy(F.lit(0)).orderBy(ordp).rowsBetween(W.unboundedPreceding, -1)
+        # pmod(pid, 1) == 0 but is not constant-foldable: partitionBy(lit(0))
+        # is folded away and WindowExec logs the scary "No Partition
+        # Defined" warning even though this window only ever sees P rows
+        # (same convention as operators/order.py _one)
+        w2 = (
+            W.partitionBy(F.pmod(F.col("__pid__"), F.lit(1)))
+            .orderBy(ordp)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
         prev = pid_axis.join(summary, "__pid__", "left").select(
             "__pid__",
             *[F.last(a, ignorenulls=True).over(w2).alias(f"__p_{a}") for a in payload],

@@ -37,6 +37,16 @@ DEFAULT_SET = [
     "sample_stratified",
     "sample_source_mix",
     "split_train_val_test",
+    # round-6 additions: histogram/decay scans, incremental LSH, PQ
+    # codebooks, cluster-unit split, BPE merge learning
+    "series_expanding_quantile",
+    "series_ewm_mean",
+    "series_ewm_var",
+    "groupby_ewm_mean",
+    "dedup_incremental",
+    "split_leakage_safe",
+    "ann_pq_topk",
+    "text_bpe_tokenize",
 ]
 
 
