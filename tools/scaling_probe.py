@@ -48,6 +48,14 @@ DEFAULT_QUERIES = [
     "pack_sequences",
     "window_topk_per_group",
     "series_ffill",
+    # round-6 additions: histogram/decay scans, incremental LSH, PQ, LM
+    "series_expanding_quantile",
+    "series_ewm_mean",
+    "dedup_incremental",
+    "ann_pq_topk",
+    "text_bigram_lm_score",
+    "text_bpe_tokenize",
+    "graph_pagerank",
 ]
 
 
