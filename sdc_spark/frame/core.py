@@ -659,6 +659,16 @@ class SparkFrame:
 
         return FrameRolling(self, window, min_periods, center)
 
+    def resample(self, rule: str, on: str):
+        """Downsample into ``rule``-sized time buckets keyed by column
+        ``on`` (pandas ``df.resample(rule, on=col)``): dense bucket axis,
+        empty buckets -> null (count -> 0). Aggregates every numeric
+        column; one map-side-combined shuffle."""
+        from sdc_spark.frame.resample import FrameResampler
+
+        cols = [c for c in self._numeric_cols() if c != on]
+        return FrameResampler(self._df, on, rule, cols)
+
     # -- per-column reductions (ref codegen
     # sdc_pandas_dataframe_reduce_columns, …dataframe_functions.py:465-533) --
 

@@ -670,6 +670,14 @@ class SparkSeries:
 
         return SeriesRolling(self, window, min_periods, center)
 
+    def resample(self, rule: str):
+        """pandas Series.resample over a datetime index: floor the index
+        to rule-aligned buckets, aggregate per bucket (one map-side-combined
+        shuffle), dense axis with empty buckets (count -> 0, else null)."""
+        from sdc_spark.frame.resample import SeriesResampler
+
+        return SeriesResampler(self._df.select(IDX, VAL), IDX, rule, [VAL])
+
     def ewm(
         self,
         com: float | None = None,

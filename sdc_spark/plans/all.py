@@ -12,6 +12,7 @@ import sdc_spark.plans.relational2  # noqa: F401
 import sdc_spark.plans.scalar  # noqa: F401
 import sdc_spark.plans.series_api  # noqa: F401
 import sdc_spark.plans.streaming_q  # noqa: F401
+import sdc_spark.plans.timeseries2  # noqa: F401
 import sdc_spark.plans.tpch_like  # noqa: F401
 import sdc_spark.plans.tpch_more  # noqa: F401
 import sdc_spark.plans.window  # noqa: F401

@@ -1,0 +1,92 @@
+"""Differential tests for df/series.resample(rule) against pandas,
+including empty-bucket densification and OHLC bars."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from sdc_spark.frame import from_pandas
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    rng = np.random.RandomState(11)
+    n = 400
+    # irregular event times with a deliberate 3-hour silence gap so the
+    # dense-axis path (empty buckets) is exercised
+    offs = np.cumsum(rng.randint(30, 900, n))
+    offs[200:] += 3 * 3600
+    ts = pd.Timestamp("2024-03-01") + pd.to_timedelta(offs, unit="s")
+    return pd.DataFrame(
+        {"ts": ts, "v": rng.randn(n) * 10 + 50, "w": rng.randint(0, 100, n).astype(float)}
+    )
+
+
+@pytest.fixture(scope="module")
+def sf(spark, pdf):
+    return from_pandas(spark, pdf)
+
+
+def _frame_eq(got, exp):
+    g = got.to_pandas().sort_index()
+    e = exp.sort_index()
+    g.index = pd.to_datetime(g.index)
+    pd.testing.assert_frame_equal(
+        g[sorted(e.columns)], e[sorted(e.columns)], check_dtype=False, check_freq=False, check_names=False
+    )
+
+
+@pytest.mark.parametrize("rule", ["1h", "15min"])
+@pytest.mark.parametrize("kind", ["mean", "sum", "count", "min", "max"])
+def test_frame_resample_matches_pandas(sf, pdf, rule, kind):
+    got = getattr(sf.resample(rule, on="ts"), kind)()
+    exp = getattr(pdf.resample(rule, on="ts")[["v", "w"]], kind)()
+    _frame_eq(got, exp)
+
+
+def test_series_resample_matches_pandas(spark, pdf):
+    s = pdf.set_index("ts")["v"]
+    ss = from_pandas(spark, pdf.set_index("ts"))["v"]
+    got = ss.resample("30min").mean().to_pandas().sort_index()
+    exp = s.resample("30min").mean()
+    got.index = pd.to_datetime(got.index)
+    pd.testing.assert_series_equal(
+        got, exp, check_dtype=False, check_names=False, check_freq=False
+    )
+
+
+def test_frame_resample_ohlc_matches_pandas(sf, pdf):
+    got = sf.resample("1h", on="ts").ohlc("v").to_pandas().sort_index()
+    got.index = pd.to_datetime(got.index)
+    exp = pdf.set_index("ts")["v"].resample("1h").ohlc()
+    # pandas ohlc leaves empty buckets as NaN rows and has no volume col
+    pd.testing.assert_frame_equal(
+        got[["open", "high", "low", "close"]], exp,
+        check_dtype=False, check_freq=False, check_names=False,
+    )
+    vol = pdf.set_index("ts")["v"].resample("1h").count()
+    pd.testing.assert_series_equal(
+        got["volume"], vol, check_dtype=False, check_names=False, check_freq=False
+    )
+
+
+def test_resample_first_last(sf, pdf):
+    got_f = sf.resample("1h", on="ts").first()
+    got_l = sf.resample("1h", on="ts").last()
+    exp_f = pdf.resample("1h", on="ts")[["v", "w"]].first()
+    exp_l = pdf.resample("1h", on="ts")[["v", "w"]].last()
+    _frame_eq(got_f, exp_f)
+    _frame_eq(got_l, exp_l)
+
+
+def test_resample_rejects_bad_rule(sf):
+    with pytest.raises(ValueError):
+        sf.resample("2fortnight", on="ts").mean()
+    with pytest.raises(ValueError):
+        sf.resample("3M", on="ts").mean()
