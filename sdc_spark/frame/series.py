@@ -366,6 +366,12 @@ class SparkSeries:
         )
         return j.agg(F.covar_samp("__l__", "__r__").alias("r")).collect()[0]["r"]
 
+    def autocorr(self, lag: int = 1):
+        """pandas Series.autocorr: Pearson correlation with the lag-shifted
+        self. Rides the distributed shift (scan machinery) + the corr
+        aggregate — no driver-side alignment."""
+        return self.corr(self.shift(lag))
+
     def idxmax(self):
         return self._reduce(F.max_by(IDX, VAL))
 

@@ -6,6 +6,7 @@ import sdc_spark.plans.groupby  # noqa: F401
 import sdc_spark.plans.joins  # noqa: F401
 import sdc_spark.plans.llm_data  # noqa: F401
 import sdc_spark.plans.llm_data2  # noqa: F401
+import sdc_spark.plans.llm_data3  # noqa: F401
 import sdc_spark.plans.ml_q  # noqa: F401
 import sdc_spark.plans.relational  # noqa: F401
 import sdc_spark.plans.relational2  # noqa: F401

@@ -1197,3 +1197,11 @@ def test_groupby_ewm(spark):
                 atol=1e-12,
                 equal_nan=True,
             )
+
+
+def test_series_autocorr(spark):
+    rng = np.random.RandomState(23)
+    s = pd.Series(np.cumsum(rng.randn(200)))
+    ss = from_pandas(spark, s.to_frame("x"))["x"]
+    for lag in (1, 3, 10):
+        assert ss.autocorr(lag) == pytest.approx(s.autocorr(lag), rel=1e-9)
