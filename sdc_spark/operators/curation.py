@@ -221,3 +221,33 @@ def temperature_resample(
         F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8), 9, "0"
     )
     return df.join(F.broadcast(probs), strata_col).filter(u < thresh).drop("__p__")
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact weighted sampling WITHOUT replacement, k rows per group
+    (Efraimidis–Spirakis A-ES): each row draws the deterministic uniform
+    u = (md5_32(id)+1) / 2^32 and the k largest ln(u)/weight keys win —
+    P(selection) proportional to weight, reproducible across engines and
+    retries (no RNG state). One hash shuffle on the group key; per-group
+    top-k via window rank (AQE splits skewed groups).
+
+    At 100 TB this replaces driver-side reservoirs: the reservoir IS the
+    per-group top-k, computed with partial aggregation semantics."""
+    u32 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    # u in (0, 1]: +1 keeps ln() finite at u32 == 0
+    key = F.log((u32 + 1) / F.lit(4294967296.0)) / F.col(weight_col)
+    w = W.partitionBy(group_col).orderBy(key.desc(), F.col(id_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= k)
+        .drop("__rk__")
+    )

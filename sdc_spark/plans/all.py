@@ -1,6 +1,7 @@
 """Import every plan module so the registry is fully populated."""
 
 import sdc_spark.plans.coverage2  # noqa: F401
+import sdc_spark.plans.curation2  # noqa: F401
 import sdc_spark.plans.extended  # noqa: F401
 import sdc_spark.plans.groupby  # noqa: F401
 import sdc_spark.plans.joins  # noqa: F401

@@ -1,0 +1,144 @@
+"""Round-4 curation/warehouse additions: weighted sampling, SCD2 history,
+hash-sharded epoch shuffle.
+
+All three are deterministic pure-DataFrame compositions (md5-derived
+uniforms, window ranks), so each has an exact DuckDB oracle despite being
+'sampling'/'shuffling' semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sdc_spark.operators.curation import weighted_sample_per_group
+from sdc_spark.plans.registry import oracle, query
+from sdc_spark.sources.readers import read_table
+
+
+@query("sample_weighted")
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, 5 docs per source with
+    P(pick) ∝ n_chars (Efraimidis–Spirakis keys over md5 uniforms — see
+    operators/curation.weighted_sample_per_group). Longer docs are
+    proportionally likelier but never guaranteed; the draw is bit-stable
+    across engines/retries."""
+    doc = read_table(spark, sf_dir, "documents")
+    out = weighted_sample_per_group(doc, "source", "doc_id", "n_chars", 5)
+    return out.select("source", "doc_id", "n_chars").orderBy("source", "doc_id")
+
+
+oracle(
+    "sample_weighted",
+    """
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+               ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    + 1) / 4294967296.0) / n_chars AS k
+        FROM documents WHERE n_chars > 0
+    ), ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rk
+        FROM keyed
+    )
+    SELECT source, doc_id, n_chars FROM ranked WHERE rk <= 5
+    ORDER BY source, doc_id
+    """,
+)
+
+
+@query("scd2_customer_status")
+def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history construction (the CDC pattern `cdc_latest_state`
+    is the type-1 half of): each customer's order-status changes become
+    validity intervals — valid_from = this change's date, valid_to = the
+    next change's date (null while current), is_current flag. One window
+    over (custkey, orderdate): a single hash shuffle, no self-join.
+    Consecutive same-status rows are collapsed first (true SCD2 stores
+    only changes)."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        orders.withColumn("__prev__", F.lag("o_orderstatus").over(w))
+        .filter(
+            F.col("__prev__").isNull() | (F.col("o_orderstatus") != F.col("__prev__"))
+        )
+        .drop("__prev__")
+    )
+    w2 = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        changes.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderdate").cast("string").alias("valid_from"),
+            F.lead("o_orderdate").over(w2).cast("string").alias("valid_to"),
+            F.lead("o_orderdate").over(w2).isNull().alias("is_current"),
+        )
+        .orderBy("custkey", "valid_from")
+    )
+
+
+oracle(
+    "scd2_customer_status",
+    """
+    WITH changes AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders
+    ), kept AS (
+        SELECT * FROM changes WHERE prev IS NULL OR o_orderstatus <> prev
+    )
+    SELECT o_custkey AS custkey,
+           o_orderstatus AS status,
+           CAST(o_orderdate AS VARCHAR) AS valid_from,
+           CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+                AS VARCHAR) AS valid_to,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) IS NULL
+               AS is_current
+    FROM kept
+    ORDER BY custkey, valid_from
+    """,
+)
+
+
+@query("shuffle_shard_epoch")
+def shuffle_shard_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle for training export: shard =
+    md5_32(seed||doc_id) mod 64, position within shard = rank of the full
+    hash. A seeded hash permutation is how you globally shuffle 100 TB
+    without a global sort: changing the seed string re-permutes every
+    epoch, each shard is written independently, and any engine can
+    reproduce the exact layout. One hash shuffle on shard."""
+    doc = read_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string")).cast("binary"))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 64).alias("shard")
+    keyed = doc.select("doc_id", shard, h.alias("__h__"))
+    w = W.partitionBy("shard").orderBy("__h__", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w))
+        .select("shard", "pos", "doc_id")
+        .orderBy("shard", "pos")
+    )
+
+
+oracle(
+    "shuffle_shard_epoch",
+    """
+    WITH keyed AS (
+        SELECT doc_id,
+               md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS h,
+               ('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 64 AS shard
+        FROM documents
+    )
+    SELECT shard,
+           row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos,
+           doc_id
+    FROM keyed
+    ORDER BY shard, pos
+    """,
+)

@@ -1,0 +1,79 @@
+"""Property tests for the round-4 curation/warehouse operators."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from sdc_spark.operators.curation import weighted_sample_per_group
+
+
+@pytest.fixture(scope="module")
+def weighted_pool(spark):
+    # one group, strongly skewed weights: heavy ids should dominate picks
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 400,
+            "id": np.arange(400),
+            "w": np.where(np.arange(400) < 40, 100.0, 1.0),  # 10% heavy x100
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_weighted_sample_bias_and_exactness(weighted_pool):
+    out = weighted_sample_per_group(weighted_pool, "g", "id", "w", 20).toPandas()
+    assert len(out) == 20
+    assert out["id"].is_unique
+    # heavy rows are 10% of the pool but carry ~92% of total weight;
+    # a uniform sample of 20 would include ~2 heavy rows, weighted ~18
+    heavy = (out["id"] < 40).sum()
+    assert heavy >= 12, f"weighted draw under-selected heavy rows: {heavy}/20"
+
+
+def test_weighted_sample_deterministic(weighted_pool):
+    a = weighted_sample_per_group(weighted_pool, "g", "id", "w", 20).toPandas()
+    b = weighted_sample_per_group(weighted_pool, "g", "id", "w", 20).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("id").reset_index(drop=True),
+        b.sort_values("id").reset_index(drop=True),
+    )
+
+
+def test_scd2_intervals_well_formed(spark, sf_dir):
+    from sdc_spark.plans.curation2 import scd2_customer_status
+
+    hist = scd2_customer_status(spark, sf_dir).toPandas()
+    assert len(hist) > 0
+    by_c = hist.sort_values(["custkey", "valid_from"])
+    for _, g in by_c.groupby("custkey"):
+        # exactly one open (current) interval per customer, and it is last
+        assert g["is_current"].sum() == 1
+        assert bool(g.iloc[-1]["is_current"])
+        # each interval closes exactly where the next opens
+        closes = g["valid_to"].iloc[:-1].tolist()
+        opens = g["valid_from"].iloc[1:].tolist()
+        assert closes == opens
+        # consecutive statuses always differ (changes-only compression)
+        ss = g["status"].tolist()
+        assert all(x != y for x, y in zip(ss, ss[1:]))
+
+
+def test_shuffle_shard_balanced(spark, sf_dir):
+    from sdc_spark.plans.curation2 import shuffle_shard_epoch
+
+    out = shuffle_shard_epoch(spark, sf_dir)
+    sizes = out.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).toPandas()
+    n, total = len(sizes), sizes["n"].sum()
+    # hash sharding at 500 docs / 64 shards: no shard should be empty-ish
+    # pathological or hugely overloaded (chi-square style loose bound)
+    assert n >= 50
+    assert sizes["n"].max() <= 6 * total / 64
