@@ -519,6 +519,17 @@ class SparkFrame:
             cond = cond & sexpr.notna(F.col(c), c in floats)
         return SparkFrame(self._df.filter(cond))
 
+    def explode(self, column: str) -> SparkFrame:
+        """pandas df.explode: one row per array element of ``column``;
+        other columns (and the index) repeat; empty lists and nulls
+        become a single NaN row (explode_outer). Distributed fan-out —
+        no driver materialization."""
+        others = [c for c in self._df.columns if c != column]
+        return SparkFrame(
+            self._df.select(*others, F.explode_outer(F.col(column)).alias(column))
+            .select(*self._df.columns)
+        )
+
     def isin(self, values) -> SparkFrame:
         """ref …dataframe_functions.py:2894-2992 — iterable, dict
         {col: iterable}, index-aligned Series, or column+index-aligned

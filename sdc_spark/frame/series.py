@@ -366,6 +366,14 @@ class SparkSeries:
         )
         return j.agg(F.covar_samp("__l__", "__r__").alias("r")).collect()[0]["r"]
 
+    def explode(self) -> SparkSeries:
+        """pandas Series.explode: one row per array element, index labels
+        repeat, empty/null arrays yield one null row (explode_outer)."""
+        return SparkSeries(
+            self._df.select(IDX, F.explode_outer(F.col(VAL)).alias(VAL)),
+            name=self.name,
+        )
+
     def autocorr(self, lag: int = 1):
         """pandas Series.autocorr: Pearson correlation with the lag-shifted
         self. Rides the distributed shift (scan machinery) + the corr

@@ -142,3 +142,47 @@ oracle(
     ORDER BY shard, pos
     """,
 )
+
+
+@query("frame_explode")
+def frame_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.explode surface over real data: split each document into tokens,
+    explode to one row per token (explode_outer — pandas empty/null -> one
+    null row), count per token over the 'src0' slice. The explode is a
+    Generate node fused into the scan stage: no shuffle until the final
+    map-side-combined count."""
+    from sdc_spark.frame.core import SparkFrame
+    from sdc_spark.frame.series import IDX
+    from sdc_spark.operators.dedup import normalized_text
+
+    doc = read_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    frame = SparkFrame(
+        doc.select(
+            F.col("doc_id").alias(IDX),
+            "doc_id",
+            F.split(normalized_text(F.col("text")), " ").alias("toks"),
+        )
+    )
+    exploded = frame.explode("toks")
+    return (
+        exploded._df.groupBy(F.col("toks").alias("token"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(30)
+    )
+
+
+oracle(
+    "frame_explode",
+    r"""
+    SELECT t.token, count(*) AS n
+    FROM (
+        SELECT unnest(string_split(
+                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS token
+        FROM documents WHERE source = 'src0'
+    ) t
+    GROUP BY t.token
+    ORDER BY n DESC, t.token
+    LIMIT 30
+    """,
+)

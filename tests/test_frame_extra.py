@@ -1205,3 +1205,28 @@ def test_series_autocorr(spark):
     ss = from_pandas(spark, s.to_frame("x"))["x"]
     for lag in (1, 3, 10):
         assert ss.autocorr(lag) == pytest.approx(s.autocorr(lag), rel=1e-9)
+
+
+def test_explode_matches_pandas(spark):
+    from sdc_spark.frame.core import SparkFrame
+    from sdc_spark.frame.series import IDX
+
+    pdf = pd.DataFrame(
+        {"k": [1, 2, 3, 4], "arr": [[10, 20], [], None, [30]]},
+        index=[0, 1, 2, 3],
+    )
+    sdf = spark.createDataFrame(
+        [(int(k), a, i) for i, (k, a) in enumerate(zip(pdf["k"], pdf["arr"]))],
+        f"k long, arr array<long>, {IDX} long",
+    )
+    sf2 = SparkFrame(sdf)
+    got = sf2.explode("arr").to_pandas().sort_values(["k"]).reset_index(drop=True)
+    exp = pdf.explode("arr").reset_index(drop=True)
+    assert got["k"].tolist() == exp["k"].tolist()
+    got_vals = [np.nan if x is None or pd.isna(x) else x for x in got["arr"]]
+    exp_vals = [np.nan if pd.isna(x) else x for x in exp["arr"]]
+    assert got_vals == pytest.approx(exp_vals, nan_ok=True)
+    # series variant keeps repeated index labels
+    exp_s = pdf.set_index("k")["arr"].explode()
+    ss = SparkFrame(sdf.drop(IDX).withColumnRenamed("k", IDX))["arr"].explode()
+    assert sorted(ss.index.tolist()) == sorted(exp_s.index.tolist())

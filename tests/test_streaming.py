@@ -262,3 +262,64 @@ def test_trending_topk_stream_matches_batch(spark, events_stream_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_watermark_drops_late_data(spark, tmp_path_factory):
+    """An event older than the watermark arriving in a later micro-batch is
+    EXCLUDED from its (already-finalized) window — the late-data contract
+    of tumbling_agg. Two micro-batches: batch 1 fills window [10:00,10:05)
+    and sets the watermark past it via a 10:10 probe; batch 2 delivers a
+    straggler for 10:01 which must be dropped, plus a fresh 10:12 event
+    that advances the watermark far enough to flush every window."""
+    import time
+
+    src = str(tmp_path_factory.mktemp("late_src"))
+    rows1 = [
+        ("2024-01-01 10:00:30", "click", 1.0),
+        ("2024-01-01 10:01:30", "click", 2.0),
+        ("2024-01-01 10:10:00", "click", 4.0),  # advances watermark to 10:09
+    ]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        list(rows), "ts_s string, event_type string, value double"
+    ).select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    mk(rows1).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    from sdc_spark.streaming.windows import tumbling_agg
+
+    q = (
+        tumbling_agg(stream, ts_col="ts", window="5 minutes", watermark="1 minute")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        time.sleep(0.2)
+        rows2 = [
+            ("2024-01-01 10:01:45", "click", 100.0),  # straggler: before wm 10:09
+            ("2024-01-01 10:12:00", "click", 8.0),  # flushes remaining windows
+        ]
+        mk(rows2).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {
+        r.win_start.strftime("%H:%M"): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM late_out").collect()
+        if r.event_type == "click"
+    }
+    # the 10:00 window was finalized with exactly the 2 on-time events;
+    # the 100.0 straggler is gone
+    assert out.get("10:00") == (2, 3.0), out
+    # batch semantics WOULD count it - proving the drop is watermark-driven
+    from sdc_spark.streaming.windows import tumbling_agg_batch
+
+    batch = tumbling_agg_batch(
+        spark.read.parquet(src), ts_col="ts", window="5 minutes"
+    ).collect()
+    bm = {r.win_start.strftime("%H:%M"): r.n_events for r in batch}
+    assert bm["10:00"] == 3
