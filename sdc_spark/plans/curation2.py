@@ -186,3 +186,145 @@ oracle(
     LIMIT 30
     """,
 )
+
+
+@query("stats_profile")
+def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (warehouse data-quality primitive): for
+    each profiled lineitem column — rows, nulls, exact distinct count,
+    min, max — computed in a SINGLE scan + aggregate (all columns'
+    partials ride one map-side combine), then unpivoted to one row per
+    column. Contrast with naive per-column scans: at 100 TB this is 1
+    pass, not 4."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+        ]
+    row = li.agg(*aggs)
+    per_col = [
+        row.select(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__rows").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").cast("double").alias("min_val"),
+            F.col(f"{c}__max").cast("double").alias("max_val"),
+        )
+        for c in cols
+    ]
+    out = per_col[0]
+    for p in per_col[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("column")
+
+
+oracle(
+    "stats_profile",
+    """
+    WITH agg AS (
+        SELECT count(*) AS rows_,
+               sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qn,
+               count(DISTINCT l_quantity) AS qd,
+               round(min(l_quantity), 4) AS qmin, round(max(l_quantity), 4) AS qmax,
+               sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS en,
+               count(DISTINCT l_extendedprice) AS ed,
+               round(min(l_extendedprice), 4) AS emin,
+               round(max(l_extendedprice), 4) AS emax,
+               sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS dn,
+               count(DISTINCT l_discount) AS dd,
+               round(min(l_discount), 4) AS dmin, round(max(l_discount), 4) AS dmax,
+               sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS tn,
+               count(DISTINCT l_tax) AS td,
+               round(min(l_tax), 4) AS tmin, round(max(l_tax), 4) AS tmax
+        FROM lineitem
+    )
+    SELECT 'l_discount' AS "column", rows_ AS n_rows, dn AS n_nulls,
+           dd AS n_distinct, dmin AS min_val, dmax AS max_val FROM agg
+    UNION ALL
+    SELECT 'l_extendedprice', rows_, en, ed, emin, emax FROM agg
+    UNION ALL
+    SELECT 'l_quantity', rows_, qn, qd, qmin, qmax FROM agg
+    UNION ALL
+    SELECT 'l_tax', rows_, tn, td, tmin, tmax FROM agg
+    ORDER BY "column"
+    """,
+)
+
+
+@query("table_diff")
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (data diff): compare the orders table with
+    a deterministically perturbed next-day snapshot (every key % 97 == 0
+    repriced +1%, every key % 101 == 0 deleted) and classify each key as
+    added/removed/changed/unchanged — one full-outer join on the key with
+    md5 row-fingerprint comparison, then a tiny count per class. At scale
+    the fingerprints (16 bytes) are what shuffles, not the rows."""
+    orders = read_table(spark, sf_dir, "orders")
+    new = (
+        orders.filter(F.col("o_orderkey") % 101 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.round(F.col("o_totalprice") * 1.01, 2)
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    fp = lambda df: df.select(  # noqa: E731
+        "o_orderkey",
+        F.md5(
+            F.concat_ws(
+                "|", F.col("o_totalprice").cast("string"), "o_orderstatus"
+            ).cast("binary")
+        ).alias("fp"),
+    )
+    a, b = fp(orders).alias("a"), fp(new).alias("b")
+    j = a.join(b, "o_orderkey", "full_outer")
+    cls = (
+        F.when(F.col("a.fp").isNull(), F.lit("added"))
+        .when(F.col("b.fp").isNull(), F.lit("removed"))
+        .when(F.col("a.fp") != F.col("b.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(cls.alias("class"))
+        .groupBy("class")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("class")
+    )
+
+
+oracle(
+    "table_diff",
+    """
+    WITH new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0
+                    THEN round(o_totalprice * 1.01, 2) ELSE o_totalprice END
+                   AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 101 <> 0
+    ), a AS (
+        SELECT o_orderkey,
+               md5(CAST(o_totalprice AS VARCHAR) || '|' || o_orderstatus) AS fp
+        FROM orders
+    ), b AS (
+        SELECT o_orderkey,
+               md5(CAST(o_totalprice AS VARCHAR) || '|' || o_orderstatus) AS fp
+        FROM new
+    )
+    SELECT CASE WHEN a.fp IS NULL THEN 'added'
+                WHEN b.fp IS NULL THEN 'removed'
+                WHEN a.fp <> b.fp THEN 'changed'
+                ELSE 'unchanged' END AS class,
+           count(*) AS n
+    FROM a FULL OUTER JOIN b USING (o_orderkey)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
