@@ -191,3 +191,80 @@ def kmeans_fit(
         ],
         ["center_id"] + [f"c_{c}" for c in feature_cols],
     )
+
+
+def gram_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Per-Arrow-batch sufficient statistics for mean/covariance of an
+    array<double> column: (count, Σx, upper-triangle of XᵀX) — ONE row per
+    batch, each ~(d² / 2) doubles. The canonical one-pass distributed PCA
+    front half: at 100 TB the executors stream the vectors once and ship
+    back only P tiny Gram partials. numpy does the per-batch XᵀX (BLAS),
+    so there is no per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    iu0, iu1 = (x.tolist() for x in np.triu_indices(dim))
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.asarray([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            g = m.T @ m
+            yield pd.DataFrame(
+                {
+                    "n": [len(m)],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [g[iu0, iu1].tolist()],
+                }
+            )
+
+    return df.select(vec_col).mapInPandas(fn, "n long, s array<double>, g array<double>")
+
+
+def covariance_matrix(df: DataFrame, vec_col: str, dim: int):
+    """Exact sample covariance of an embedding column: combine the Gram
+    partials driver-side (P rows × ~d²/2 doubles — a boxing boundary,
+    not a data collect). Returns (mean: ndarray d, cov: ndarray d×d, n)."""
+    import numpy as np
+
+    parts = gram_partials(df, vec_col, dim).toPandas()
+    n = int(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].values), axis=0)
+    tri = np.sum(np.stack(parts["g"].values), axis=0)
+    full = np.zeros((dim, dim))
+    full[np.triu_indices(dim)] = tri
+    full = full + np.triu(full, 1).T
+    mean = s / n
+    cov = (full - n * np.outer(mean, mean)) / (n - 1)
+    return mean, cov, n
+
+
+def pca_project(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, k: int = 2
+) -> tuple[DataFrame, list[float]]:
+    """Distributed PCA: covariance from one Gram pass, eigh on the tiny
+    d×d matrix driver-side, then a JVM-expression projection (zip_with
+    dot product against literal component vectors — no second Python
+    pass). Component signs are fixed (largest-|coefficient| positive) so
+    results are orientation-deterministic. Returns (projections df with
+    pc1..pck, explained-variance ratios)."""
+    import numpy as np
+
+    mean, cov, _ = covariance_matrix(df, vec_col, dim)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    evr = (w[order][:k] / w.sum()).tolist()
+    cols = [F.col(id_col)]
+    for j in range(k):
+        comp = v[:, order[j]]
+        if comp[int(np.argmax(np.abs(comp)))] < 0:
+            comp = -comp
+        lit = F.array(*[F.lit(float(x)) for x in comp])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append((dot - F.lit(float(mean @ comp))).alias(f"pc{j + 1}"))
+    return df.select(*cols), evr

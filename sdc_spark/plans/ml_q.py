@@ -191,3 +191,61 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_l_discount", 4).alias("c_discount"),
         F.round("c_l_tax", 4).alias("c_tax"),
     ).orderBy("center_id")
+
+
+@query("embedding_covariance")
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracle bridge for the distributed PCA front half: sample
+    covariances of embedding dims (0..3 pairs) computed through the
+    mapInPandas Gram-partial machinery (operators/ml.gram_partials — one
+    pass, P tiny partials) must equal DuckDB's covar_samp on the same
+    elements. Proves the sufficient-statistics path is exact, so the
+    eigen step downstream inherits a verified covariance."""
+    from sdc_spark.operators.ml import covariance_matrix
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    _, cov, _ = covariance_matrix(emb, "embedding", 64)
+    rows = [
+        (i, j, round(float(cov[i, j]), 6)) for i in range(4) for j in range(i, 4)
+    ]
+    return spark.createDataFrame(rows, "i int, j int, cov double").orderBy("i", "j")
+
+
+oracle(
+    "embedding_covariance",
+    """
+    WITH pairs AS (
+        SELECT i.i, j.j FROM range(0, 4) i(i) CROSS JOIN range(0, 4) j(j)
+        WHERE j.j >= i.i
+    )
+    SELECT p.i::INT AS i, p.j::INT AS j,
+           round(covar_samp(e.embedding[p.i + 1], e.embedding[p.j + 1]), 6) AS cov
+    FROM pairs p CROSS JOIN embeddings e
+    GROUP BY p.i, p.j
+    ORDER BY i, j
+    """,
+)
+
+
+@query("ml_pca_project")
+def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection: covariance via one Gram pass, driver
+    eigh on the 64x64 matrix, JVM zip_with dot-product projection onto
+    the sign-fixed top-2 components. Rows-only (eigenvectors are not
+    SQL-expressible); pinned by tests/test_ml_pca.py against numpy PCA
+    on the full collected data."""
+    from sdc_spark.operators.ml import pca_project
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    proj, evr = pca_project(emb, "vec_id", "embedding", 64, k=2)
+    return (
+        proj.filter(F.col("vec_id") < 20)
+        .select(
+            "vec_id",
+            F.round("pc1", 4).alias("pc1"),
+            F.round("pc2", 4).alias("pc2"),
+            F.round(F.lit(evr[0]), 4).alias("evr1"),
+            F.round(F.lit(evr[1]), 4).alias("evr2"),
+        )
+        .orderBy("vec_id")
+    )
