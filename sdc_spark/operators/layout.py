@@ -81,3 +81,46 @@ def write_zordered(
         else zdf.repartitionByRange("__z__")
     )
     part.sortWithinPartitions("__z__").drop("__z__").write.mode(mode).parquet(path)
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> int:
+    """Small-file compaction (the lakehouse ``OPTIMIZE`` / bin-packing
+    primitive): rewrite a parquet directory into ceil(total_bytes /
+    target) files. Small files are the classic 100-TB killer — a table
+    written by 10k streaming micro-batches reads 10k footers and
+    schedules 10k splits; compaction restores scan efficiency.
+
+    Sizing comes from the file-system listing (no data pass); the rewrite
+    is one shuffle-free coalesce when shrinking file count, or a
+    range-partitioned sort when ``sort_col`` is given (restoring
+    clustering while compacting). Returns the output file count."""
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    if sort_col is not None:
+        out = df.repartitionByRange(n_files, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        out = df.coalesce(n_files)
+    out.write.mode("overwrite").parquet(dst_dir)
+    return sum(
+        1
+        for _, _, files in os.walk(dst_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )

@@ -328,3 +328,68 @@ oracle(
     GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+@query("fk_integrity_audit")
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (warehouse constraint checking):
+    orphan counts for each declared FK edge — lineitem→orders,
+    lineitem→part, lineitem→supplier, orders→customer — via left-anti
+    joins against the distinct key side. Dimension key sets broadcast;
+    the facts are scanned once per edge with only the FK column read
+    (column pruning visible in the scan)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    part = read_table(spark, sf_dir, "part")
+    supp = read_table(spark, sf_dir, "supplier")
+    cust = read_table(spark, sf_dir, "customer")
+
+    def orphans(fact, fk, dim, pk, edge):
+        n = (
+            fact.select(fk)
+            .join(F.broadcast(dim.select(pk)), fact[fk] == dim[pk], "left_anti")
+            .count()
+        )
+        total = fact.count()
+        return (edge, n, total)
+
+    rows = [
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
+        orphans(li, "l_partkey", part, "p_partkey", "lineitem->part"),
+        orphans(li, "l_suppkey", supp, "s_suppkey", "lineitem->supplier"),
+        orphans(orders, "o_custkey", cust, "c_custkey", "orders->customer"),
+    ]
+    return spark.createDataFrame(
+        rows, "edge string, n_orphans long, n_rows long"
+    ).orderBy("edge")
+
+
+oracle(
+    "fk_integrity_audit",
+    """
+    SELECT 'lineitem->orders' AS edge,
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+           (SELECT count(*) FROM lineitem) AS n_rows
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey)),
+           (SELECT count(*) FROM lineitem)
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey)),
+           (SELECT count(*) FROM lineitem)
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM orders)
+    ORDER BY edge
+    """,
+)

@@ -75,3 +75,43 @@ def test_zvalue_monotone_locality(spark, sf_dir):
         "o_custkey", "o_totalprice", F.col("__z__").alias("z")
     ).collect()
     assert len({r.z for r in rows}) > 50  # not degenerate
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path_factory):
+    """64 tiny files -> a handful, same rows, min-max clustering kept when
+    sort_col is given."""
+    import os
+
+    from sdc_spark.operators.layout import compact_parquet
+    from sdc_spark.sources.readers import read_table
+
+    src = str(tmp_path_factory.mktemp("frag"))
+    dst = str(tmp_path_factory.mktemp("compacted"))
+    orders = read_table(spark, sf_dir, "orders")
+    orders.repartition(64).write.mode("overwrite").parquet(src)
+    n_src = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_src >= 32  # genuinely fragmented input
+
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    n_out = compact_parquet(
+        spark, src, dst, target_file_bytes=total // 4, sort_col="o_orderkey"
+    )
+    assert n_out <= 6
+    back = spark.read.parquet(dst)
+    assert back.count() == orders.count()
+    # clustering: each output file covers a disjoint-ish key range
+    import pyspark.sql.functions as F
+
+    spans = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    for a, b in zip(spans, spans[1:]):
+        assert a.hi <= b.lo  # range-partitioned, non-overlapping

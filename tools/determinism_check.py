@@ -47,6 +47,14 @@ DEFAULT_SET = [
     "split_leakage_safe",
     "ann_pq_topk",
     "text_bpe_tokenize",
+    # round-4 additions: md5-uniform draws, min_by/max_by bars, Gram
+    # partials (partition-order float sums), first-occurrence rewrite
+    "sample_weighted",
+    "shuffle_shard_epoch",
+    "ts_resample_ohlc",
+    "passage_dedup_rewrite",
+    "ml_pca_project",
+    "table_diff",
 ]
 
 
