@@ -323,3 +323,45 @@ def test_watermark_drops_late_data(spark, tmp_path_factory):
     ).collect()
     bm = {r.win_start.strftime("%H:%M"): r.n_events for r in batch}
     assert bm["10:00"] == 3
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path_factory):
+    """Stop/restart recovery: a second query started on the SAME
+    checkpoint processes only files that arrived after the first run —
+    no reprocessing, no loss (the exactly-once file-source contract a
+    production pipeline restarts rely on)."""
+    src = str(tmp_path_factory.mktemp("ck_src"))
+    sink = str(tmp_path_factory.mktemp("ck_sink"))
+    ckpt = str(tmp_path_factory.mktemp("ck_state"))
+
+    def put(lo, hi):
+        spark.range(lo, hi).selectExpr(
+            "id", "id * 2 AS doubled"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        schema = spark.read.parquet(src).schema
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    put(0, 100)
+    run_once()
+    first = spark.read.parquet(sink).count()
+    assert first == 100
+
+    put(100, 150)
+    run_once()  # new query object, same checkpoint
+    out = spark.read.parquet(sink)
+    assert out.count() == 150  # 50 new, zero duplicated
+    assert out.select("id").distinct().count() == 150
+    assert out.filter("doubled != id * 2").count() == 0
