@@ -90,3 +90,27 @@ def test_resample_rejects_bad_rule(sf):
         sf.resample("2fortnight", on="ts").mean()
     with pytest.raises(ValueError):
         sf.resample("3M", on="ts").mean()
+
+
+def test_resample_degenerate_inputs(spark):
+    # empty frame -> empty result (pandas: empty with the same columns)
+    empty = pd.DataFrame({"ts": pd.to_datetime([]), "v": pd.Series([], dtype=float)})
+    se = from_pandas(spark, empty)
+    assert se.resample("1h", on="ts").mean().to_pandas().empty
+    # single row -> exactly one bucket, value preserved
+    one = pd.DataFrame({"ts": [pd.Timestamp("2024-05-05 07:33:20")], "v": [4.25]})
+    so = from_pandas(spark, one)
+    got = so.resample("15min", on="ts").sum().to_pandas()
+    assert len(got) == 1
+    assert got["v"].iloc[0] == 4.25
+    assert pd.to_datetime(got.index[0]) == pd.Timestamp("2024-05-05 07:30:00")
+    # all-null values -> buckets exist, aggregates null (count 0)
+    nulls = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=4, freq="20min"),
+            "v": [np.nan] * 4,
+        }
+    )
+    sn = from_pandas(spark, nulls)
+    cnt = sn.resample("1h", on="ts").count().to_pandas()
+    assert cnt["v"].sum() == 0
