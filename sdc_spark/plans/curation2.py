@@ -393,3 +393,67 @@ oracle(
     ORDER BY edge
     """,
 )
+
+
+@query("attribution_last_touch")
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: for every purchase, the most recent prior
+    click by the same user (id, timestamp gap in seconds) — an as-of
+    self-join on the event stream expressed as ONE running-last window
+    per user (carry the latest click id/ts forward, read it at purchase
+    rows). One hash shuffle on user_id; no self-join, no range scan."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    last_click_id = F.last(
+        F.when(is_click, F.col("event_id")), ignorenulls=True
+    ).over(w)
+    last_click_ts = F.last(F.when(is_click, F.col("ts")), ignorenulls=True).over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            last_click_id.alias("click_id"),
+            last_click_ts.alias("click_ts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "click_id",
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             - F.unix_micros(F.col("click_ts").cast("timestamp"))).alias("gap_us"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+oracle(
+    "attribution_last_touch",
+    """
+    WITH carried AS (
+        SELECT user_id, event_id, event_type, ts,
+               last_value(CASE WHEN event_type = 'click' THEN event_id END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS click_id,
+               last_value(CASE WHEN event_type = 'click' THEN ts END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS click_ts
+        FROM events
+    )
+    SELECT user_id, event_id AS purchase_id, click_id,
+           epoch_us(ts) - epoch_us(click_ts) AS gap_us
+    FROM carried WHERE event_type = 'purchase'
+    ORDER BY user_id, purchase_id
+    """,
+)
