@@ -219,6 +219,21 @@ class FrameGroupBy:
 
         return self._per_row(fn)
 
+    def resample(self, rule: str, on: str):
+        """df.groupby(keys).resample(rule, on=ts) — per-group time-bucket
+        bars with pandas dense axes inside each group's own [min, max].
+        One (keys, bucket) hash aggregation; the per-group axis is bounds
+        + exploded sequence (span-bounded, not data-bounded)."""
+        from sdc_spark.frame.resample import GroupResampler
+
+        num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        cols = self._cols or [
+            c
+            for c, t in self._frame._df.dtypes
+            if c not in self._keys and c not in (on, IDX) and t in num
+        ]
+        return GroupResampler(self._frame._df, on, rule, cols, keys=self._keys)
+
     def rolling(self, window: int, min_periods: int | None = None):
         """df.groupby(keys).rolling(window) — per-group trailing windows
         partitioned by the group keys (the natively-scalable rolling)."""

@@ -44,17 +44,44 @@ def _dense_axis(bucketed: DataFrame, bucket_col: str, rule: str) -> DataFrame:
 
 
 class Resampler:
-    """Shared downsampling core; ``_frame``/``_series`` wrappers choose the
-    boxing of the result."""
+    """Shared downsampling core; ``_frame``/``_series``/``_group`` wrappers
+    choose the boxing of the result."""
 
     _KINDS = ("sum", "mean", "min", "max", "count", "median", "std", "var",
               "first", "last")
 
-    def __init__(self, df: DataFrame, ts_col: str, rule: str, value_cols: list[str]):
+    def __init__(
+        self,
+        df: DataFrame,
+        ts_col: str,
+        rule: str,
+        value_cols: list[str],
+        keys: list[str] | None = None,
+    ):
         self._df = df
         self._ts = ts_col
         self._rule = rule
         self._cols = value_cols
+        self._keys = list(keys or [])
+
+    def _axis(self, agg: DataFrame, b: str) -> DataFrame:
+        if not self._keys:
+            return _dense_axis(agg, b, self._rule)
+        # per-group dense axis (pandas groupby().resample() densifies
+        # inside each group's own [min, max]): bounds per key -> exploded
+        # sequence. One row per (group, bucket) — span-bounded, not
+        # data-bounded.
+        mult, unit = parse_rule(self._rule)
+        if unit in _CAL_INTERVAL:
+            step = F.expr(f"interval {_CAL_INTERVAL[unit]}")
+        else:
+            step = F.expr(f"interval {mult * _UNIT_SECONDS[unit]} seconds")
+        bounds = agg.groupBy(*self._keys).agg(
+            F.min(b).alias("lo"), F.max(b).alias("hi")
+        )
+        return bounds.select(
+            *self._keys, F.explode(F.sequence("lo", "hi", step)).alias(b)
+        )
 
     def _agg(self, kind: str) -> DataFrame:
         if kind not in self._KINDS:
@@ -64,17 +91,22 @@ class Resampler:
         b = "__bucket__"
         order = F.col(self._ts)
         bucketed = self._df.select(
-            bucket_expr(F.col(self._ts), self._rule).alias(b), self._ts, *self._cols
+            *self._keys,
+            bucket_expr(F.col(self._ts), self._rule).alias(b),
+            self._ts,
+            *self._cols,
         )
-        agg = bucketed.groupBy(b).agg(
+        agg = bucketed.groupBy(*self._keys, b).agg(
             *[_agg_col(kind, c, self._ts, order).alias(c) for c in self._cols]
         )
-        axis = _dense_axis(agg, b, self._rule)
-        out = axis.join(F.broadcast(agg), b, "left")
+        axis = self._axis(agg, b)
+        join_keys = [*self._keys, b]
+        out = axis.join(F.broadcast(agg), join_keys, "left")
         if kind in ("count", "sum"):
             # pandas: empty buckets count to 0 and sum to 0.0 (min_count=0)
             out = out.select(
-                b, *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in self._cols]
+                *join_keys,
+                *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in self._cols],
             )
         return out
 
@@ -147,3 +179,14 @@ class SeriesResampler(Resampler):
         return SparkSeries(
             out.select(F.col("__bucket__").alias(IDX), F.col(self._cols[0]).alias(VAL))
         )
+
+
+class GroupResampler(Resampler):
+    """``df.groupby(keys).resample(rule, on=ts)`` — per-group bars with
+    per-group dense axes; group keys stay as columns."""
+
+    def _box(self, out: DataFrame):
+        from sdc_spark.frame.core import SparkFrame
+        from sdc_spark.frame.series import IDX
+
+        return SparkFrame(out.withColumnRenamed("__bucket__", IDX))

@@ -173,3 +173,57 @@ oracle(
     ORDER BY 1
     """,
 )
+
+
+@query("ts_groupby_resample_dense")
+def ts_groupby_resample_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby().resample() with pandas dense-axis semantics: 6-hour
+    buckets per event_type INCLUDING empty buckets inside each group's
+    [min, max] (count -> 0, sum -> 0.0). The dense axis is per-group
+    bounds + an exploded sequence — span-bounded rows, one (key, bucket)
+    hash aggregation for the data itself."""
+    from sdc_spark.frame.resample import GroupResampler
+
+    ev = read_table(spark, sf_dir, "events")
+    counts = GroupResampler(ev, "ts", "6h", ["value"], keys=["event_type"])._agg(
+        "count"
+    )
+    sums = GroupResampler(ev, "ts", "6h", ["value"], keys=["event_type"])._agg("sum")
+    j = counts.withColumnRenamed("value", "n").join(
+        sums.withColumnRenamed("value", "total"),
+        ["event_type", "__bucket__"],
+    )
+    return j.select(
+        "event_type",
+        F.col("__bucket__").cast("string").alias("bucket"),
+        F.col("n").cast("long").alias("n"),
+        F.round("total", 4).alias("total"),
+    ).orderBy("event_type", "bucket")
+
+
+oracle(
+    "ts_groupby_resample_dense",
+    """
+    WITH agg AS (
+        SELECT event_type, time_bucket(INTERVAL '6 hours', ts) AS bucket,
+               count(value) AS n, round(sum(value), 4) AS total
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+        FROM agg GROUP BY 1
+    ), axis AS (
+        SELECT b.event_type, gs.bucket
+        FROM bounds b, LATERAL (
+            SELECT unnest(generate_series(b.lo, b.hi, INTERVAL '6 hours'))
+                AS bucket
+        ) gs
+    )
+    SELECT a.event_type AS event_type,
+           CAST(a.bucket AS VARCHAR) AS bucket,
+           coalesce(g.n, 0) AS n,
+           coalesce(g.total, 0.0) AS total
+    FROM axis a LEFT JOIN agg g
+      ON a.event_type = g.event_type AND a.bucket = g.bucket
+    ORDER BY event_type, bucket
+    """,
+)

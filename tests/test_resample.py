@@ -114,3 +114,37 @@ def test_resample_degenerate_inputs(spark):
     sn = from_pandas(spark, nulls)
     cnt = sn.resample("1h", on="ts").count().to_pandas()
     assert cnt["v"].sum() == 0
+
+
+def test_groupby_resample_matches_pandas(spark):
+    rng = np.random.RandomState(5)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "ts": pd.Timestamp("2024-06-01")
+            + pd.to_timedelta(np.sort(rng.randint(0, 48 * 3600, n)), unit="s"),
+            "v": rng.randn(n) * 4 + 10,
+        }
+    )
+    sf2 = from_pandas(spark, pdf)
+    for kind in ("mean", "sum", "count"):
+        got = (
+            getattr(sf2.groupby("g").resample("2h", on="ts"), kind)()
+            .to_pandas()
+            .sort_values(["g"])
+        )
+        got = got.reset_index().rename(columns={"index": "ts_b"})
+        got["ts_b"] = pd.to_datetime(got["ts_b"])
+        got = got.sort_values(["g", "ts_b"]).reset_index(drop=True)
+        exp = (
+            getattr(pdf.groupby("g").resample("2h", on="ts")[["v"]], kind)()
+            .reset_index()
+            .rename(columns={"ts": "ts_b"})
+            .sort_values(["g", "ts_b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["g", "ts_b", "v"]], exp[["g", "ts_b", "v"]],
+            check_dtype=False, check_names=False,
+        )
