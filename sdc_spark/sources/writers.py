@@ -79,3 +79,42 @@ def to_bucketed_table(
     if sort:
         w = w.sortBy(bucket_by)
     w.option("path", path).saveAsTable(name)
+
+
+def write_dataset(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Curated-dataset export: the final hop of a training-data pipeline.
+
+    - ``partition_by``: hive-style directory partitioning (readers prune
+      whole directories on partition predicates);
+    - ``sort_by``: rows sorted inside each file (parquet min-max row-group
+      stats become selective for these columns — the cheap half of
+      Z-ordering when one sort key dominates);
+    - ``max_records_per_file``: bounds file size without a repartition
+      (Spark splits as it writes).
+
+    The single repartition on the partition columns makes each output
+    directory be written by few tasks (no small-file explosion: without
+    it, every task writes a file into EVERY partition dir — task_count ×
+    partition_count files at 100 TB)."""
+    out = df
+    if partition_by:
+        out = out.repartition(*[out[c] for c in partition_by])
+        if sort_by:
+            out = out.sortWithinPartitions(*partition_by, *sort_by)
+    elif sort_by:
+        out = out.repartitionByRange(*[out[c] for c in sort_by]).sortWithinPartitions(
+            *sort_by
+        )
+    w = out.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

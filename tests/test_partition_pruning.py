@@ -79,3 +79,57 @@ def test_salted_join_equals_plain(spark, sf_dir):
     a = {tuple(r) for r in salted.collect()}
     b = {tuple(r) for r in plain.collect()}
     assert a == b
+
+
+def test_write_dataset_layout_and_pruning(spark, sf_dir, tmp_path_factory):
+    """write_dataset: hive partition dirs, in-file sort, bounded file
+    sizes, and partition pruning on read."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sdc_spark.sources.readers import read_table
+    from sdc_spark.sources.writers import write_dataset
+
+    out = str(tmp_path_factory.mktemp("curated"))
+    docs = read_table(spark, sf_dir, "documents")
+    write_dataset(
+        docs,
+        out,
+        partition_by=["source"],
+        sort_by=["n_chars"],
+        max_records_per_file=40,
+    )
+    subdirs = sorted(d for d in os.listdir(out) if d.startswith("source="))
+    n_sources = docs.select("source").distinct().count()
+    assert len(subdirs) == n_sources
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # every file respects the record cap and is internally sorted
+    per_file = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert max(r.n for r in per_file) <= 40
+    one = spark.read.parquet(out + "/" + subdirs[0]).toPandas()
+    # in-file ordering: within each physical file n_chars is non-decreasing
+    fdf = (
+        back.filter(F.col("source") == subdirs[0].split("=")[1])
+        .withColumn("f", F.input_file_name())
+        .select("f", "n_chars")
+        .toPandas()
+    )
+    for _, g in fdf.groupby("f"):
+        vals = g["n_chars"].tolist()
+        assert vals == sorted(vals)
+    assert len(one) > 0
+    # pruning: a source predicate reaches the scan as a PartitionFilter
+    plan = (
+        back.filter(F.col("source") == "src0")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(source" in plan
