@@ -142,3 +142,84 @@ def anomaly_zscore_batch(
         z.alias("zscore"),
         F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+# -- timeout-closed sessionization -------------------------------------------
+
+SESS_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, sum_value double, "
+    "session_start timestamp, session_end timestamp"
+)
+SESS_STATE_SCHEMA = "n long, s double, t0 timestamp, t1 timestamp"
+
+
+def _session_fn(gap_ms: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            # watermark passed last_event + gap with no new data: the
+            # session is closed — emit it exactly once and drop the state
+            n, s, t0, t1 = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "session_start": [t0],
+                    "session_end": [t1],
+                }
+            )
+            return
+        n, s, t0, t1 = state.get if state.exists else (0, 0.0, None, None)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts = pd.to_datetime(pdf["ts"])
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            lo, hi = ts.min(), ts.max()
+            t0 = lo if t0 is None or lo < t0 else t0
+            t1 = hi if t1 is None or hi > t1 else t1
+        state.update((n, s, t0, t1))
+        # close when event-time watermark passes last activity + gap
+        state.setTimeoutTimestamp(int(t1.timestamp() * 1000) + gap_ms)
+
+    return fn
+
+
+def idle_closed_sessions(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Custom sessionization with EVENT-TIME TIMEOUT emission: a user's
+    session closes (and is emitted exactly once, then its state freed)
+    when the watermark passes last-activity + gap. This is the
+    applyInPandasWithState pattern F.session_window cannot express when
+    the per-session payload is custom state (here: running sum + span;
+    in production: arbitrary aggregates). State per key is O(1); emission
+    is driven by the engine's timer, not by new data for that key."""
+    gap_ms = _parse_duration_ms(gap)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_ms),
+            outputStructType=SESS_OUTPUT_SCHEMA,
+            stateStructType=SESS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _parse_duration_ms(spec: str) -> int:
+    qty, unit = spec.split()
+    mult = {
+        "millisecond": 1, "milliseconds": 1,
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+    }[unit]
+    return int(qty) * mult

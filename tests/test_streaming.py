@@ -365,3 +365,56 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path_factory):
     assert out.count() == 150  # 50 new, zero duplicated
     assert out.select("id").distinct().count() == 150
     assert out.filter("doubled != id * 2").count() == 0
+
+
+def test_idle_session_timeout_emission(spark, tmp_path_factory):
+    """Timeout-driven emission: user 1's burst is emitted as a closed
+    session only after OTHER users' later events advance the event-time
+    watermark past last-activity + gap — no new data for user 1 needed."""
+    from sdc_spark.streaming.stateful import idle_closed_sessions
+
+    src = str(tmp_path_factory.mktemp("sess_src"))
+
+    def put(rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts_s string, value double"
+        ).selectExpr(
+            "user_id", "to_timestamp(ts_s) AS ts", "value"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: user 1 burst at 10:00-10:02; user 2 keeps the clock moving
+    put(
+        [
+            (1, "2024-01-01 10:00:00", 1.0),
+            (1, "2024-01-01 10:01:00", 2.0),
+            (1, "2024-01-01 10:02:00", 3.0),
+            (2, "2024-01-01 10:03:00", 7.0),
+        ]
+    )
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        idle_closed_sessions(stream, gap="5 minutes", watermark="1 minute")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_close_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        early = spark.sql("SELECT * FROM sess_close_out").collect()
+        assert not [r for r in early if r.user_id == 1], "closed too early"
+        # batch 2: only user 2 speaks, at 10:20 -> watermark 10:19 passes
+        # user 1's 10:02 + 5min gap -> user 1's session must close
+        put([(2, "2024-01-01 10:20:00", 9.0)])
+        q.processAllAvailable()
+        put([(2, "2024-01-01 10:40:00", 9.0)])  # extra advance (timer fire)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.user_id: r for r in spark.sql("SELECT * FROM sess_close_out").collect()}
+    assert 1 in rows, "user 1 session never closed"
+    r1 = rows[1]
+    assert r1.n_events == 3 and r1.sum_value == 6.0
+    assert r1.session_start.strftime("%H:%M") == "10:00"
+    assert r1.session_end.strftime("%H:%M") == "10:02"
