@@ -732,6 +732,24 @@ class SparkFrame:
     def count(self):
         return self._reduce_all(F.count)
 
+    def corrwith(self, other: SparkFrame) -> pd.Series:
+        """pandas df.corrwith(df): Pearson correlation of each shared
+        numeric column, rows aligned on the index (inner join), all
+        columns in ONE aggregate pass."""
+        shared = [c for c in self._numeric_cols() if c in other._numeric_cols()]
+        left = self._df.select(
+            IDX, *[F.col(c).alias(f"__l_{c}") for c in shared]
+        )
+        right = other._df.select(
+            IDX, *[F.col(c).alias(f"__r_{c}") for c in shared]
+        )
+        row = (
+            left.join(right, IDX, "inner")
+            .agg(*[F.corr(f"__l_{c}", f"__r_{c}").alias(c) for c in shared])
+            .collect()[0]
+        )
+        return pd.Series({c: row[c] for c in shared})
+
     def nunique(self, dropna: bool = True) -> pd.Series:
         """Per-column distinct counts in ONE aggregate pass (exact)."""
         cols = [c for c in self.columns]

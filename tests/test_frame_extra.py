@@ -1230,3 +1230,15 @@ def test_explode_matches_pandas(spark):
     exp_s = pdf.set_index("k")["arr"].explode()
     ss = SparkFrame(sdf.drop(IDX).withColumnRenamed("k", IDX))["arr"].explode()
     assert sorted(ss.index.tolist()) == sorted(exp_s.index.tolist())
+
+
+def test_corrwith_matches_pandas(spark):
+    rng = np.random.RandomState(9)
+    a = pd.DataFrame({"x": rng.randn(150), "y": rng.randn(150), "z": rng.randn(150)})
+    b = pd.DataFrame({"x": a["x"] * 0.5 + rng.randn(150), "y": rng.randn(150)})
+    sa, sb = from_pandas(spark, a), from_pandas(spark, b)
+    got = sa.corrwith(sb)
+    exp = a.corrwith(b).dropna()
+    assert sorted(got.index) == sorted(exp.index)
+    for c in exp.index:
+        assert got[c] == pytest.approx(exp[c], rel=1e-9)
