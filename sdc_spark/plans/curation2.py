@@ -208,8 +208,11 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(c), 4).alias(f"{c}__max"),
         ]
     row = li.agg(*aggs)
-    per_col = [
-        row.select(
+    # unpivot the single aggregate row via explode-of-structs: unionAll of
+    # per-column selects would copy the aggregate subplan (4 scans); this
+    # keeps it ONE scan + one 1-row Generate
+    structs = [
+        F.struct(
             F.lit(c).alias("column"),
             F.col(f"{c}__rows").alias("n_rows"),
             F.col(f"{c}__nulls").alias("n_nulls"),
@@ -219,10 +222,11 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for c in cols
     ]
-    out = per_col[0]
-    for p in per_col[1:]:
-        out = out.unionAll(p)
-    return out.orderBy("column")
+    return (
+        row.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.*")
+        .orderBy("column")
+    )
 
 
 oracle(
