@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import re
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -518,6 +520,35 @@ class SparkFrame:
         for c in cols:
             cond = cond & sexpr.notna(F.col(c), c in floats)
         return SparkFrame(self._df.filter(cond))
+
+    @staticmethod
+    def _translate_expr(expr: str) -> str:
+        """pandas query/eval syntax -> Spark SQL: `&`/`|`/`~` become
+        AND/OR/NOT (word forms pass through — Spark SQL accepts them),
+        `==` stays (Spark treats == as =). Backtick-quoted names pass
+        through unchanged."""
+        out = expr.replace("&", " AND ").replace("|", " OR ")
+        # unary ~ (pandas not) -> NOT
+        out = re.sub(r"~\s*", " NOT ", out)
+        return out
+
+    def query(self, expr: str) -> SparkFrame:
+        """pandas df.query(expr): row filter from an expression string —
+        compiled by Catalyst like any other predicate (pushdown-eligible),
+        not row-at-a-time eval."""
+        return SparkFrame(self._df.filter(F.expr(self._translate_expr(expr))))
+
+    def eval(self, expr: str) -> SparkFrame:
+        """pandas df.eval("c = <expression>"): add a computed column from
+        an expression string (single assignment form)."""
+        if "=" not in expr:
+            raise ValueError("only the assignment form 'col = expression' is supported")
+        name, rhs = expr.split("=", 1)
+        return SparkFrame(
+            self._df.withColumn(
+                name.strip(), F.expr(self._translate_expr(rhs.strip()))
+            )
+        )
 
     def explode(self, column: str) -> SparkFrame:
         """pandas df.explode: one row per array element of ``column``;

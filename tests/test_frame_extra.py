@@ -1242,3 +1242,20 @@ def test_corrwith_matches_pandas(spark):
     assert sorted(got.index) == sorted(exp.index)
     for c in exp.index:
         assert got[c] == pytest.approx(exp[c], rel=1e-9)
+
+
+def test_query_eval_expression_strings(spark):
+    pdf = pd.DataFrame(
+        {"a": [1, 5, 3, 8, 2], "b": [10.0, 2.0, 7.0, 1.0, 9.0]}
+    )
+    sf2 = from_pandas(spark, pdf)
+    for expr in ["a > 3 and b < 5", "(a > 2) & (b > 5)", "a == 3 or b == 9.0",
+                 "~(a > 3)"]:
+        got = sf2.query(expr).to_pandas().sort_values("a").reset_index(drop=True)
+        exp = pdf.query(expr).sort_values("a").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["a", "b"]], exp, check_dtype=False)
+    got = sf2.eval("c = a * b + 1").to_pandas().sort_index()
+    exp = pdf.eval("c = a * b + 1")
+    np.testing.assert_allclose(got["c"].to_numpy(), exp["c"].to_numpy())
+    with pytest.raises(ValueError):
+        sf2.eval("a + b")
