@@ -66,3 +66,27 @@ def test_minhash_verify_join_not_cartesian(spark, sf_dir):
     lost and the plan is O(n²)."""
     plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_weighted_sample_partial_topk(spark, sf_dir):
+    """sample_weighted must get the WindowGroupLimit partial top-k (the
+    map-side pre-filter before the shuffle) — losing it means every row
+    crosses the wire."""
+    plan = plan_of(spark, sf_dir, "sample_weighted")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_stats_profile_single_scan(spark, sf_dir):
+    """The column profiler claims ONE pass: exactly one FileScan in the
+    executed plan (a unionAll unpivot silently copies the aggregate
+    subplan — regression guard)."""
+    plan = plan_of(spark, sf_dir, "stats_profile")
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_resample_single_aggregation(spark, sf_dir):
+    """OHLC bars ride one partial+final aggregate: no Window, no Sort
+    before the aggregation."""
+    plan = plan_of(spark, sf_dir, "ts_resample_ohlc")
+    assert "WindowExec" not in plan and "Window " not in plan, plan
+    assert "partial_min_by" in plan or "min_by" in plan, plan
