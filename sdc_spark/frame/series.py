@@ -1396,6 +1396,23 @@ class SeriesExpanding:
     def median(self, max_buckets: int = 1024) -> SparkSeries:
         return self.quantile(0.5, max_buckets=max_buckets)
 
+    def quantiles(self, qs: dict[str, float], max_buckets: int = 1024):
+        """Several expanding quantiles in ONE histogram scan (extension —
+        pandas recomputes per call): ``qs`` maps output column name -> q.
+        Returns a DataFrame of (index, *named quantile columns); the
+        range partition, per-partition histograms, and chunked prefix
+        cumsum are shared, each extra q costs only a rank lookup."""
+        df = self._s._df.select(IDX, VAL)
+        return sorder.scan_quantile(
+            df,
+            [IDX],
+            VAL,
+            list(qs.values()),
+            list(qs.keys()),
+            min_periods=self._minp,
+            max_buckets=max_buckets,
+        )
+
 
 class SeriesEwm:
     """series.ewm(...).mean() — exponentially-weighted mean on the

@@ -432,14 +432,19 @@ def scan_quantile(
     df: DataFrame,
     order_cols: Sequence[str],
     val_col: str,
-    q: float,
-    out_col: str,
+    q: float | Sequence[float],
+    out_col: str | Sequence[str],
     min_periods: int = 1,
     max_buckets: int = 1024,
 ) -> DataFrame:
     """Expanding (prefix) quantile over a global order — the one expanding
     kernel that is not sum-decomposable (ref has no expanding at all; this
     is a pandas-parity extension closing the round-2 VERDICT gap).
+
+    ``q``/``out_col`` may be parallel lists: every requested quantile is
+    answered from the SAME prefix histograms in one pass — the expensive
+    work (range partition, per-partition histograms, chunked 2-D cumsum)
+    is shared; each extra q adds only a vectorized rank lookup.
 
     Design (value-bucketed prefix histogram, two passes, no full-data
     single partition):
@@ -468,6 +473,11 @@ def scan_quantile(
     import numpy as np
     import pandas as pd
 
+    qs = [float(q)] if isinstance(q, (int, float)) else [float(x) for x in q]
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(qs) != len(out_cols):
+        raise ValueError("q and out_col must have the same length")
+
     spark = df.sparkSession
     base = df.select(*[F.col(c) for c in order_cols], F.col(val_col).cast("double"))
     part = range_partitioned(base, order_cols, pin=True)
@@ -481,7 +491,10 @@ def scan_quantile(
         .collect()
     ]
     if len(distinct) == 0:
-        return part.select(*order_cols, F.lit(None).cast("double").alias(out_col))
+        return part.select(
+            *order_cols,
+            *[F.lit(None).cast("double").alias(c) for c in out_cols],
+        )
     if len(distinct) <= max_buckets:
         bounds = np.sort(np.asarray(distinct, dtype="float64"))
     else:
@@ -516,7 +529,7 @@ def scan_quantile(
         for f in part.schema.fields
         if f.name in order_cols
     )
-    out_schema = f"{schema_fields}, `{out_col}` double"
+    out_schema = schema_fields + "".join(f", `{c}` double" for c in out_cols)
 
     def _quant(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(list(order_cols), kind="mergesort")
@@ -525,7 +538,7 @@ def scan_quantile(
         v = pdf[val_col].to_numpy(dtype="float64")
         valid = ~np.isnan(v)
         b = np.where(valid, np.clip(np.searchsorted(bounds, v, side="left"), 0, k - 1), 0)
-        out = np.full(len(v), np.nan)
+        outs = [np.full(len(v), np.nan) for _ in qs]
         n_run = int(start.sum())
         for lo in range(0, len(v), chunk):
             hi = min(lo + chunk, len(v))
@@ -535,21 +548,23 @@ def scan_quantile(
             cum = np.cumsum(onehot, axis=0) + start  # (chunk, K) prefix histograms
             csum = np.cumsum(cum, axis=1)  # cumulative counts per bucket
             n_i = n_run + np.cumsum(valid[lo:hi].astype("int64"))
-            t = q * (n_i - 1)  # 0-based fractional target rank
-            r_lo, r_hi = np.floor(t), np.ceil(t)
-            # first bucket whose cumulative count exceeds the target rank
-            i_lo = (csum <= r_lo[:, None]).sum(axis=1)
-            i_hi = (csum <= r_hi[:, None]).sum(axis=1)
-            frac = t - r_lo
-            vals = bounds[np.clip(i_lo, 0, k - 1)] * (1 - frac) + bounds[
-                np.clip(i_hi, 0, k - 1)
-            ] * frac
             ok = n_i >= max(min_periods, 1)
-            out[lo:hi] = np.where(ok, vals, np.nan)
+            for qi, qv in enumerate(qs):
+                t = qv * (n_i - 1)  # 0-based fractional target rank
+                r_lo, r_hi = np.floor(t), np.ceil(t)
+                # first bucket whose cumulative count exceeds the target rank
+                i_lo = (csum <= r_lo[:, None]).sum(axis=1)
+                i_hi = (csum <= r_hi[:, None]).sum(axis=1)
+                frac = t - r_lo
+                vals = bounds[np.clip(i_lo, 0, k - 1)] * (1 - frac) + bounds[
+                    np.clip(i_hi, 0, k - 1)
+                ] * frac
+                outs[qi][lo:hi] = np.where(ok, vals, np.nan)
             start = cum[-1]
             n_run = int(n_i[-1])
         res = pdf[list(order_cols)].copy()
-        res[out_col] = out
+        for c, o in zip(out_cols, outs):
+            res[c] = o
         return res
 
     return part.groupBy(PID).applyInPandas(_quant, out_schema)

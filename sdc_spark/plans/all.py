@@ -8,11 +8,14 @@ import sdc_spark.plans.joins  # noqa: F401
 import sdc_spark.plans.llm_data  # noqa: F401
 import sdc_spark.plans.llm_data2  # noqa: F401
 import sdc_spark.plans.llm_data3  # noqa: F401
+import sdc_spark.plans.llm_data4  # noqa: F401
 import sdc_spark.plans.ml_q  # noqa: F401
 import sdc_spark.plans.relational  # noqa: F401
 import sdc_spark.plans.relational2  # noqa: F401
+import sdc_spark.plans.relational3  # noqa: F401
 import sdc_spark.plans.scalar  # noqa: F401
 import sdc_spark.plans.series_api  # noqa: F401
+import sdc_spark.plans.sources2  # noqa: F401
 import sdc_spark.plans.streaming_q  # noqa: F401
 import sdc_spark.plans.timeseries2  # noqa: F401
 import sdc_spark.plans.tpch_like  # noqa: F401

@@ -1,0 +1,169 @@
+"""Round-4 relational additions: overlapping-interval merge
+(gaps-and-islands over variable-length spans), fixed-bin `series.cut`,
+and the split/element/join string surface.
+
+All three are fully DuckDB-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sdc_spark.frame.series import IDX, VAL, SparkSeries
+from sdc_spark.plans.registry import oracle, query
+from sdc_spark.sources.readers import read_table
+
+
+@query("interval_merge_overlaps")
+def interval_merge_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-user time intervals (gaps-and-islands with
+    VARIABLE interval lengths — unlike gap sessionization, a row can be
+    swallowed by an earlier long interval, so the island test is
+    `start > running_max(end)` not `gap > threshold`).
+
+    Interval i = [ts, ts + clamp(value,1..60) minutes), all arithmetic in
+    epoch microseconds (pure longs — bit-identical across engines).
+
+    Scale shape: one hash shuffle on user_id; both the running max and the
+    island sum are single-pass window scans within each user's partition.
+    Users are numerous (~n_events/20) so partitions stay balanced."""
+    ev = read_table(spark, sf_dir, "events")
+    span_us = (
+        F.round(F.least(F.greatest(F.col("value"), F.lit(1.0)), F.lit(60.0)) * 60)
+        .cast("long")
+        * 1_000_000
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("start_us"),
+        (ts_us + span_us).alias("end_us"),
+    )
+    order = W.partitionBy("user_id").orderBy("start_us", "event_id")
+    prior = order.rowsBetween(W.unboundedPreceding, -1)
+    prior_max = F.max("end_us").over(prior)
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            prior_max.isNull() | (F.col("start_us") > prior_max), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(order.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("start_us").alias("merged_start_us"),
+        F.max("end_us").alias("merged_end_us"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+oracle(
+    "interval_merge_overlaps",
+    """
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS start_us,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 + CAST(round(least(greatest(value, 1.0), 60.0) * 60) AS BIGINT)
+                   * 1000000 AS end_us
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, start_us, end_us,
+               CASE WHEN max(end_us) OVER w IS NULL THEN 1
+                    WHEN start_us > max(end_us) OVER w THEN 1
+                    ELSE 0 END AS new_island
+        FROM iv
+        WINDOW w AS (PARTITION BY user_id ORDER BY start_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), islands AS (
+        SELECT user_id, start_us, end_us,
+               sum(new_island) OVER (PARTITION BY user_id ORDER BY start_us, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS island
+        FROM flagged
+    )
+    SELECT user_id, island,
+           min(start_us) AS merged_start_us,
+           max(end_us) AS merged_end_us,
+           count(*) AS n_intervals
+    FROM islands GROUP BY 1, 2
+    """,
+)
+
+
+@query("series_cut_bins")
+def series_cut_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """series.cut(bins) — fixed-boundary binning of order totals
+    (left-open right-closed, pandas default), then per-bin profile."""
+    ord_ = read_table(spark, sf_dir, "orders")
+    s = SparkSeries.from_column(ord_, "o_totalprice", index_col="o_orderkey")
+    bins = [0.0, 50_000.0, 150_000.0, 300_000.0, 1e9]
+    binned = s.cut(bins, labels=["xs", "s", "m", "l"])
+    joined = ord_.select("o_orderkey", "o_totalprice").join(
+        binned._df.select(F.col(IDX).alias("o_orderkey"), F.col(VAL).alias("bin")),
+        "o_orderkey",
+    )
+    return joined.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+oracle(
+    "series_cut_bins",
+    """
+    WITH b AS (
+        SELECT o_totalprice,
+               CASE WHEN o_totalprice > 0 AND o_totalprice <= 50000 THEN 'xs'
+                    WHEN o_totalprice > 50000 AND o_totalprice <= 150000 THEN 's'
+                    WHEN o_totalprice > 150000 AND o_totalprice <= 300000 THEN 'm'
+                    WHEN o_totalprice > 300000 AND o_totalprice <= 1e9 THEN 'l'
+               END AS bin
+        FROM orders
+    )
+    SELECT bin, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+    FROM b GROUP BY bin
+    """,
+)
+
+
+@query("str_split_join")
+def str_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-string surface split/getitem/join (ref sdc/str_ext.py:
+    125-214,261-276 — split, join inside JIT): split customer names on
+    '#', reverse-join with '-', take the last fragment, aggregate."""
+    cust = read_table(spark, sf_dir, "customer")
+    parts = F.split(F.col("c_name"), "#")
+    out = cust.select(
+        "c_custkey",
+        F.array_join(F.reverse(parts), "-").alias("rejoined"),
+        F.element_at(parts, -1).alias("suffix"),
+    )
+    return out.groupBy(F.substring("suffix", 1, 3).alias("sfx3")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("rejoined").alias("first_rejoined"),
+    )
+
+
+oracle(
+    "str_split_join",
+    """
+    WITH s AS (
+        SELECT c_custkey,
+               array_to_string(list_reverse(string_split(c_name, '#')), '-') AS rejoined,
+               list_extract(string_split(c_name, '#'),
+                            len(string_split(c_name, '#'))) AS suffix
+        FROM customer
+    )
+    SELECT substring(suffix, 1, 3) AS sfx3,
+           count(*) AS n, min(rejoined) AS first_rejoined
+    FROM s GROUP BY 1
+    """,
+)

@@ -436,17 +436,20 @@ def series_expanding_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the result is exact (pandas linear interpolation between true
     order statistics) — hash-comparable against DuckDB's windowed
     quantile_cont. floor (not round) keeps the bucketed value free of
-    half-even/half-away divergence between engines."""
+    half-even/half-away divergence between engines. Both quantiles come
+    from ONE histogram scan (expanding().quantiles) — the single-q form
+    would run the two-pass machinery twice and join."""
     ev = read_table(spark, sf_dir, "events").select(
         F.col("event_id").alias(IDX),
         F.floor(F.col("value")).cast("double").alias("fv"),
     )
     s = SparkSeries.from_column(ev, "fv", index_col=IDX)
-    med = s.expanding(min_periods=1).median()
-    q25 = s.expanding(min_periods=1).quantile(0.25)
-    a = med.round(4)._df.select(F.col(IDX).alias("event_id"), F.col(VAL).alias("emedian"))
-    b = q25.round(4)._df.select(F.col(IDX).alias("event_id"), F.col(VAL).alias("eq25"))
-    return a.join(b, "event_id")
+    both = s.expanding(min_periods=1).quantiles({"emedian": 0.5, "eq25": 0.25})
+    return both.select(
+        F.col(IDX).alias("event_id"),
+        F.round("emedian", 4).alias("emedian"),
+        F.round("eq25", 4).alias("eq25"),
+    )
 
 
 oracle(

@@ -1259,3 +1259,24 @@ def test_query_eval_expression_strings(spark):
     np.testing.assert_allclose(got["c"].to_numpy(), exp["c"].to_numpy())
     with pytest.raises(ValueError):
         sf2.eval("a + b")
+
+
+def test_series_expanding_quantiles_multi(spark):
+    """expanding().quantiles({...}) — several quantiles in one histogram
+    scan must equal the per-q single-scan results (and pandas)."""
+    rng = np.random.RandomState(31)
+    ps = pd.Series(rng.randn(300).round(1), name="v")
+    ps[ps.sample(30, random_state=3).index] = float("nan")
+    s = from_pandas(spark, ps.to_frame())["v"]
+    out = (
+        s.expanding(min_periods=2)
+        .quantiles({"m": 0.5, "lo": 0.1, "hi": 0.9})
+        .toPandas()
+        .sort_values("__index__")
+        .reset_index(drop=True)
+    )
+    for col, q in (("m", 0.5), ("lo", 0.1), ("hi", 0.9)):
+        exp = ps.expanding(min_periods=2).quantile(q)
+        pd.testing.assert_series_equal(
+            out[col], exp, check_names=False, check_dtype=False, atol=1e-12
+        )

@@ -418,3 +418,38 @@ def test_idle_session_timeout_emission(spark, tmp_path_factory):
     assert r1.n_events == 3 and r1.sum_value == 6.0
     assert r1.session_start.strftime("%H:%M") == "10:00"
     assert r1.session_end.strftime("%H:%M") == "10:02"
+
+
+def test_tws_running_topk(spark, events_stream_dir):
+    """transformWithStateInPandas running top-k converges to the batch
+    twin. Skipped where the TWS runtime deps (protobuf) are absent — the
+    operator itself is environment-gated, not stubbed."""
+    from sdc_spark.streaming.tws import (
+        ROCKSDB_PROVIDER,
+        running_topk,
+        running_topk_batch,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("transformWithState runtime (protobuf) not installed")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        batch_df = spark.read.parquet(events_stream_dir)
+        stream_df = spark.readStream.schema(batch_df.schema).parquet(events_stream_dir)
+        out = _run_stream(
+            spark, running_topk(stream_df, 3), "tws_topk_out", mode="update"
+        ).collect()
+        got = {r.user_id: (r.n_seen, [round(v, 6) for v in r.topk]) for r in out}
+        want = {
+            r.user_id: (r.n_seen, [round(v, 6) for v in r.topk])
+            for r in running_topk_batch(batch_df, 3).collect()
+        }
+        assert got == want
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
