@@ -251,3 +251,53 @@ def weighted_sample_per_group(
         .filter(F.col("__rk__") <= k)
         .drop("__rk__")
     )
+
+
+def sample_negatives(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int = 4,
+    n_buckets: int = 32,
+    anchor_every: int = 50,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: every
+    anchor (id % anchor_every == 0) gets the k candidates from OUTSIDE its
+    group that rank first by md5(anchor_id || cand_id) within the anchor's
+    hash bucket.
+
+    Scale shape: candidates are assigned to ``n_buckets`` md5-derived
+    buckets; each anchor joins ONLY its own bucket, so the join fan-out is
+    |anchors| x (n/n_buckets), never all-pairs — tune n_buckets so a
+    bucket holds a few hundred candidates. The per-anchor top-k is a
+    window rank over that bounded candidate set. Every step is a pure
+    function of ids (md5 ranks, no RNG state), so the sample is
+    reproducible across engines/partitionings and SQL-oracle-able.
+    """
+    id_s = F.col(id_col).cast("string")
+    bucket = F.conv(F.substring(F.md5(id_s.cast("binary")), 1, 4), 16, 10).cast(
+        "int"
+    ) % n_buckets
+    anchors = df.filter(F.col(id_col) % anchor_every == 0).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(group_col).alias("anchor_group"),
+        bucket.alias("__b__"),
+    )
+    cands = df.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(group_col).alias("cand_group"),
+        bucket.alias("__b__"),
+    )
+    paired = anchors.join(cands, "__b__").filter(
+        (F.col("cand_group") != F.col("anchor_group"))
+        & (F.col("cand_id") != F.col("anchor_id"))
+    )
+    score = F.md5(
+        F.concat_ws("|", F.col("anchor_id"), F.col("cand_id")).cast("binary")
+    )
+    w = W.partitionBy("anchor_id").orderBy(score, "cand_id")
+    return (
+        paired.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select("anchor_id", "cand_id", "neg_rank")
+    )

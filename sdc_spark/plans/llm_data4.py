@@ -159,3 +159,42 @@ oracle(
     FROM r GROUP BY 1
     """,
 )
+
+
+@query("sample_negatives")
+def sample_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative sampling (operators/curation.py
+    sample_negatives): every 50th doc is an anchor; it gets the 4
+    out-of-source docs ranking first by md5(anchor||cand) inside its md5
+    hash bucket. Bucketed join — per-anchor candidate fan-out is
+    n/n_buckets, never all-pairs."""
+    from sdc_spark.operators import curation
+
+    doc = read_table(spark, sf_dir, "documents")
+    return curation.sample_negatives(
+        doc, "doc_id", "source", k=4, n_buckets=32, anchor_every=50
+    )
+
+
+oracle(
+    "sample_negatives",
+    """
+    WITH b AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 32
+                 AS bk
+        FROM documents
+    ), paired AS (
+        SELECT a.doc_id AS anchor_id, c.doc_id AS cand_id,
+               row_number() OVER (
+                   PARTITION BY a.doc_id
+                   ORDER BY md5(CAST(a.doc_id AS VARCHAR) || '|'
+                                || CAST(c.doc_id AS VARCHAR)), c.doc_id
+               ) AS neg_rank
+        FROM b a JOIN b c ON a.bk = c.bk
+        WHERE a.doc_id % 50 = 0 AND c.source <> a.source
+          AND c.doc_id <> a.doc_id
+    )
+    SELECT anchor_id, cand_id, neg_rank FROM paired WHERE neg_rank <= 4
+    """,
+)

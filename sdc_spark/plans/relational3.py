@@ -167,3 +167,62 @@ oracle(
     FROM s GROUP BY 1
     """,
 )
+
+
+@query("events_anomaly_mad")
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: flag values more than 3
+    scaled-MADs from the group median (median absolute deviation — the
+    robust z-score used when means/stddevs are poisoned by the outliers
+    themselves).
+
+    Scale shape: two tiny per-group aggregates (median, then MAD of
+    residuals — exact percentiles via one shuffle each on the group key)
+    broadcast back onto the scan; the flagging pass is row-local. No
+    window over the full data."""
+    ev = read_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    withmed = ev.join(F.broadcast(med), "event_type")
+    mad = (
+        withmed.groupBy("event_type")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    scored = withmed.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "event_id",
+        F.round(
+            F.try_divide(F.abs(F.col("value") - F.col("med")), F.lit(1.4826) * F.col("mad")),
+            4,
+        ).alias("robust_z"),
+    )
+    return (
+        scored.filter(F.col("robust_z") > 3.0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.round(F.max("robust_z"), 4).alias("max_z"),
+            F.min("event_id").alias("first_outlier_id"),
+        )
+    )
+
+
+oracle(
+    "events_anomaly_mad",
+    """
+    WITH med AS (
+        SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ), mad AS (
+        SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+        FROM events e JOIN med m USING (event_type) GROUP BY 1
+    ), scored AS (
+        SELECT e.event_type, e.event_id,
+               round(abs(e.value - m.med) / (1.4826 * d.mad), 4) AS robust_z
+        FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+        WHERE d.mad > 0
+    )
+    SELECT event_type, count(*) AS n_outliers,
+           round(max(robust_z), 4) AS max_z,
+           min(event_id) AS first_outlier_id
+    FROM scored WHERE robust_z > 3.0 GROUP BY 1
+    """,
+)

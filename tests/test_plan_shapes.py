@@ -90,3 +90,27 @@ def test_resample_single_aggregation(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ts_resample_ohlc")
     assert "WindowExec" not in plan and "Window " not in plan, plan
     assert "partial_min_by" in plan or "min_by" in plan, plan
+
+
+def test_rag_chunking_no_exchange(spark, sf_dir):
+    """rag_chunk_overlap is tokenise -> sequence -> posexplode -> project:
+    one narrow stage, zero shuffles."""
+    plan = plan_of(spark, sf_dir, "rag_chunk_overlap")
+    assert "Exchange" not in plan, plan
+
+
+def test_interval_merge_single_user_shuffle(spark, sf_dir):
+    """interval_merge_overlaps: both window passes and the final aggregate
+    reuse ONE hash partitioning on user_id — exactly one exchange, never a
+    single-partition window."""
+    plan = plan_of(spark, sf_dir, "interval_merge_overlaps")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_mad_anomaly_broadcasts_group_stats(spark, sf_dir):
+    """events_anomaly_mad: the tiny per-group median/MAD tables come back
+    as broadcast joins; the events scan is never sort-merge joined."""
+    plan = plan_of(spark, sf_dir, "events_anomaly_mad")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
