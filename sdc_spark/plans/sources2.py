@@ -14,6 +14,7 @@ boundaries), so re-ingest parallelism matches file count × block count.
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -107,5 +108,57 @@ oracle(
            sum(len(t)) AS total_tok,
            min(doc_id) AS min_doc
     FROM norm GROUP BY 1
+    """,
+)
+
+
+@query("src_np_datasource")
+def src_np_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """np.fromfile as a first-class SPLITTABLE Spark source (sources/
+    np_source.py, Spark 4 Python DataSource API): order totals are
+    exported once as raw float64 parts in global o_orderkey order
+    (repartitionByRange + sortWithinPartitions — files concatenate to the
+    sorted array), read back as (pos, value) through the npbin format,
+    and profiled per 1000-element block. Positions must line up with the
+    oracle's row_number over the sorted column, so this round-trips BOTH
+    the bytes and the global ordering."""
+    from sdc_spark.sources import np_source
+    from sdc_spark.sources.writers import to_numpy_binary
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/sdc_spark_npsrc_{tag}/totalprice"
+    if not glob.glob(os.path.join(path, "part-*.bin")):
+        ord_sorted = (
+            read_table(spark, sf_dir, "orders")
+            .repartitionByRange(8, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+        )
+        to_numpy_binary(ord_sorted, "o_totalprice", path, dtype="float64")
+    np_source.register(spark)
+    df = spark.read.format("npbin").option("path", path).load()
+    # block sums in integer cents: a float-double sum of ~1000 values can
+    # differ in the last ulps between engines, which round() can't always
+    # absorb — integer accumulation is exact on both sides
+    return df.groupBy((F.col("pos") / 1000).cast("long").alias("block")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("block_cents"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
+
+
+oracle(
+    "src_np_datasource",
+    """
+    WITH p AS (
+        SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS pos, o_totalprice
+        FROM orders
+    )
+    SELECT CAST(pos // 1000 AS BIGINT) AS block, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS block_cents,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM p GROUP BY 1
     """,
 )
