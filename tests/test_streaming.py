@@ -453,3 +453,66 @@ def test_tws_running_topk(spark, events_stream_dir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_foreachbatch_incremental_upsert(spark, tmp_path_factory):
+    """Production CDC-sink pattern: a keyed parquet state directory is
+    upserted per micro-batch via foreachBatch + operators/upsert.upsert.
+    Two batches with overlapping keys must converge to the same state a
+    single batch-mode latest_by_key compaction produces."""
+    import pandas as pd
+
+    from sdc_spark.operators.upsert import latest_by_key, upsert
+
+    src_dir = str(tmp_path_factory.mktemp("cdc_src"))
+    state_dir = str(tmp_path_factory.mktemp("cdc_state"))
+    chk_dir = str(tmp_path_factory.mktemp("cdc_chk"))
+
+    schema = "k long, v string, ver long"
+
+    def put(rows, name):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["k", "v", "ver"])
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    def apply_batch(batch_df, batch_id):
+        batch = latest_by_key(batch_df, ["k"], "ver", tie_breaker="v")
+        try:
+            target = batch_df.sparkSession.read.parquet(state_dir)
+            merged = upsert(target, batch, ["k"])
+        except Exception:  # first batch: no state yet
+            merged = batch
+        # rewrite state atomically-enough for a test (real deployments use
+        # a transactional table format for the sink)
+        merged.localCheckpoint(eager=True).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    put([(1, "a", 1), (2, "b", 1)], "b1")
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", chk_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable(); q.stop()
+
+    put([(2, "b2", 2), (3, "c", 1)], "b2")
+    q = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", chk_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable(); q.stop()
+
+    got = {
+        (r.k, r.v, r.ver) for r in spark.read.parquet(state_dir).collect()
+    }
+    want_df = latest_by_key(
+        spark.read.parquet(src_dir), ["k"], "ver", tie_breaker="v"
+    )
+    want = {(r.k, r.v, r.ver) for r in want_df.collect()}
+    assert got == want and got == {(1, "a", 1), (2, "b2", 2), (3, "c", 1)}
