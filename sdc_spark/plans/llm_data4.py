@@ -198,3 +198,110 @@ oracle(
     SELECT anchor_id, cand_id, neg_rank FROM paired WHERE neg_rank <= 4
     """,
 )
+
+
+@query("ann_eval_metrics")
+def ann_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation harness: exact cosine top-10 for 20
+    query vectors, scored against label relevance (a neighbor is relevant
+    iff it shares the query's label) as precision@10 / recall@10 / MRR /
+    NDCG@10 per query — the metrics an ANN index (LSH/IVF/PQ) is tuned
+    against.
+
+    Scale shape: the retrieval reuses ann_bruteforce_topk's broadcast-
+    queries/one-corpus-scan plan; the metric pass works on q×k rows
+    (tiny) plus one label-count aggregate broadcast for the recall
+    denominator. IDCG's variable depth is a row-local `sequence`
+    aggregate, not a join."""
+    from sdc_spark.operators.similarity import ann_bruteforce_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    topk = ann_bruteforce_topk(emb, q, k=10)
+    lab = emb.select("vec_id", "label")
+    label_sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    t = (
+        topk.join(
+            F.broadcast(
+                lab.select(F.col("vec_id").alias("qid"), F.col("label").alias("qlab"))
+            ),
+            "qid",
+        )
+        .join(
+            F.broadcast(
+                lab.select(F.col("vec_id").alias("nid"), F.col("label").alias("nlab"))
+            ),
+            "nid",
+        )
+        .withColumn("rel", (F.col("qlab") == F.col("nlab")).cast("int"))
+    )
+    per_q = t.groupBy("qid", "qlab").agg(
+        F.sum("rel").alias("n_rel_ret"),
+        F.coalesce(
+            F.lit(1.0) / F.min(F.when(F.col("rel") == 1, F.col("rank"))), F.lit(0.0)
+        ).alias("mrr"),
+        F.sum(F.col("rel") / F.log2(F.col("rank") + 1)).alias("dcg"),
+    )
+    scored = per_q.join(
+        F.broadcast(label_sizes.withColumnRenamed("label", "qlab")), "qlab"
+    ).withColumn("n_rel_total", F.least(F.col("n_label") - 1, F.lit(1_000_000)))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.lit(10), F.col("n_rel_total"))),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1),
+    )
+    return scored.select(
+        "qid",
+        F.col("n_rel_ret").cast("int").alias("n_rel_ret"),
+        F.round(F.col("n_rel_ret") / 10.0, 4).alias("precision10"),
+        F.round(F.try_divide(F.col("n_rel_ret"), F.col("n_rel_total")), 4).alias(
+            "recall10"
+        ),
+        F.round("mrr", 4).alias("mrr"),
+        F.round(F.try_divide(F.col("dcg"), idcg), 4).alias("ndcg10"),
+    )
+
+
+oracle(
+    "ann_eval_metrics",
+    """
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv, label AS qlab
+        FROM embeddings WHERE vec_id < 20
+    ), scored AS (
+        SELECT qid, qlab, v.vec_id AS nid, v.label AS nlab,
+               sum(CAST(qv[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))
+                   / (sqrt(sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+                      * sqrt(sum(CAST(v.embedding[i] AS DOUBLE)
+                                 * CAST(v.embedding[i] AS DOUBLE)))) AS c
+        FROM q JOIN embeddings v ON v.vec_id <> qid,
+             UNNEST(generate_series(1, len(qv))) AS s(i)
+        GROUP BY qid, qlab, nid, nlab
+    ), ranked AS (
+        SELECT qid, qlab, nlab,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
+        FROM scored
+    ), top AS (
+        SELECT qid, qlab, rank, CASE WHEN nlab = qlab THEN 1 ELSE 0 END AS rel
+        FROM ranked WHERE rank <= 10
+    ), sizes AS (
+        SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1
+    ), per_q AS (
+        SELECT t.qid, t.qlab,
+               sum(rel) AS n_rel_ret,
+               coalesce(1.0 / min(CASE WHEN rel = 1 THEN rank END), 0.0) AS mrr,
+               sum(rel / log2(rank + 1)) AS dcg
+        FROM top t GROUP BY 1, 2
+    )
+    SELECT p.qid,
+           CAST(p.n_rel_ret AS INT) AS n_rel_ret,
+           round(p.n_rel_ret / 10.0, 4) AS precision10,
+           round(CAST(p.n_rel_ret AS DOUBLE) / (s.n_label - 1), 4) AS recall10,
+           round(p.mrr, 4) AS mrr,
+           round(p.dcg / list_sum(list_transform(
+                     generate_series(1, least(10, s.n_label - 1)),
+                     i -> 1.0 / log2(i + 1))),
+                 4) AS ndcg10
+    FROM per_q p JOIN sizes s ON s.label = p.qlab
+    """,
+)

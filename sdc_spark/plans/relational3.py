@@ -226,3 +226,54 @@ oracle(
     FROM scored WHERE robust_z > 3.0 GROUP BY 1
     """,
 )
+
+
+@query("dq_expectations")
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative one-pass data-quality gate (operators/dq.py): five
+    row-local expectations + a key-uniqueness check on orders, compiled
+    into a single aggregate scan + one unpivoted report."""
+    from sdc_spark.operators.dq import dq_report
+
+    ord_ = read_table(spark, sf_dir, "orders")
+    checks = [
+        ("price_positive", F.col("o_totalprice") > 0),
+        ("date_present", F.col("o_orderdate").isNotNull()),
+        (
+            "status_known",
+            F.col("o_orderstatus").isin("F", "O", "P"),
+        ),
+        ("custkey_present", F.col("o_custkey").isNotNull()),
+        ("priority_format", F.col("o_orderpriority").rlike("^[1-5]-")),
+    ]
+    return dq_report(ord_, checks, unique_cols=["o_orderkey"])
+
+
+oracle(
+    "dq_expectations",
+    """
+    WITH agg AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v1,
+               sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) AS v2,
+               sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS v3,
+               sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS v4,
+               sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                        THEN 0 ELSE 1 END) AS v5,
+               count(o_orderkey) - count(DISTINCT o_orderkey) AS v6
+        FROM orders
+    )
+    SELECT "check", CAST(n_violations AS BIGINT) AS n_violations,
+           round(CAST(n_violations AS DOUBLE) / n, 6) AS violation_rate
+    FROM agg, (VALUES ('price_positive'), ('date_present'), ('status_known'),
+                      ('custkey_present'), ('priority_format'),
+                      ('unique:o_orderkey')) AS c("check"),
+    LATERAL (SELECT CASE "check"
+                 WHEN 'price_positive' THEN v1
+                 WHEN 'date_present' THEN v2
+                 WHEN 'status_known' THEN v3
+                 WHEN 'custkey_present' THEN v4
+                 WHEN 'priority_format' THEN v5
+                 ELSE v6 END AS n_violations) x
+    """,
+)
