@@ -619,9 +619,16 @@ class SparkFrame:
         how: str = "inner",
         suffixes: tuple[str, str] = ("_x", "_y"),
         indicator: bool = False,
+        validate: str | None = None,
     ) -> SparkFrame:
         """pd.merge (legacy-only in the reference, test_join.py:52-414).
         Result index is reset (pandas semantics for non-index joins).
+
+        ``validate`` ('1:1'/'1:m'/'m:1'/'m:m', pandas spelling with
+        'one'/'many' also accepted) checks key uniqueness on the
+        constrained side(s) EAGERLY (one max-count aggregate per side —
+        an action, like pandas' eager validation) and raises ValueError
+        on violation.
 
         SEMANTIC DRIFT (deliberate): the fresh index comes from
         ``monotonically_increasing_id`` — unique and plan-deterministic but
@@ -632,6 +639,27 @@ class SparkFrame:
         keys = [on] if isinstance(on, str) else list(on)
         left = self._df.drop(IDX)
         right = other._df.drop(IDX)
+        if validate is not None:
+            norm = (
+                validate.replace("one", "1").replace("many", "m").replace("_to_", ":")
+            )
+            if norm not in ("1:1", "1:m", "m:1", "m:m"):
+                raise ValueError(f"invalid validate argument: {validate!r}")
+            lc, rc = norm.split(":")
+            for side, df_side, name in ((lc, left, "left"), (rc, right, "right")):
+                if side != "1":
+                    continue
+                dup = (
+                    df_side.groupBy(*keys)
+                    .agg(F.count(F.lit(1)).alias("__c__"))
+                    .agg(F.max("__c__"))
+                    .collect()[0][0]
+                )
+                if dup is not None and dup > 1:
+                    raise ValueError(
+                        f"Merge keys are not unique in {name} dataset; "
+                        f"not a {norm} merge"
+                    )
         overlap = (set(left.columns) & set(right.columns)) - set(keys)
         for c in overlap:
             left = left.withColumnRenamed(c, f"{c}{suffixes[0]}")

@@ -1280,3 +1280,18 @@ def test_series_expanding_quantiles_multi(spark):
         pd.testing.assert_series_equal(
             out[col], exp, check_names=False, check_dtype=False, atol=1e-12
         )
+
+
+def test_merge_validate(spark):
+    left = pd.DataFrame({"k": [1, 2, 3], "a": [10, 20, 30]})
+    right = pd.DataFrame({"k": [1, 1, 2], "b": ["x", "y", "z"]})
+    lf, rf = from_pandas(spark, left), from_pandas(spark, right)
+    # m:m and m:1-with-unique-right pass
+    assert lf.merge(rf, on="k", validate="m:m").to_pandas().shape[0] == 3
+    lf.merge(from_pandas(spark, right.drop_duplicates("k")), on="k",
+             validate="one_to_one")
+    # 1:1 against dup right raises, matching pandas
+    with pytest.raises(ValueError, match="right dataset"):
+        lf.merge(rf, on="k", validate="1:1")
+    with pytest.raises(ValueError, match="invalid validate"):
+        lf.merge(rf, on="k", validate="bogus")
