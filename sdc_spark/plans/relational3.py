@@ -277,3 +277,53 @@ oracle(
                  ELSE v6 END AS n_violations) x
     """,
 )
+
+
+@query("udtf_sentences")
+def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (functions/udtfs.py — §2.10's UDTF row, absent
+    in the reference): lateral sentence segmentation over normalized
+    document text, aggregated per doc. The split rule is RE2-safe so the
+    DuckDB oracle runs it verbatim; the UDTF-vs-JVM equivalence is pinned
+    in tests."""
+    from sdc_spark.functions import udtfs
+    from sdc_spark.operators.dedup import normalized_text
+
+    udtfs.register(spark)
+    doc = read_table(spark, sf_dir, "documents")
+    doc.select("doc_id", normalized_text(F.col("text")).alias("norm")).createOrReplaceTempView(
+        "__udtf_docs__"
+    )
+    sent = spark.sql(
+        """
+        SELECT d.doc_id, s.sent_no, s.sentence, s.n_words
+        FROM __udtf_docs__ d, LATERAL split_sentences(d.norm) s
+        """
+    )
+    return sent.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.max("n_words").alias("max_words"),
+        F.md5(F.min("sentence").cast("binary")).alias("first_sent_md5"),
+    )
+
+
+oracle(
+    "udtf_sentences",
+    r"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS norm
+        FROM documents
+    ), sent AS (
+        SELECT doc_id, unnest(
+            list_filter(regexp_split_to_array(norm, '[.!?]+\s+'),
+                        x -> trim(x) <> '')
+        ) AS sentence
+        FROM norm WHERE norm <> ''
+    )
+    SELECT doc_id, count(*) AS n_sentences,
+           max(len(string_split(sentence, ' '))) AS max_words,
+           md5(min(sentence)) AS first_sent_md5
+    FROM sent GROUP BY 1
+    """,
+)

@@ -1295,3 +1295,53 @@ def test_merge_validate(spark):
         lf.merge(rf, on="k", validate="1:1")
     with pytest.raises(ValueError, match="invalid validate"):
         lf.merge(rf, on="k", validate="bogus")
+
+
+def test_udtf_sentences_matches_jvm_split(spark):
+    """SentenceSplit UDTF must be row-identical to the pure-JVM
+    split+posexplode form (the scale path)."""
+    from pyspark.sql import functions as F
+
+    from sdc_spark.functions import udtfs
+
+    udtfs.register(spark)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "norm": [
+                "one two. three four! five? six",
+                "no boundary here",
+                "",
+                "trailing dot. ",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    df.createOrReplaceTempView("__udtf_t__")
+    got = {
+        (r.doc_id, r.sent_no, r.sentence, r.n_words)
+        for r in spark.sql(
+            "SELECT t.doc_id, s.* FROM __udtf_t__ t, "
+            "LATERAL split_sentences(t.norm) s"
+        ).collect()
+    }
+    jvm = (
+        df.select(
+            "doc_id",
+            F.posexplode(
+                F.filter(
+                    F.split(F.trim("norm"), r"[.!?]+\s+"),
+                    lambda x: F.trim(x) != "",
+                )
+            ).alias("sent_no", "sentence"),
+        )
+        .filter(F.trim("norm") != "")
+        .select(
+            "doc_id", "sent_no", "sentence",
+            F.size(F.split("sentence", " ")).alias("n_words"),
+        )
+    )
+    want = {
+        (r.doc_id, r.sent_no, r.sentence, r.n_words) for r in jvm.collect()
+    }
+    assert got == want and len(got) == 6
