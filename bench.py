@@ -73,6 +73,34 @@ def _release_session_state(spark) -> None:
 
 
 RESTART_EVERY = 35  # fresh JVM every N queries: hard ceiling on state creep
+QUERY_TIMEOUT_S = 150  # watchdog: cancel a hung query instead of hanging the bench
+
+
+def _run_with_watchdog(spark, fn, sf_dir, group: str) -> None:
+    """Execute one query under a job-group watchdog: if the noop write is
+    still running after QUERY_TIMEOUT_S, cancel the job group so the bench
+    records -1 for THIS query and moves on (a contended host or a real
+    regression must never stall the whole bench run)."""
+    import threading
+
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group, interruptOnCancel=True)
+    done = threading.Event()
+
+    def cancel() -> None:
+        if not done.wait(QUERY_TIMEOUT_S):
+            try:
+                sc.cancelJobGroup(group)
+            except Exception:  # noqa: BLE001
+                pass
+
+    w = threading.Thread(target=cancel, daemon=True)
+    w.start()
+    try:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    finally:
+        done.set()
+        sc.setJobGroup("", "")
 
 
 def main() -> None:
@@ -93,11 +121,11 @@ def main() -> None:
             spark = get_spark("sdc_spark_bench")
         fn = QUERIES[name]
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+            _run_with_watchdog(spark, fn, sf_dir, f"warm-{name}")  # warm
             runs = []
-            for _ in range(3):  # median-of-3: robust to stray GC/compile pauses
+            for j in range(3):  # median-of-3: robust to stray GC/compile pauses
                 t0 = time.time()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                _run_with_watchdog(spark, fn, sf_dir, f"run{j}-{name}")
                 runs.append(time.time() - t0)
                 _release_session_state(spark)
                 if runs[-1] > 60:
