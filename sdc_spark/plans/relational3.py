@@ -327,3 +327,40 @@ oracle(
     FROM sent GROUP BY 1
     """,
 )
+
+
+@query("variant_props_extract")
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data through Spark 4's VARIANT type: events.props
+    is parsed ONCE into a variant column (binary-encoded, no re-parse per
+    field access — the modern scale path vs get_json_object string
+    re-parsing per call), then typed paths are extracted and profiled per
+    event type. `json_props_extract` keeps the classic string-path form;
+    this pins the variant path against the same DuckDB JSON oracle."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    got = v.select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "long").alias("k"),
+        F.try_variant_get("v", "$.missing", "string").alias("missing"),
+    )
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("k_sum"),
+        F.count("missing").alias("n_missing_present"),
+        F.countDistinct("k").alias("k_distinct"),
+    )
+
+
+oracle(
+    "variant_props_extract",
+    """
+    SELECT event_type, count(*) AS n,
+           sum(CAST(props->>'k' AS BIGINT)) AS k_sum,
+           count(props->>'missing') AS n_missing_present,
+           count(DISTINCT CAST(props->>'k' AS BIGINT)) AS k_distinct
+    FROM events GROUP BY 1
+    """,
+)
