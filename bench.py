@@ -50,6 +50,13 @@ HEADLINE = [
     "pack_sequences",
     "text_decontaminate",
     "text_pii_scrub",
+    # round-5 marquee additions
+    "rag_chunk_overlap",
+    "graph_triangle_count",
+    "src_np_datasource",
+    "ann_eval_metrics",
+    "interval_merge_overlaps",
+    "sample_negatives",
 ]
 
 

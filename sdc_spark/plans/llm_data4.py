@@ -119,7 +119,10 @@ def tokens_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (rank ties carry equal x, so the sum is order-invariant).
 
     Scale shape: one shuffle on source for the rank window, one aggregate.
-    Rank·x sums stay in long arithmetic until the final division."""
+    Rank·x sums stay in long arithmetic until the final division —
+    headroom to ~10^18 (e.g. 10^7 docs × 10^6-token ranks per source);
+    beyond that switch the product to decimal(38,0) or double (the Gini
+    is a ratio, double keeps 15 significant digits)."""
     doc = read_table(spark, sf_dir, "documents")
     toks = doc.select(
         "source",
