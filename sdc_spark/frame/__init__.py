@@ -7,5 +7,11 @@ layer in sdc_spark.functions. The index convention: an explicit
 a full outer join on it; ops state whether they preserve or reset it.
 """
 
-from sdc_spark.frame.core import SparkFrame, concat, from_pandas, read_parquet  # noqa: F401
+from sdc_spark.frame.core import (  # noqa: F401
+    SparkFrame,
+    concat,
+    from_pandas,
+    merge,
+    read_parquet,
+)
 from sdc_spark.frame.series import SparkSeries  # noqa: F401

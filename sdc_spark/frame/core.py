@@ -926,3 +926,21 @@ class SparkFrame:
         row = self._df.agg(*aggs).collect()[0]
         stats = ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]
         return pd.DataFrame({c: [row[f"{c}__{s}"] for s in stats] for c in cols}, index=stats)
+
+
+def merge(
+    left: "SparkFrame",
+    right: "SparkFrame",
+    on: Sequence[str] | str,
+    how: str = "inner",
+    suffixes: tuple[str, str] = ("_x", "_y"),
+    indicator: bool = False,
+    validate: str | None = None,
+) -> "SparkFrame":
+    """Module-level ``pd.merge`` spelling (the reference models it as
+    ``pd.merge`` in tests — sdc/tests/test_join.py:52-414); delegates to
+    SparkFrame.merge."""
+    return left.merge(
+        right, on=on, how=how, suffixes=suffixes, indicator=indicator,
+        validate=validate,
+    )
