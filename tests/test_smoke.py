@@ -41,3 +41,21 @@ def test_q1_plan_pushes_filter(spark, sf_dir):
     df = QUERIES["q1_pricing_summary"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_examples_run(spark):
+    """The examples/ scripts must stay runnable (user-facing switch path
+    from the reference's examples/)."""
+    import subprocess
+    import sys as _sys
+
+    for script in (
+        "examples/basic_workflow.py",
+        "examples/series_rolling.py",
+        "examples/llm_curation_pipeline.py",
+    ):
+        r = subprocess.run(
+            [_sys.executable, f"/root/repo/{script}"],
+            capture_output=True, text=True, timeout=240,
+        )
+        assert r.returncode == 0, f"{script}:\n{r.stderr[-800:]}"
