@@ -59,3 +59,17 @@ def test_examples_run(spark):
             capture_output=True, text=True, timeout=240,
         )
         assert r.returncode == 0, f"{script}:\n{r.stderr[-800:]}"
+
+
+def test_scan_determinism_under_task_retries():
+    """Injected first-attempt task failures must not change scan results
+    (tools/retry_probe.py — own process because maxFailures is fixed at
+    master construction)."""
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, "/root/repo/tools/retry_probe.py"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
