@@ -223,3 +223,59 @@ def _parse_duration_ms(spec: str) -> int:
         "hour": 3_600_000, "hours": 3_600_000,
     }[unit]
     return int(qty) * mult
+
+
+PACK_OUTPUT_SCHEMA = (
+    "source string, doc_id long, n_tok long, pack_id long, offset long, "
+    "spans_boundary boolean"
+)
+PACK_STATE_SCHEMA = "cum long"
+
+
+def _pack_fn(budget: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (source,) = key
+        cum = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdfs:
+            for doc_id, n in (
+                pdf.sort_values("doc_id")[["doc_id", "n_tok"]].itertuples(
+                    index=False
+                )
+            ):
+                n = int(n)
+                start = cum
+                pack = start // budget
+                spans = n > 0 and pack != (start + n - 1) // budget
+                out.append(
+                    (source, int(doc_id), n, pack, start % budget, spans)
+                )
+                cum += n
+        state.update((cum,))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "source", "doc_id", "n_tok", "pack_id", "offset",
+                "spans_boundary",
+            ],
+        )
+
+    return fn
+
+
+def streaming_pack_sequences(stream: DataFrame, budget: int = 2048) -> DataFrame:
+    """Per-source sequence packing as a STREAMING operator: the running
+    token total per source persists in GroupState, so an append-only doc
+    stream receives pack assignments incrementally that are identical to
+    re-packing the whole corpus in batch (as long as docs arrive in
+    doc_id order per source — the append-only layout). State is ONE long
+    per source; input expects columns (source, doc_id, n_tok)."""
+    return stream.groupBy("source").applyInPandasWithState(
+        _pack_fn(budget),
+        outputStructType=PACK_OUTPUT_SCHEMA,
+        stateStructType=PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

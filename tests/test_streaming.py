@@ -516,3 +516,78 @@ def test_foreachbatch_incremental_upsert(spark, tmp_path_factory):
     )
     want = {(r.k, r.v, r.ver) for r in want_df.collect()}
     assert got == want and got == {(1, "a", 1), (2, "b2", 2), (3, "c", 1)}
+
+
+def test_streaming_pack_matches_batch(spark, tmp_path_factory):
+    """Incremental per-source packing across two micro-batches must equal
+    the one-shot batch packing of the full corpus (docs arrive in doc_id
+    order per source — the append-only layout)."""
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+    from sdc_spark.streaming.stateful import streaming_pack_sequences
+
+    src_dir = str(tmp_path_factory.mktemp("pack_src"))
+    budget = 100
+
+    def put(rows):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["source", "doc_id", "n_tok"])
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    b1 = [("web", 1, 40), ("web", 2, 80), ("book", 3, 150), ("web", 4, 10)]
+    b2 = [("web", 5, 95), ("book", 6, 60), ("book", 7, 0), ("web", 8, 130)]
+    put(b1)
+
+    schema = "source string, doc_id long, n_tok long"
+    chk = str(tmp_path_factory.mktemp("pack_chk"))
+    out_dir = str(tmp_path_factory.mktemp("pack_sink"))
+
+    def run_batch():
+        # file sink (memory sink cannot recover from a checkpoint, and the
+        # per-source token state must survive across the two runs)
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            streaming_pack_sequences(stream, budget)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable(); q.stop()
+
+    run_batch()
+    put(b2)
+    run_batch()
+
+    got = {
+        (r.source, r.doc_id): (r.n_tok, r.pack_id, r.offset, r.spans_boundary)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # batch twin: per-source window cumsum over the full corpus
+    full = spark.createDataFrame(
+        pd.DataFrame(b1 + b2, columns=["source", "doc_id", "n_tok"])
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    twin = (
+        full.withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn("start", F.col("cum") - F.col("n_tok"))
+        .select(
+            "source", "doc_id", "n_tok",
+            F.expr(f"start div {budget}").alias("pack_id"),
+            (F.col("start") % budget).alias("offset"),
+            (
+                (F.col("n_tok") > 0)
+                & (F.expr(f"start div {budget}") != F.expr(f"(cum - 1) div {budget}"))
+            ).alias("spans_boundary"),
+        )
+    )
+    want = {
+        (r.source, r.doc_id): (r.n_tok, r.pack_id, r.offset, r.spans_boundary)
+        for r in twin.collect()
+    }
+    assert got == want and len(got) == 8
