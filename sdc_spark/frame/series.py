@@ -163,8 +163,12 @@ class SparkSeries:
         Distributed: carry struct(position, value) of the nearest valid
         observation forward AND backward with the global_fill machinery,
         then blend by position distance — three range-partitioned passes,
-        no single-partition window."""
-        if method != "linear":
+        no single-partition window. ``method='nearest'`` snaps to the
+        positionally closer valid neighbor (ties -> previous, pandas
+        convention); ``'pad'``/``'ffill'`` alias the carry-forward fill."""
+        if method in ("pad", "ffill"):
+            return self.ffill()
+        if method not in ("linear", "nearest"):
             raise NotImplementedError(f"interpolate method {method!r}")
         base = sorder.with_position(self._df.select(IDX, VAL), [IDX], "__pos__")
         ok = sexpr.notna(F.col(VAL), self._floating)
@@ -177,9 +181,15 @@ class SparkSeries:
             "backward",
         )
         pf, pb = F.col("__pf__"), F.col("__pb__")
-        blend = pf["v"] + (pb["v"] - pf["v"]) * (
-            (F.col("__pos__") - pf["p"]) / (pb["p"] - pf["p"])
-        )
+        if method == "nearest":
+            blend = F.when(
+                (F.col("__pos__") - pf["p"]) <= (pb["p"] - F.col("__pos__")),
+                pf["v"],
+            ).otherwise(pb["v"])
+        else:
+            blend = pf["v"] + (pb["v"] - pf["v"]) * (
+                (F.col("__pos__") - pf["p"]) / (pb["p"] - pf["p"])
+            )
         val = (
             F.when(ok, F.col(VAL))
             .when(pf.isNull(), F.col(VAL))  # leading gap stays missing
@@ -388,13 +398,21 @@ class SparkSeries:
 
     def where(self, cond: SparkSeries, other=None) -> SparkSeries:
         """Keep values where cond holds, else ``other`` (default null/NaN) —
-        pandas Series.where."""
-        if isinstance(other, SparkSeries):
-            raise NotImplementedError("Series-valued other not supported yet")
+        pandas Series.where. ``other`` may be a scalar or an index-aligned
+        SparkSeries (one more left join on __index__)."""
         c = cond._df.select(F.col(IDX), F.col(VAL).alias("__c__"))
         j = self._df.join(c, IDX, "left")
+        if isinstance(other, SparkSeries):
+            o = other._df.select(F.col(IDX), F.col(VAL).alias("__o__"))
+            j = j.join(o, IDX, "left")
+            fallback = F.col("__o__")
+        else:
+            fallback = F.lit(other)
         return SparkSeries(
-            j.select(IDX, F.when(F.col("__c__"), F.col(VAL)).otherwise(F.lit(other)).alias(VAL)),
+            j.select(
+                IDX,
+                F.when(F.col("__c__"), F.col(VAL)).otherwise(fallback).alias(VAL),
+            ),
             name=self.name,
             floating=self._floating,
         )

@@ -1345,3 +1345,37 @@ def test_udtf_sentences_matches_jvm_split(spark):
         (r.doc_id, r.sent_no, r.sentence, r.n_words) for r in jvm.collect()
     }
     assert got == want and len(got) == 6
+
+
+def test_where_series_other(spark):
+    """series.where(cond, other_series) — index-aligned fallback side
+    (closes the last frame-API NotImplementedError outside multimodal)."""
+    ps = pd.Series([1.0, 2.0, 3.0, 4.0], name="v")
+    po = pd.Series([10.0, 20.0, 30.0, 40.0], name="o")
+    s = from_pandas(spark, ps.to_frame())["v"]
+    o = from_pandas(spark, po.to_frame())["o"]
+    cond = s > 2
+    got = s.where(cond, o).to_pandas()
+    exp = ps.where(ps > 2, po)
+    pd.testing.assert_series_equal(got, exp, check_names=False, check_dtype=False)
+    got_m = s.mask(cond, o).to_pandas()
+    exp_m = ps.mask(ps > 2, po)
+    pd.testing.assert_series_equal(got_m, exp_m, check_names=False, check_dtype=False)
+
+
+def test_interpolate_nearest_and_pad(spark):
+    ps = pd.Series([float("nan"), 1.0, float("nan"), float("nan"), 4.0,
+                    float("nan")], name="v")
+    s = from_pandas(spark, ps.to_frame())["v"]
+    got = s.interpolate(method="pad").to_pandas()
+    pd.testing.assert_series_equal(
+        got, ps.interpolate(method="pad"), check_names=False, check_dtype=False
+    )
+    # pandas' own 'nearest' needs scipy (absent here); expectation by hand:
+    # pos2 ties to prev (1.0), pos3 is closer to pos4 (4.0); leading NaN
+    # stays, trailing NaN ffills
+    got_n = s.interpolate(method="nearest").to_pandas()
+    exp_n = pd.Series([float("nan"), 1.0, 1.0, 4.0, 4.0, 4.0])
+    pd.testing.assert_series_equal(
+        got_n, exp_n, check_names=False, check_dtype=False
+    )
