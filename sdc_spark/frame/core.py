@@ -513,12 +513,31 @@ class SparkFrame:
             )
         )
 
-    def dropna(self, subset: Sequence[str] | None = None) -> SparkFrame:
+    def dropna(
+        self,
+        subset: Sequence[str] | None = None,
+        how: str = "any",
+        thresh: int | None = None,
+    ) -> SparkFrame:
+        """pandas df.dropna: ``how='any'`` (default) drops rows with ANY
+        missing value in ``subset``; ``'all'`` only rows where EVERY one is
+        missing; ``thresh=k`` keeps rows with at least k non-missing
+        (overrides ``how``, as in pandas). Row-local predicate — no
+        shuffle."""
         floats = {c for c, t in self._df.dtypes if t in ("double", "float")}
         cols = list(subset) if subset else self.columns
-        cond = F.lit(True)
-        for c in cols:
-            cond = cond & sexpr.notna(F.col(c), c in floats)
+        oks = [sexpr.notna(F.col(c), c in floats) for c in cols]
+        if thresh is not None:
+            n_ok = sum((ok.cast("int") for ok in oks), F.lit(0))
+            cond = n_ok >= thresh
+        elif how == "all":
+            cond = F.lit(False)
+            for ok in oks:
+                cond = cond | ok
+        else:
+            cond = F.lit(True)
+            for ok in oks:
+                cond = cond & ok
         return SparkFrame(self._df.filter(cond))
 
     @staticmethod

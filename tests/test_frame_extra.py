@@ -1379,3 +1379,18 @@ def test_interpolate_nearest_and_pad(spark):
     pd.testing.assert_series_equal(
         got_n, exp_n, check_names=False, check_dtype=False
     )
+
+
+def test_dropna_how_thresh(spark):
+    pdf = pd.DataFrame(
+        {
+            "a": [1.0, None, None, 4.0],
+            "b": [None, None, 3.0, 4.0],
+            "c": ["x", None, None, "w"],
+        }
+    )
+    sf = from_pandas(spark, pdf)
+    for kw in ({"how": "any"}, {"how": "all"}, {"thresh": 2}, {"thresh": 2, "subset": ["a", "b"]}):
+        got = sf.dropna(**kw).to_pandas().reset_index(drop=True)
+        exp = pdf.dropna(**kw).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
