@@ -95,7 +95,7 @@ class SparkFrame:
 
     @property
     def columns(self) -> list[str]:
-        return [c for c in self._df.columns if c != IDX]
+        return [c for c in self._df.columns if c not in (IDX, "__ord__")]
 
     def __len__(self) -> int:
         return self._df.count()
@@ -105,7 +105,12 @@ class SparkFrame:
         return (len(self), len(self.columns))
 
     def to_pandas(self) -> pd.DataFrame:
-        pdf = self._df.orderBy(IDX).toPandas()
+        # frames that carry their own row order (sort_values) expose it as
+        # __ord__ (same convention as SparkSeries); otherwise index order
+        if "__ord__" in self._df.columns:
+            pdf = self._df.orderBy("__ord__").drop("__ord__").toPandas()
+        else:
+            pdf = self._df.orderBy(IDX).toPandas()
         return pdf.set_index(IDX).rename_axis(None)
 
     # -- getitem family (ref :1791-2215, rewrite
@@ -730,13 +735,46 @@ class SparkFrame:
         )
         return SparkFrame(out.withColumn(IDX, F.monotonically_increasing_id()))
 
-    def sort_values(self, by: str | Sequence[str], ascending: bool = True) -> SparkFrame:
+    def sort_values(
+        self,
+        by: str | Sequence[str],
+        ascending: bool | Sequence[bool] = True,
+        na_position: str = "last",
+    ) -> SparkFrame:
+        """pandas df.sort_values: per-key ascending flags and
+        na_position ('last'/'first'). Compiles to one Spark range-shuffle
+        sort (Timsort in the reference — SURVEY §2.7)."""
         cols = [by] if isinstance(by, str) else list(by)
-        keys = [
-            F.col(c).asc_nulls_last() if ascending else F.col(c).desc_nulls_last()
-            for c in cols
-        ]
-        return SparkFrame(self._df.orderBy(*keys))
+        asc = (
+            [ascending] * len(cols)
+            if isinstance(ascending, bool)
+            else list(ascending)
+        )
+        if len(asc) != len(cols):
+            raise ValueError("ascending length must match by length")
+        keys = []
+        for c, a in zip(cols, asc):
+            col = F.col(c)
+            if a:
+                keys.append(
+                    col.asc_nulls_last() if na_position == "last" else col.asc_nulls_first()
+                )
+            else:
+                keys.append(
+                    col.desc_nulls_last() if na_position == "last" else col.desc_nulls_first()
+                )
+        from sdc_spark.operators import order as sorder
+
+        base = (
+            self._df.drop("__ord__")
+            if "__ord__" in self._df.columns
+            else self._df
+        )
+        # attach the sorted rank as __ord__ (distributed positions — no
+        # single-partition sort); original index labels ride along, pandas
+        # sort_values semantics
+        keys.append(F.col(IDX))  # stable tie-break, like kind='mergesort'
+        return SparkFrame(sorder.with_position(base, keys, "__ord__"))
 
     def groupby(self, by: str | Sequence[str]):
         from sdc_spark.frame.groupby import FrameGroupBy

@@ -1394,3 +1394,18 @@ def test_dropna_how_thresh(spark):
         got = sf.dropna(**kw).to_pandas().reset_index(drop=True)
         exp = pdf.dropna(**kw).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_sort_values_mixed_ascending_na_position(spark):
+    pdf = pd.DataFrame(
+        {"a": [2.0, None, 1.0, 2.0], "b": [1, 4, 2, 3], "c": list("wxyz")}
+    )
+    sf = from_pandas(spark, pdf)
+    for kw in (
+        {"by": ["a", "b"], "ascending": [True, False]},
+        {"by": "a", "ascending": False, "na_position": "first"},
+        {"by": ["a"], "na_position": "first"},
+    ):
+        got = sf.sort_values(**kw).to_pandas()[["a", "b", "c"]].reset_index(drop=True)
+        exp = pdf.sort_values(**kw).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
