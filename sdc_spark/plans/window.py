@@ -275,11 +275,18 @@ def rolling_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     values; quantities are whole numbers (scale 1), prices 2-decimal
     (scale 100)."""
     li = _t(spark, sf_dir, "lineitem")
-    w = rolling_window(
-        ["l_shipdate", "l_orderkey", "l_linenumber"], ["l_suppkey"], window=20
-    )
     q = scaled_long("l_quantity", 0)
     p = scaled_long("l_extendedprice", 2)
+    # the synthetic lineitem carries duplicate (shipdate, orderkey,
+    # linenumber) rows within a supplier — the value columns join the sort
+    # key so the window order is TOTAL: with a tie, engines may disagree
+    # on which duplicate leaves the 20-row frame first, silently changing
+    # a downstream row 20 positions later
+    w = rolling_window(
+        ["l_shipdate", "l_orderkey", "l_linenumber", q, p],
+        ["l_suppkey"],
+        window=20,
+    )
     cov, corr = exact_cov_corr(q, p, w, scale_x=1, scale_y=100)
     n = F.count("l_quantity").over(w)
     # unrounded on purpose — see rolling_stats
@@ -308,7 +315,7 @@ oracle(
                sum(qv * qv) OVER w AS sqq, sum(pv * pv) OVER w AS spp
         FROM t
         WINDOW w AS (PARTITION BY l_suppkey
-                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber, qv, pv
                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     ), v AS (
         SELECT l_suppkey, l_orderkey, l_linenumber, n,
