@@ -226,7 +226,10 @@ class SparkFrame:
         return SparkFrame(self._df.withColumnsRenamed(columns))
 
     def head(self, n: int = 5) -> SparkFrame:
-        return SparkFrame(self._df.orderBy(IDX).limit(n))
+        # frames carrying an explicit row order (post-sort_values) take
+        # their first n rows in THAT order (TakeOrdered — no full sort)
+        key = "__ord__" if "__ord__" in self._df.columns else IDX
+        return SparkFrame(self._df.orderBy(key).limit(n))
 
     def copy(self) -> SparkFrame:
         return SparkFrame(self._df)

@@ -1409,3 +1409,11 @@ def test_sort_values_mixed_ascending_na_position(spark):
         got = sf.sort_values(**kw).to_pandas()[["a", "b", "c"]].reset_index(drop=True)
         exp = pdf.sort_values(**kw).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_sort_values_head_chain(spark):
+    pdf = pd.DataFrame({"a": [5.0, 1.0, 3.0, 2.0, 4.0], "b": list("vwxyz")})
+    sf = from_pandas(spark, pdf)
+    got = sf.sort_values("a").head(3).to_pandas().reset_index(drop=True)
+    exp = pdf.sort_values("a").head(3).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
