@@ -779,6 +779,23 @@ class SparkFrame:
         keys.append(F.col(IDX))  # stable tie-break, like kind='mergesort'
         return SparkFrame(sorder.with_position(base, keys, "__ord__"))
 
+    def sort_index(self, ascending: bool = True) -> SparkFrame:
+        """pandas df.sort_index over the __index__ labels. Ascending is the
+        facade's natural materialization order (just drops any carried
+        row order); descending attaches the reversed rank."""
+        base = (
+            self._df.drop("__ord__")
+            if "__ord__" in self._df.columns
+            else self._df
+        )
+        if ascending:
+            return SparkFrame(base)
+        from sdc_spark.operators import order as sorder
+
+        return SparkFrame(
+            sorder.with_position(base, [F.col(IDX).desc()], "__ord__")
+        )
+
     def groupby(self, by: str | Sequence[str]):
         from sdc_spark.frame.groupby import FrameGroupBy
 

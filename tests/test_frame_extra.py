@@ -1417,3 +1417,18 @@ def test_sort_values_head_chain(spark):
     got = sf.sort_values("a").head(3).to_pandas().reset_index(drop=True)
     exp = pdf.sort_values("a").head(3).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_sort_index_directions(spark):
+    pdf = pd.DataFrame({"a": [1, 2, 3, 4]}, index=[3, 1, 2, 0])
+    sf = from_pandas(spark, pdf)
+    for asc in (True, False):
+        got = sf.sort_index(ascending=asc).to_pandas()
+        exp = pdf.sort_index(ascending=asc)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # sort_values then sort_index round-trips to index order
+    got2 = sf.sort_values("a", ascending=False).sort_index().to_pandas()
+    pd.testing.assert_frame_equal(
+        got2, pdf.sort_values("a", ascending=False).sort_index(),
+        check_dtype=False,
+    )
