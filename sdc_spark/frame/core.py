@@ -236,12 +236,14 @@ class SparkFrame:
 
     def take(self, indices) -> SparkFrame:
         """Positional row gather (pandas df.take): distributed positions in
-        __index__ order, filtered to the given list; original index labels
-        kept (pandas semantics)."""
+        the frame's CURRENT row order (carried sort order if present, else
+        __index__ order), filtered to the given list; original index
+        labels kept (pandas semantics)."""
         from sdc_spark.operators import order as sorder
 
         idx = list(indices)
-        pos = sorder.with_position(self._df, [IDX], "__pos__")
+        key = "__ord__" if "__ord__" in self._df.columns else IDX
+        pos = sorder.with_position(self._df, [key], "__pos__")
         return SparkFrame(pos.filter(F.col("__pos__").isin(idx)).drop("__pos__"))
 
     def reset_index(self, drop: bool = False) -> SparkFrame:

@@ -1432,3 +1432,11 @@ def test_sort_index_directions(spark):
         got2, pdf.sort_values("a", ascending=False).sort_index(),
         check_dtype=False,
     )
+
+
+def test_take_after_sort(spark):
+    pdf = pd.DataFrame({"a": [5.0, 1.0, 3.0, 2.0]})
+    sf = from_pandas(spark, pdf)
+    got = sf.sort_values("a").take([0, 2]).to_pandas()
+    exp = pdf.sort_values("a").take([0, 2])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
