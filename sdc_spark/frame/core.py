@@ -1023,3 +1023,52 @@ def merge(
         right, on=on, how=how, suffixes=suffixes, indicator=indicator,
         validate=validate,
     )
+
+
+def _frame_scan(sf: "SparkFrame", kind: str) -> "SparkFrame":
+    """Shared frame-level prefix-scan driver: ALL numeric columns in ONE
+    range-partition pass (operators/order.scan_multi) — k columns cost the
+    same shuffles as one. NaN/null cells emit NaN and do not advance
+    their column's scan (pandas skipna)."""
+    num_types = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    dts = dict(sf._df.dtypes)
+    cols = [c for c in sf.columns if dts[c] in num_types]
+    floats = {c for c in cols if dts[c] in ("float", "double")}
+    scans = {}
+    for c in cols:
+        v = F.col(c)
+        if c in floats:
+            v = F.when(sexpr.notna(v, True), v)
+        scans[f"__s_{c}__"] = (kind, v)
+    from sdc_spark.operators import order as sorder
+
+    scanned = sorder.scan_multi(sf._df.select(IDX, *cols), [IDX], scans)
+    sel = [F.col(IDX)]
+    for c in cols:
+        s = F.col(f"__s_{c}__")
+        if c in floats:
+            s = F.when(sexpr.notna(F.col(c), True), s).otherwise(F.lit(float("nan")))
+        sel.append(s.alias(c))
+    return SparkFrame(scanned.select(*sel))
+
+
+def _add_frame_scans() -> None:
+    def cumsum(self, numeric_only: bool = True) -> SparkFrame:
+        """pandas df.cumsum (ref series kernel numpy_like.py:875-958,
+        frame-level via per-column codegen): all numeric columns in one
+        distributed prefix-scan pass; numeric_only result, like
+        df.cumsum(numeric_only=True)."""
+        return _frame_scan(self, "sum")
+
+    def cummax(self, numeric_only: bool = True) -> SparkFrame:
+        return _frame_scan(self, "max")
+
+    def cummin(self, numeric_only: bool = True) -> SparkFrame:
+        return _frame_scan(self, "min")
+
+    SparkFrame.cumsum = cumsum
+    SparkFrame.cummax = cummax
+    SparkFrame.cummin = cummin
+
+
+_add_frame_scans()

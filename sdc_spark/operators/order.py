@@ -868,3 +868,52 @@ def scan_ewm_moments(
         return res
 
     return part.groupBy(PID).applyInPandas(_scan, out_schema)
+
+
+def scan_multi(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    scans: dict[str, tuple[str, Column]],
+) -> DataFrame:
+    """Several prefix scans in ONE pass: ``scans`` maps output column ->
+    (kind, value) with kind in {'sum', 'max', 'min'}. One range partition,
+    one P-row offsets broadcast carrying every scan's per-partition
+    total, one window pass — a k-column frame cumsum costs the same
+    shuffle count as a single-column one.
+
+    max/min offsets combine with greatest/least (the prefix max over
+    prior partitions is the max of their maxes); null-safe: rows with a
+    null value don't advance any scan (aggregates skip nulls)."""
+    part = range_partitioned(df, order_cols)
+
+    aggs = []
+    for out, (kind, val) in scans.items():
+        agg = {"sum": F.sum, "max": F.max, "min": F.min}[kind](val)
+        aggs.append(agg.alias(f"__t_{out}__"))
+    per = part.groupBy(PID).agg(*aggs)
+    w0 = W.partitionBy(_one()).orderBy(PID).rowsBetween(W.unboundedPreceding, -1)
+    off_cols = []
+    for out, (kind, _) in scans.items():
+        c = F.col(f"__t_{out}__")
+        run = {"sum": F.sum, "max": F.max, "min": F.min}[kind](c).over(w0)
+        off_cols.append(run.alias(f"__o_{out}__"))
+    offs = per.select(PID, *off_cols)
+
+    w = (
+        W.partitionBy(PID)
+        .orderBy(*_cols(order_cols))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    out_df = part.join(F.broadcast(offs), PID)
+    for out, (kind, val) in scans.items():
+        local = {"sum": F.sum, "max": F.max, "min": F.min}[kind](val).over(w)
+        o = F.col(f"__o_{out}__")
+        if kind == "sum":
+            combined = local + F.coalesce(o, F.lit(0))
+        elif kind == "max":
+            combined = F.when(o.isNull(), local).otherwise(F.greatest(local, o))
+        else:
+            combined = F.when(o.isNull(), local).otherwise(F.least(local, o))
+        out_df = out_df.withColumn(out, combined)
+    drop = [PID] + [f"__o_{out}__" for out in scans]
+    return out_df.drop(*drop)

@@ -364,3 +364,40 @@ oracle(
     FROM events GROUP BY 1
     """,
 )
+
+
+@query("frame_cumsum")
+def frame_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.cumsum() through the facade (ref series cumsum kernel
+    numpy_like.py:875-958; frame level applies per column): BOTH numeric
+    columns ride ONE distributed prefix-scan pass (order.scan_multi —
+    same shuffle count as a single column). Values pre-scaled to integer
+    cents so the running sums are exact longs."""
+    from sdc_spark.frame.core import SparkFrame
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("__index__"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        F.col("user_id").alias("uid"),
+    )
+    sf = SparkFrame(ev)
+    out = sf.cumsum()
+    return out._df.select(
+        F.col("__index__").alias("event_id"),
+        F.col("v_cents").alias("cum_v_cents"),
+        F.col("uid").alias("cum_uid"),
+    )
+
+
+oracle(
+    "frame_cumsum",
+    """
+    SELECT event_id,
+           sum(CAST(round(value * 100) AS BIGINT))
+               OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cum_v_cents,
+           sum(user_id) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS cum_uid
+    FROM events
+    """,
+)

@@ -1440,3 +1440,18 @@ def test_take_after_sort(spark):
     got = sf.sort_values("a").take([0, 2]).to_pandas()
     exp = pdf.sort_values("a").take([0, 2])
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_frame_cumulative_scans(spark):
+    pdf = pd.DataFrame(
+        {
+            "a": [1.0, float("nan"), 3.0, 2.0],
+            "b": [4, 3, 2, 1],
+            "s": list("wxyz"),  # non-numeric: dropped (numeric_only)
+        }
+    )
+    sf = from_pandas(spark, pdf)
+    for m in ("cumsum", "cummax", "cummin"):
+        got = getattr(sf, m)().to_pandas()
+        exp = getattr(pdf[["a", "b"]], m)()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
