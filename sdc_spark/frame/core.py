@@ -1072,3 +1072,47 @@ def _add_frame_scans() -> None:
 
 
 _add_frame_scans()
+
+
+def _add_frame_shift_ops() -> None:
+    from sdc_spark.operators import order as sorder
+
+    def shift(self, periods: int = 1, fill_value=None) -> SparkFrame:
+        """pandas df.shift: every data column lagged/led in ONE
+        boundary-context pass (order.shifted_multi) — k columns cost the
+        same shuffles as one."""
+        cols = self.columns
+        dts = dict(self._df.dtypes)
+        out = sorder.shifted_multi(
+            self._df.select(IDX, *cols), [IDX], cols, periods
+        )
+        sel = [F.col(IDX)]
+        for c in cols:
+            s = F.col(f"__sh_{c}__")
+            if fill_value is not None:
+                # fill literal cast to the COLUMN's type: bare coalesce
+                # would coerce a string column toward the literal's type
+                s = F.coalesce(s, F.lit(fill_value).cast(dts[c]))
+            sel.append(s.alias(c))
+        return SparkFrame(out.select(*sel))
+
+    def diff(self, periods: int = 1) -> SparkFrame:
+        """pandas df.diff: numeric columns minus their shift, one context
+        pass for all columns (non-numeric columns are dropped, as pandas
+        raises on them)."""
+        num_types = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        dts = dict(self._df.dtypes)
+        cols = [c for c in self.columns if dts[c] in num_types]
+        out = sorder.shifted_multi(
+            self._df.select(IDX, *cols), [IDX], cols, periods
+        )
+        sel = [F.col(IDX)] + [
+            (F.col(c) - F.col(f"__sh_{c}__")).alias(c) for c in cols
+        ]
+        return SparkFrame(out.select(*sel))
+
+    SparkFrame.shift = shift
+    SparkFrame.diff = diff
+
+
+_add_frame_shift_ops()

@@ -1455,3 +1455,23 @@ def test_frame_cumulative_scans(spark):
         got = getattr(sf, m)().to_pandas()
         exp = getattr(pdf[["a", "b"]], m)()
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_frame_shift_diff(spark):
+    pdf = pd.DataFrame(
+        {"a": [1.0, 2.0, 4.0, 7.0], "b": [10, 20, 40, 70], "s": list("wxyz")}
+    )
+    sf = from_pandas(spark, pdf)
+    for p in (1, 2, -1):
+        got = sf.shift(p).to_pandas()
+        exp = pdf.shift(p)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        got_d = sf.diff(p).to_pandas()
+        exp_d = pdf[["a", "b"]].diff(p)
+        pd.testing.assert_frame_equal(got_d, exp_d, check_dtype=False)
+    got_f = sf.shift(1, fill_value=0).to_pandas()
+    exp_f = pdf.shift(1, fill_value=0)
+    # engine casts the fill to each column's type (string column -> "0");
+    # pandas keeps a mixed object column — align for comparison
+    exp_f["s"] = exp_f["s"].astype(str)
+    pd.testing.assert_frame_equal(got_f, exp_f, check_dtype=False)
