@@ -401,3 +401,50 @@ oracle(
     FROM events
     """,
 )
+
+
+@query("frame_shift_diff")
+def frame_shift_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.shift/df.diff through the facade (ref series shift
+    …series_functions.py:1936; frame level is per-column codegen there):
+    both columns ride ONE boundary-context pass each (order.shifted_multi)
+    — no per-column re-shuffle. Integer cents for exact diffs."""
+    from sdc_spark.frame.core import SparkFrame
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("__index__"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        F.col("user_id").alias("uid"),
+    )
+    sf = SparkFrame(ev)
+    sh = sf.shift(3)
+    df_ = sf.diff(2)
+    a = sh._df.select(
+        F.col("__index__").alias("event_id"),
+        F.col("v_cents").alias("lag3_v"),
+        F.col("uid").alias("lag3_uid"),
+    )
+    b = df_._df.select(
+        F.col("__index__").alias("event_id"),
+        F.col("v_cents").alias("diff2_v"),
+        F.col("uid").alias("diff2_uid"),
+    )
+    return a.join(b, "event_id")
+
+
+oracle(
+    "frame_shift_diff",
+    """
+    WITH t AS (
+        SELECT event_id,
+               CAST(round(value * 100) AS BIGINT) AS v_cents, user_id
+        FROM events
+    )
+    SELECT event_id,
+           lag(v_cents, 3) OVER w AS lag3_v,
+           lag(user_id, 3) OVER w AS lag3_uid,
+           v_cents - lag(v_cents, 2) OVER w AS diff2_v,
+           user_id - lag(user_id, 2) OVER w AS diff2_uid
+    FROM t WINDOW w AS (ORDER BY event_id)
+    """,
+)
