@@ -1037,17 +1037,17 @@ def _frame_scan(sf: "SparkFrame", kind: str) -> "SparkFrame":
     scans = {}
     for c in cols:
         v = F.col(c)
-        if c in floats:
-            v = F.when(sexpr.notna(v, True), v)
-        scans[f"__s_{c}__"] = (kind, v)
+        # missing cells (NaN for floats, null for nullable ints) never
+        # advance the scan and re-emit as missing (pandas skipna)
+        scans[f"__s_{c}__"] = (kind, F.when(sexpr.notna(v, c in floats), v))
     from sdc_spark.operators import order as sorder
 
     scanned = sorder.scan_multi(sf._df.select(IDX, *cols), [IDX], scans)
     sel = [F.col(IDX)]
     for c in cols:
         s = F.col(f"__s_{c}__")
-        if c in floats:
-            s = F.when(sexpr.notna(F.col(c), True), s).otherwise(F.lit(float("nan")))
+        missing = F.lit(float("nan")) if c in floats else F.lit(None)
+        s = F.when(sexpr.notna(F.col(c), c in floats), s).otherwise(missing)
         sel.append(s.alias(c))
     return SparkFrame(scanned.select(*sel))
 

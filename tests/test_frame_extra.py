@@ -1475,3 +1475,12 @@ def test_frame_shift_diff(spark):
     # pandas keeps a mixed object column — align for comparison
     exp_f["s"] = exp_f["s"].astype(str)
     pd.testing.assert_frame_equal(got_f, exp_f, check_dtype=False)
+
+
+def test_frame_cumsum_nullable_int(spark):
+    pdf = pd.DataFrame({"n": pd.array([1, None, 3, None, 5], dtype="Int64")})
+    sf = from_pandas(spark, pdf)
+    got = sf.cumsum().to_pandas()["n"]
+    exp = pdf["n"].cumsum()
+    assert got.isna().tolist() == exp.isna().tolist()
+    assert got.dropna().astype(int).tolist() == exp.dropna().astype(int).tolist()
