@@ -235,16 +235,35 @@ class SparkFrame:
         return SparkFrame(self._df)
 
     def take(self, indices) -> SparkFrame:
-        """Positional row gather (pandas df.take): distributed positions in
-        the frame's CURRENT row order (carried sort order if present, else
-        __index__ order), filtered to the given list; original index
-        labels kept (pandas semantics)."""
+        """Positional row gather (pandas df.take): rows come back in the
+        REQUESTED order (duplicates preserved — one output row per request
+        entry), negative positions resolve against len(self), and
+        out-of-bounds positions raise IndexError eagerly, as pandas does.
+        Positions are computed in the frame's CURRENT row order (carried
+        sort order if present, else __index__ order) via the distributed
+        position machinery; the request list is broadcast, never the
+        data."""
         from sdc_spark.operators import order as sorder
 
-        idx = list(indices)
+        idx = [int(i) for i in indices]
+        if any(i < 0 for i in idx):
+            n = self._df.count()
+            idx = [i + n if i < 0 else i for i in idx]
         key = "__ord__" if "__ord__" in self._df.columns else IDX
         pos = sorder.with_position(self._df, [key], "__pos__")
-        return SparkFrame(pos.filter(F.col("__pos__").isin(idx)).drop("__pos__"))
+        spark = self._df.sparkSession
+        req = spark.createDataFrame(
+            list(enumerate(idx)), schema="__rk__ long, __pos__ long"
+        )
+        hit = pos.join(F.broadcast(req), "__pos__")
+        # pandas raises on any position outside [0, n): validate eagerly
+        # (positions are unique per row, so distinct-hit count is enough)
+        matched = hit.select(F.countDistinct("__pos__")).first()[0]
+        if matched != len(set(idx)):
+            raise IndexError("take(): indices are out-of-bounds")
+        return SparkFrame(
+            hit.select(F.col(IDX), F.col("__rk__").alias("__ord__"), *self.columns)
+        )
 
     def reset_index(self, drop: bool = False) -> SparkFrame:
         """ref …dataframe_functions.py:3371-3443. The positional index is
@@ -263,27 +282,14 @@ class SparkFrame:
             )
         return SparkFrame(out)
 
-    def shift(self, periods: int = 1) -> SparkFrame:
-        """Per-column global shift in index order (ONE boundary-context
-        pass for all columns — operators/order.py)."""
-        from sdc_spark.operators import order as sorder
-
-        cols = self.columns
-        out = sorder.shifted_multi(self._df, [IDX], cols, periods)
-        return SparkFrame(
-            out.select(IDX, *[F.col(f"__sh_{c}__").alias(c) for c in cols])
-        )
-
-    def diff(self, periods: int = 1) -> SparkFrame:
-        from sdc_spark.operators import order as sorder
-
-        cols = self._numeric_cols()
-        out = sorder.shifted_multi(self._df.select(IDX, *cols), [IDX], cols, periods)
-        return SparkFrame(
-            out.select(
-                IDX, *[(F.col(c) - F.col(f"__sh_{c}__")).alias(c) for c in cols]
-            )
-        )
+    def _row_order(self) -> tuple[str, list[str]]:
+        """(order key, internal columns to carry through) for order-sensitive
+        ops: frames sorted via sort_values carry a ``__ord__`` rank and
+        pandas applies shift/cumsum/ffill in that CURRENT row order, not the
+        original index order."""
+        if "__ord__" in self._df.columns:
+            return "__ord__", [IDX, "__ord__"]
+        return IDX, [IDX]
 
     def pct_change(
         self, periods: int = 1, fill_method: str | None = "pad"
@@ -304,11 +310,14 @@ class SparkFrame:
         from sdc_spark.functions.expressions import pandas_div
 
         cols = self._numeric_cols()
-        out = sorder.shifted_multi(base._df.select(IDX, *cols), [IDX], cols, periods)
+        key, keep = self._row_order()
+        out = sorder.shifted_multi(
+            base._df.select(*keep, *cols), [key], cols, periods
+        )
         # pandas_div: ±inf / NaN on zero divisors (ANSI `/` would raise)
         return SparkFrame(
             out.select(
-                IDX,
+                *keep,
                 *[
                     F.when(
                         F.col(f"__sh_{c}__").isNotNull(),
@@ -319,38 +328,13 @@ class SparkFrame:
             )
         )
 
-    def cumsum(self) -> SparkFrame:
-        """Per-column running sums — one range partition + one P-row
-        offsets broadcast for ALL columns (NaN-poisoning avoided by
-        null-masking float NaNs, pandas NaN-skip semantics)."""
-        from sdc_spark.operators import order as sorder
-
-        cols = self._numeric_cols()
-        floats = {c for c, t in self._df.dtypes if t in ("double", "float")}
-        masked = self._df.select(
-            IDX,
-            *[
-                F.when(~F.isnan(c) & F.col(c).isNotNull(), F.col(c)).alias(c)
-                if c in floats
-                else F.col(c)
-                for c in cols
-            ],
-        )
-        out = sorder.scan_sum_multi(masked, [IDX], cols)
-        sel = []
-        for c in cols:
-            v = F.col(f"__cs_{c}__")
-            if c in floats:
-                v = F.when(F.col(c).isNotNull(), v).otherwise(F.lit(float("nan")))
-            sel.append(v.alias(c))
-        return SparkFrame(out.select(IDX, *sel))
-
     def ffill(self) -> SparkFrame:
         from sdc_spark.operators import order as sorder
 
+        key, keep = self._row_order()
         floats = {c for c, t in self._df.dtypes if t in ("double", "float")}
         masked = self._df.select(
-            IDX,
+            *keep,
             *[
                 F.when(~F.isnan(c) & F.col(c).isNotNull(), F.col(c)).alias(c)
                 if c in floats
@@ -358,14 +342,15 @@ class SparkFrame:
                 for c in self.columns
             ],
         )
-        return SparkFrame(sorder.global_fill(masked, [IDX], self.columns, "forward"))
+        return SparkFrame(sorder.global_fill(masked, [key], self.columns, "forward"))
 
     def bfill(self) -> SparkFrame:
         from sdc_spark.operators import order as sorder
 
+        key, keep = self._row_order()
         floats = {c for c, t in self._df.dtypes if t in ("double", "float")}
         masked = self._df.select(
-            IDX,
+            *keep,
             *[
                 F.when(~F.isnan(c) & F.col(c).isNotNull(), F.col(c)).alias(c)
                 if c in floats
@@ -373,7 +358,7 @@ class SparkFrame:
                 for c in self.columns
             ],
         )
-        return SparkFrame(sorder.global_fill(masked, [IDX], self.columns, "backward"))
+        return SparkFrame(sorder.global_fill(masked, [key], self.columns, "backward"))
 
     def drop_duplicates(
         self, subset: Sequence[str] | None = None, keep: str = "first"
@@ -552,27 +537,103 @@ class SparkFrame:
 
     @staticmethod
     def _translate_expr(expr: str) -> str:
-        """pandas query/eval syntax -> Spark SQL: `&`/`|`/`~` become
-        AND/OR/NOT (word forms pass through — Spark SQL accepts them),
-        `==` stays (Spark treats == as =). Backtick-quoted names pass
-        through unchanged."""
-        out = expr.replace("&", " AND ").replace("|", " OR ")
-        # unary ~ (pandas not) -> NOT
-        out = re.sub(r"~\s*", " NOT ", out)
-        return out
+        """pandas query/eval syntax -> Spark SQL, rewriting ONLY outside
+        quoted regions (', ", backticks): `&`/`|`/`~` become AND/OR/NOT
+        (so a string literal like 'A&B' passes through intact), a python
+        list after `in` / `not in` becomes a SQL tuple (`x in [1, 2]` ->
+        `x in (1, 2)`), `==` stays (Spark treats == as =), word forms
+        and/or/not pass through. Supported subset: column refs (backticks
+        for odd names), comparisons, arithmetic, in-lists, boolean
+        combinators, and any Spark SQL function. `@variable` interpolation
+        is rejected — inline the value into the string."""
+        out: list[str] = []
+        quote: str | None = None
+        cur = ""  # identifier being scanned
+        last = ""  # last COMPLETED word (survives spaces: `in [` detection)
+        in_list_stack: list[bool] = []
+
+        def finish_word() -> None:
+            nonlocal cur, last
+            if cur:
+                last = cur
+                cur = ""
+
+        for ch in expr:
+            if quote is not None:
+                out.append(ch)
+                if ch == quote:
+                    quote = None
+                continue
+            if ch.isalnum() or ch == "_":
+                cur += ch
+                out.append(ch)
+                continue
+            finish_word()
+            if ch in ("'", '"', "`"):
+                quote = ch
+                out.append(ch)
+                last = ""
+            elif ch == "&":
+                out.append(" AND ")
+                last = ""
+            elif ch == "|":
+                out.append(" OR ")
+                last = ""
+            elif ch == "~":
+                out.append(" NOT ")
+                last = ""
+            elif ch == "@":
+                raise ValueError(
+                    "@variable interpolation is not supported in "
+                    "query()/eval() — inline the value into the expression"
+                )
+            elif ch == "[":
+                # python list literal after `in` -> SQL tuple
+                conv = last.lower() == "in"
+                in_list_stack.append(conv)
+                out.append("(" if conv else "[")
+                last = ""
+            elif ch == "]":
+                conv = in_list_stack.pop() if in_list_stack else False
+                out.append(")" if conv else "]")
+                last = ""
+            else:
+                out.append(ch)
+                if not ch.isspace():
+                    last = ""
+        if quote is not None:
+            raise ValueError(f"unterminated quote in expression: {expr!r}")
+        return "".join(out)
 
     def query(self, expr: str) -> SparkFrame:
         """pandas df.query(expr): row filter from an expression string —
         compiled by Catalyst like any other predicate (pushdown-eligible),
-        not row-at-a-time eval."""
+        not row-at-a-time eval. See _translate_expr for the supported
+        subset."""
         return SparkFrame(self._df.filter(F.expr(self._translate_expr(expr))))
 
     def eval(self, expr: str) -> SparkFrame:
         """pandas df.eval("c = <expression>"): add a computed column from
-        an expression string (single assignment form)."""
-        if "=" not in expr:
+        an expression string (single assignment form). The split point is
+        the first `=` that is NOT part of ==/!=/<=/>= , so comparison
+        RHS expressions survive intact."""
+        pos = None
+        quote = None
+        for i, ch in enumerate(expr):
+            if quote is not None:
+                if ch == quote:
+                    quote = None
+                continue
+            if ch in ("'", '"', "`"):
+                quote = ch
+            elif ch == "=":
+                if expr[i + 1 : i + 2] == "=" or (i > 0 and expr[i - 1] in "=!<>"):
+                    continue
+                pos = i
+                break
+        if pos is None:
             raise ValueError("only the assignment form 'col = expression' is supported")
-        name, rhs = expr.split("=", 1)
+        name, rhs = expr[:pos], expr[pos + 1 :]
         return SparkFrame(
             self._df.withColumn(
                 name.strip(), F.expr(self._translate_expr(rhs.strip()))
@@ -823,7 +884,10 @@ class SparkFrame:
 
     def _numeric_cols(self) -> list[str]:
         num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
-        return [c for c, t in self._df.dtypes if c != IDX and t in num]
+        return [
+            c for c, t in self._df.dtypes
+            if c not in (IDX, "__ord__") and t in num
+        ]
 
     def _reduce_all(self, fn) -> pd.Series:
         """One aggregate pass over all numeric columns. Float NaNs are
@@ -1029,7 +1093,9 @@ def _frame_scan(sf: "SparkFrame", kind: str) -> "SparkFrame":
     """Shared frame-level prefix-scan driver: ALL numeric columns in ONE
     range-partition pass (operators/order.scan_multi) — k columns cost the
     same shuffles as one. NaN/null cells emit NaN and do not advance
-    their column's scan (pandas skipna)."""
+    their column's scan (pandas skipna). Scans run in the frame's CURRENT
+    row order (carried ``__ord__`` after sort_values, else index order),
+    matching pandas' df.sort_values(...).cumsum()."""
     num_types = {"tinyint", "smallint", "int", "bigint", "float", "double"}
     dts = dict(sf._df.dtypes)
     cols = [c for c in sf.columns if dts[c] in num_types]
@@ -1042,8 +1108,9 @@ def _frame_scan(sf: "SparkFrame", kind: str) -> "SparkFrame":
         scans[f"__s_{c}__"] = (kind, F.when(sexpr.notna(v, c in floats), v))
     from sdc_spark.operators import order as sorder
 
-    scanned = sorder.scan_multi(sf._df.select(IDX, *cols), [IDX], scans)
-    sel = [F.col(IDX)]
+    key, keep = sf._row_order()
+    scanned = sorder.scan_multi(sf._df.select(*keep, *cols), [key], scans)
+    sel = [F.col(c) for c in keep]
     for c in cols:
         s = F.col(f"__s_{c}__")
         missing = F.lit(float("nan")) if c in floats else F.lit(None)
@@ -1080,13 +1147,15 @@ def _add_frame_shift_ops() -> None:
     def shift(self, periods: int = 1, fill_value=None) -> SparkFrame:
         """pandas df.shift: every data column lagged/led in ONE
         boundary-context pass (order.shifted_multi) — k columns cost the
-        same shuffles as one."""
+        same shuffles as one. Shifts run in the frame's CURRENT row order
+        (carried ``__ord__`` after sort_values, else index order)."""
         cols = self.columns
         dts = dict(self._df.dtypes)
+        key, keep = self._row_order()
         out = sorder.shifted_multi(
-            self._df.select(IDX, *cols), [IDX], cols, periods
+            self._df.select(*keep, *cols), [key], cols, periods
         )
-        sel = [F.col(IDX)]
+        sel = [F.col(c) for c in keep]
         for c in cols:
             s = F.col(f"__sh_{c}__")
             if fill_value is not None:
@@ -1099,14 +1168,15 @@ def _add_frame_shift_ops() -> None:
     def diff(self, periods: int = 1) -> SparkFrame:
         """pandas df.diff: numeric columns minus their shift, one context
         pass for all columns (non-numeric columns are dropped, as pandas
-        raises on them)."""
+        raises on them), in the frame's CURRENT row order."""
         num_types = {"tinyint", "smallint", "int", "bigint", "float", "double"}
         dts = dict(self._df.dtypes)
         cols = [c for c in self.columns if dts[c] in num_types]
+        key, keep = self._row_order()
         out = sorder.shifted_multi(
-            self._df.select(IDX, *cols), [IDX], cols, periods
+            self._df.select(*keep, *cols), [key], cols, periods
         )
-        sel = [F.col(IDX)] + [
+        sel = [F.col(c) for c in keep] + [
             (F.col(c) - F.col(f"__sh_{c}__")).alias(c) for c in cols
         ]
         return SparkFrame(out.select(*sel))

@@ -417,7 +417,7 @@ def pq_codebooks(v: DataFrame, dim: int, m: int = 8, ksub: int = 16) -> DataFram
         .groupBy("nid", "s")
         .agg(F.min(F.struct("d2", "code"))["code"].alias("code"), F.any_value("sub").alias("sub"))
     )
-    return (
+    lloyd = (
         assigned.select("s", "code", F.posexplode("sub").alias("pos", "x"))
         .groupBy("s", "code", "pos")
         .agg(F.avg("x").alias("mx"))
@@ -425,8 +425,17 @@ def pq_codebooks(v: DataFrame, dim: int, m: int = 8, ksub: int = 16) -> DataFram
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda r: r.mx
-            ).alias("cvec")
+            ).alias("mvec")
         )
+    )
+    return (
+        # `seeds` IS the full (s, code) grid (ksub seed ids x m subspaces):
+        # a code that attracted zero vectors in the Lloyd step (possible
+        # when two seed subvectors tie — min(struct) assigns both to the
+        # lower code) keeps its seed vector, so downstream positional
+        # element_at LUT/code lookups never misalign on a dropped row
+        seeds.join(lloyd, ["s", "code"], "left")
+        .select("s", "code", F.coalesce("mvec", "cvec").alias("cvec"))
         # m*ksub rows; collapse the seed+assign lineage (2 corpus passes)
         # before the codes pass and the per-query LUT both consume it
         .localCheckpoint(eager=True)

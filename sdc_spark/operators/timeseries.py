@@ -90,9 +90,10 @@ def bucket_expr(ts: Column, rule: str) -> Column:
         return F.date_trunc(_TRUNC_UNIT[unit], ts)
     step_us = mult * _UNIT_SECONDS[unit] * 1_000_000
     us = F.unix_micros(ts.cast("timestamp"))
-    # integer floor toward -inf: epoch times here are >= 0 so plain
-    # floor-div is exact; keep it integral (no double rounding at 2^53)
-    return F.timestamp_micros((us - us % F.lit(step_us)).cast("long"))
+    # integer floor toward -inf via pmod (Spark's % truncates toward zero,
+    # which would round PRE-1970 timestamps to the wrong, later bucket);
+    # stays integral end-to-end (no double rounding at 2^53)
+    return F.timestamp_micros((us - F.pmod(us, F.lit(step_us))).cast("long"))
 
 
 _SIMPLE_AGGS = {

@@ -3,6 +3,7 @@
 import sdc_spark.plans.coverage2  # noqa: F401
 import sdc_spark.plans.curation2  # noqa: F401
 import sdc_spark.plans.extended  # noqa: F401
+import sdc_spark.plans.frame_expr  # noqa: F401
 import sdc_spark.plans.graph_q  # noqa: F401
 import sdc_spark.plans.groupby  # noqa: F401
 import sdc_spark.plans.joins  # noqa: F401

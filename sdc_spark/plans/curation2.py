@@ -204,8 +204,11 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias(f"{c}__rows"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__distinct"),
-            F.round(F.min(c), 4).alias(f"{c}__min"),
-            F.round(F.max(c), 4).alias(f"{c}__max"),
+            # fixed-point (1e-4) LONGs: min/max travel the comparison as
+            # integers so no float-rounding/format divergence can flake
+            # the oracle hash (values here are prices/rates, <=2 decimals)
+            F.round(F.min(c) * 10000).cast("long").alias(f"{c}__min"),
+            F.round(F.max(c) * 10000).cast("long").alias(f"{c}__max"),
         ]
     row = li.agg(*aggs)
     # unpivot the single aggregate row via explode-of-structs: unionAll of
@@ -217,8 +220,8 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"{c}__rows").alias("n_rows"),
             F.col(f"{c}__nulls").alias("n_nulls"),
             F.col(f"{c}__distinct").alias("n_distinct"),
-            F.col(f"{c}__min").cast("double").alias("min_val"),
-            F.col(f"{c}__max").cast("double").alias("max_val"),
+            F.col(f"{c}__min").alias("min_val_e4"),
+            F.col(f"{c}__max").alias("max_val_e4"),
         )
         for c in cols
     ]
@@ -236,21 +239,24 @@ oracle(
         SELECT count(*) AS rows_,
                sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qn,
                count(DISTINCT l_quantity) AS qd,
-               round(min(l_quantity), 4) AS qmin, round(max(l_quantity), 4) AS qmax,
+               CAST(round(min(l_quantity) * 10000) AS BIGINT) AS qmin,
+               CAST(round(max(l_quantity) * 10000) AS BIGINT) AS qmax,
                sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS en,
                count(DISTINCT l_extendedprice) AS ed,
-               round(min(l_extendedprice), 4) AS emin,
-               round(max(l_extendedprice), 4) AS emax,
+               CAST(round(min(l_extendedprice) * 10000) AS BIGINT) AS emin,
+               CAST(round(max(l_extendedprice) * 10000) AS BIGINT) AS emax,
                sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS dn,
                count(DISTINCT l_discount) AS dd,
-               round(min(l_discount), 4) AS dmin, round(max(l_discount), 4) AS dmax,
+               CAST(round(min(l_discount) * 10000) AS BIGINT) AS dmin,
+               CAST(round(max(l_discount) * 10000) AS BIGINT) AS dmax,
                sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS tn,
                count(DISTINCT l_tax) AS td,
-               round(min(l_tax), 4) AS tmin, round(max(l_tax), 4) AS tmax
+               CAST(round(min(l_tax) * 10000) AS BIGINT) AS tmin,
+               CAST(round(max(l_tax) * 10000) AS BIGINT) AS tmax
         FROM lineitem
     )
     SELECT 'l_discount' AS "column", rows_ AS n_rows, dn AS n_nulls,
-           dd AS n_distinct, dmin AS min_val, dmax AS max_val FROM agg
+           dd AS n_distinct, dmin AS min_val_e4, dmax AS max_val_e4 FROM agg
     UNION ALL
     SELECT 'l_extendedprice', rows_, en, ed, emin, emax FROM agg
     UNION ALL

@@ -1484,3 +1484,85 @@ def test_frame_cumsum_nullable_int(spark):
     exp = pdf["n"].cumsum()
     assert got.isna().tolist() == exp.isna().tolist()
     assert got.dropna().astype(int).tolist() == exp.dropna().astype(int).tolist()
+
+
+def test_scans_honor_sorted_row_order(spark):
+    """sort_values(...).cumsum()/shift()/diff()/ffill() must compute in the
+    SORTED row order, exactly as pandas does (not the pre-sort index
+    order)."""
+    pdf = pd.DataFrame(
+        {
+            "a": [5.0, 1.0, float("nan"), 3.0, 2.0, 4.0],
+            "b": [10, 60, 20, 50, 30, 40],
+        }
+    )
+    sf = from_pandas(spark, pdf)
+    srt = sf.sort_values("a")
+    psrt = pdf.sort_values("a")
+    for m in ("cumsum", "cummax", "cummin"):
+        got = getattr(srt, m)().to_pandas()
+        exp = getattr(psrt, m)()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    pd.testing.assert_frame_equal(
+        srt.shift(1).to_pandas(), psrt.shift(1), check_dtype=False
+    )
+    pd.testing.assert_frame_equal(
+        srt.diff(1).to_pandas(), psrt.diff(1), check_dtype=False
+    )
+    pd.testing.assert_frame_equal(
+        srt.ffill().to_pandas(), psrt.ffill(), check_dtype=False
+    )
+    pd.testing.assert_frame_equal(
+        srt.pct_change().to_pandas(), psrt.pct_change(), check_dtype=False
+    )
+
+
+def test_take_request_order_duplicates_negatives(spark):
+    pdf = pd.DataFrame({"a": [10.0, 11.0, 12.0, 13.0, 14.0]})
+    sf = from_pandas(spark, pdf)
+    # requested order preserved (not frame order), duplicates preserved
+    got = sf.take([3, 0, 3, 1]).to_pandas()
+    exp = pdf.take([3, 0, 3, 1])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # negatives resolve against len(self)
+    got_n = sf.take([-1, -5, 2]).to_pandas()
+    exp_n = pdf.take([-1, -5, 2])
+    pd.testing.assert_frame_equal(got_n, exp_n, check_dtype=False)
+    # out-of-bounds raises eagerly, like pandas
+    with pytest.raises(IndexError):
+        sf.take([0, 99])
+    with pytest.raises(IndexError):
+        sf.take([-6])
+
+
+def test_query_eval_quote_safety(spark):
+    pdf = pd.DataFrame(
+        {"a": [1, 2, 3, 4], "s": ["A&B", "C|D", "x", "A&B"]}
+    )
+    sf = from_pandas(spark, pdf)
+    # string literal containing & / | must pass through intact
+    got = sf.query("s == 'A&B'").to_pandas()
+    exp = pdf.query("s == 'A&B'")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    got2 = sf.query("(s == 'C|D') | (a == 1)").to_pandas()
+    exp2 = pdf.query("(s == 'C|D') | (a == 1)")
+    pd.testing.assert_frame_equal(got2, exp2, check_dtype=False)
+    # python in-list becomes a SQL tuple
+    got3 = sf.query("a in [2, 4]").to_pandas()
+    exp3 = pdf.query("a in [2, 4]")
+    pd.testing.assert_frame_equal(got3, exp3, check_dtype=False)
+    # @variable interpolation rejected with a clear error
+    with pytest.raises(ValueError, match="@variable"):
+        sf.query("a == @x")
+    # eval: split at the assignment '=', not a comparison '=='
+    got4 = sf.eval("flag = a >= 3").to_pandas()
+    exp4 = pdf.eval("flag = a >= 3")
+    pd.testing.assert_frame_equal(
+        got4[["a", "flag"]], exp4[["a", "flag"]], check_dtype=False
+    )
+    # quoted '=' in a literal is not a split point
+    got5 = sf.eval("e = s == 'A&B'").to_pandas()
+    exp5 = pdf.eval("e = s == 'A&B'")
+    pd.testing.assert_frame_equal(
+        got5[["a", "e"]], exp5[["a", "e"]], check_dtype=False
+    )

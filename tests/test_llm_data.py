@@ -286,3 +286,20 @@ def test_incremental_dedup_equals_cross_pairs(spark, sf_dir):
         elif r.doc_b % 5 != 0 and r.doc_a % 5 == 0:
             cross.add((r.doc_b, r.doc_a))
     assert inc == cross
+
+
+def test_pq_codebooks_full_grid_under_degenerate_seeds(spark):
+    """A code with zero assigned vectors after the Lloyd step (forced here
+    by making every vector identical, so ALL subvectors tie and the
+    min(struct) tie-break funnels every assignment to one code) must keep
+    its seed row: positional element_at lookups require the full
+    (m x ksub) grid."""
+    m, ksub, dim = 4, 8, 16
+    rows = [(i, [1.0] * dim) for i in range(64)]
+    v = spark.createDataFrame(rows, "nid long, nvec array<double>")
+    books = ssim.pq_codebooks(v, dim=dim, m=m, ksub=ksub)
+    got = books.groupBy("s").count().collect()
+    assert {r["s"] for r in got} == set(range(m))
+    assert all(r["count"] == ksub for r in got), got
+    codes = {(r.s, r.code) for r in books.select("s", "code").collect()}
+    assert codes == {(s, c) for s in range(m) for c in range(1, ksub + 1)}

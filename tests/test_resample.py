@@ -148,3 +148,25 @@ def test_groupby_resample_matches_pandas(spark):
             got[["g", "ts_b", "v"]], exp[["g", "ts_b", "v"]],
             check_dtype=False, check_names=False,
         )
+
+
+def test_resample_pre_epoch_timestamps(spark):
+    """Multiple-unit rules bucket pre-1970 timestamps to the correct
+    (earlier) boundary: Spark's % truncates toward zero, so the naive
+    `us - us % step` floors negative epochs to the WRONG, later bucket —
+    the operator must floor toward -inf (pmod)."""
+    ts = pd.to_datetime(
+        ["1969-12-31 23:53:00", "1969-12-31 23:59:59", "1969-06-15 07:08:09",
+         "1970-01-01 00:07:30", "1968-02-29 12:00:01"]
+    )
+    pdf = pd.DataFrame({"ts": ts, "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    sf = from_pandas(spark, pdf)
+    got = sf.resample("15min", on="ts").sum()
+    exp = pdf.resample("15min", on="ts")["v"].sum()
+    g = got.to_pandas().sort_index()
+    g.index = pd.to_datetime(g.index)
+    # compare only non-empty buckets (dense axis spans 1968->1970 here;
+    # pandas emits the same dense axis, so align on the joined index)
+    e = exp[exp != 0]
+    gg = g["v"][g["v"] != 0]
+    pd.testing.assert_series_equal(gg, e, check_names=False, check_dtype=False, check_freq=False)
