@@ -15,3 +15,7 @@ from sdc_spark.frame.core import (  # noqa: F401
     read_parquet,
 )
 from sdc_spark.frame.series import SparkSeries  # noqa: F401
+from sdc_spark.functions.conversion import (  # noqa: F401
+    to_datetime,
+    to_numeric,
+)

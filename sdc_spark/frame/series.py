@@ -364,7 +364,34 @@ class SparkSeries:
         n = F.count(VAL)
         return self._reduce(F.skewness(VAL) * F.sqrt(n * (n - 1)) / (n - 2))
 
-    def corr(self, other: SparkSeries):
+    def corr(self, other: SparkSeries, method: str = "pearson"):
+        """pandas Series.corr (ref …series_functions.py corr): pearson via
+        the JVM corr aggregate; spearman as pearson over average ranks
+        (pandas' tie rule) — both null-pair-skipping, one join + one
+        aggregate, no driver-side alignment."""
+        if method == "spearman":
+            # rank over the NON-NULL pairs only (pandas drops the pair
+            # first, then ranks) — a null on either side excludes the row.
+            # Ranks ride the DISTRIBUTED rank machinery (with_position +
+            # per-value aggregate), not a global window.
+            j = self._df.select(IDX, F.col(VAL).alias("__l__")).join(
+                other._df.select(IDX, F.col(VAL).alias("__r__")), IDX, "inner"
+            ).filter(
+                sexpr.notna(F.col("__l__"), self._floating)
+                & sexpr.notna(F.col("__r__"), other._floating)
+            )
+            left = SparkSeries(j.select(IDX, F.col("__l__").alias(VAL)))
+            right = SparkSeries(j.select(IDX, F.col("__r__").alias(VAL)))
+            jj = (
+                left.rank()._df.select(IDX, F.col(VAL).alias("__rl__"))
+                .join(
+                    right.rank()._df.select(IDX, F.col(VAL).alias("__rr__")),
+                    IDX,
+                )
+            )
+            return jj.agg(F.corr("__rl__", "__rr__").alias("r")).collect()[0]["r"]
+        if method != "pearson":
+            raise ValueError(f"unsupported corr method {method!r}")
         j = self._df.select(IDX, F.col(VAL).alias("__l__")).join(
             other._df.select(IDX, F.col(VAL).alias("__r__")), IDX, "inner"
         )

@@ -19,6 +19,21 @@ from sdc_spark.plans.registry import oracle, query
 from sdc_spark.sources.readers import read_table
 
 
+def _uniq_lineitem(li, *cols):
+    """lineitem restricted to rows whose (orderkey, linenumber)-derived uid
+    appears EXACTLY once: the synthetic generator emits duplicate keys, so
+    any per-row uid join or uid-tie-broken scan must run on the unique
+    subset to stay deterministic (one hash-partitioned window count — no
+    global window)."""
+    from pyspark.sql import Window as W
+
+    uid = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
+    base = li.select(uid.alias("uid"), *cols)
+    n = F.count(F.lit(1)).over(W.partitionBy("uid"))
+    return base.withColumn("__n__", n).filter(F.col("__n__") == 1).drop("__n__")
+
+
+
 @query("frame_query_eval")
 def frame_query_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """df.query + df.eval from expression strings (ref: the reference has
@@ -111,13 +126,12 @@ def frame_sorted_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     One range partition + one P-row offsets broadcast for the whole frame
     (operators/order.scan_multi)."""
     li = read_table(spark, sf_dir, "lineitem")
-    uid = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
+    base = _uniq_lineitem(
+        li, "l_extendedprice", F.col("l_quantity").cast("long").alias("qty")
+    )
     sf = SparkFrame(
-        li.select(
-            uid.alias(IDX),
-            uid.alias("uid"),
-            "l_extendedprice",
-            F.col("l_quantity").cast("long").alias("qty"),
+        base.select(
+            F.col("uid").alias(IDX), "uid", "l_extendedprice", "qty"
         )
     )
     out = sf.sort_values(["l_extendedprice", "uid"]).cumsum()
@@ -129,14 +143,119 @@ def frame_sorted_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 oracle(
     "frame_sorted_cumsum",
     """
-    SELECT l_orderkey * 10 + l_linenumber AS uid,
+    WITH uniq AS (
+        SELECT l_orderkey * 10 + l_linenumber AS uid,
+               l_extendedprice, l_quantity
+        FROM lineitem
+        QUALIFY count(*) OVER (PARTITION BY l_orderkey * 10 + l_linenumber) = 1
+    )
+    SELECT uid,
            CASE WHEN l_quantity IS NULL THEN NULL ELSE
                CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
-                   ORDER BY l_extendedprice NULLS LAST,
-                            l_orderkey * 10 + l_linenumber
+                   ORDER BY l_extendedprice NULLS LAST, uid
                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
            END AS run_qty
-    FROM lineitem
+    FROM uniq
+    ORDER BY uid
+    """,
+)
+
+
+@query("agg_corr_spearman")
+def agg_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """series.corr(method='spearman'): pearson over average ranks, both
+    ranks computed with the distributed rank machinery (with_position +
+    per-value aggregate — two hash shuffles per side, no global window).
+    Scalar result re-wrapped as fixed-point (1e-6) so the oracle compare
+    is integer-exact."""
+    from sdc_spark.frame.series import VAL, SparkSeries
+
+    li = read_table(spark, sf_dir, "lineitem")
+    base = _uniq_lineitem(li, "l_quantity", "l_extendedprice").select(
+        F.col("uid").alias(IDX), "l_quantity", "l_extendedprice"
+    )
+    x = SparkSeries(base.select(IDX, F.col("l_quantity").alias(VAL)))
+    y = SparkSeries(base.select(IDX, F.col("l_extendedprice").alias(VAL)))
+    rho = x.corr(y, method="spearman")
+    return spark.createDataFrame(
+        [(int(round(rho * 1_000_000)),)], "rho_e6 bigint"
+    )
+
+
+oracle(
+    "agg_corr_spearman",
+    """
+    WITH uniq AS (
+        SELECT l_orderkey * 10 + l_linenumber AS uid,
+               l_quantity, l_extendedprice
+        FROM lineitem
+        QUALIFY count(*) OVER (PARTITION BY l_orderkey * 10 + l_linenumber) = 1
+    ), pairs AS (
+        SELECT l_quantity AS a, l_extendedprice AS b, uid
+        FROM uniq
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ), rn AS (
+        SELECT a, b,
+               row_number() OVER (ORDER BY a, uid) AS ra,
+               row_number() OVER (ORDER BY b, uid) AS rb
+        FROM pairs
+    ), avg_ranks AS (
+        SELECT avg(ra) OVER (PARTITION BY a) AS ra,
+               avg(rb) OVER (PARTITION BY b) AS rb
+        FROM rn
+    )
+    SELECT CAST(round(corr(ra, rb) * 1000000) AS BIGINT) AS rho_e6
+    FROM avg_ranks
+    """,
+)
+
+
+@query("series_conversions")
+def series_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.to_datetime / pd.to_numeric round-trip (ref cites both as the
+    astype siblings, …series_functions.py:1855-1868): ship dates formatted
+    to dd/MM/yyyy strings then parsed back with a strftime format;
+    quantities stringified then re-parsed. try_to_timestamp / try_cast —
+    codegen casts, zero Python in the row path."""
+    from sdc_spark.frame.series import VAL, SparkSeries
+    from sdc_spark.functions.conversion import to_datetime, to_numeric
+
+    li = read_table(spark, sf_dir, "lineitem")
+    base = _uniq_lineitem(
+        li,
+        F.date_format("l_shipdate", "dd/MM/yyyy HH:mm:ss").alias("dstr"),
+        F.col("l_quantity").cast("string").alias("qstr"),
+    ).withColumnRenamed("uid", IDX)
+    d = to_datetime(
+        SparkSeries(base.select(IDX, F.col("dstr").alias(VAL))),
+        format="%d/%m/%Y %H:%M:%S",
+    )
+    n = to_numeric(
+        SparkSeries(base.select(IDX, F.col("qstr").alias(VAL))),
+        errors="coerce",
+    )
+    return (
+        d._df.select(IDX, F.col(VAL).alias("ship_ts"))
+        .join(n._df.select(IDX, F.col(VAL).alias("qty")), IDX)
+        .select(F.col(IDX).alias("uid"), "ship_ts", "qty")
+        .orderBy("uid")
+    )
+
+
+oracle(
+    "series_conversions",
+    """
+    WITH uniq AS (
+        SELECT l_orderkey * 10 + l_linenumber AS uid,
+               l_shipdate, l_quantity
+        FROM lineitem
+        QUALIFY count(*) OVER (PARTITION BY l_orderkey * 10 + l_linenumber) = 1
+    )
+    SELECT uid,
+           strptime(strftime(l_shipdate, '%d/%m/%Y %H:%M:%S'),
+                    '%d/%m/%Y %H:%M:%S') AS ship_ts,
+           CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty
+    FROM uniq
     ORDER BY uid
     """,
 )

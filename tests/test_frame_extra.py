@@ -1566,3 +1566,53 @@ def test_query_eval_quote_safety(spark):
     pd.testing.assert_frame_equal(
         got5[["a", "e"]], exp5[["a", "e"]], check_dtype=False
     )
+
+
+def test_to_numeric_to_datetime(spark):
+    from sdc_spark.frame import to_datetime, to_numeric
+
+    pdf = pd.DataFrame(
+        {
+            "d": ["02/01/2024 10:30:00", "15/03/2024 23:59:59", None],
+            "iso": ["2024-01-02 10:30:00", "2024-03-15 23:59:59", None],
+            "n": ["1.5", "abc", None],
+            "i": ["7", "42", None],
+        }
+    )
+    sf = from_pandas(spark, pdf)
+    got = to_datetime(sf["d"], format="%d/%m/%Y %H:%M:%S").to_pandas()
+    exp = pd.to_datetime(pdf["d"], format="%d/%m/%Y %H:%M:%S")
+    pd.testing.assert_series_equal(got, exp, check_names=False)
+    # default (no format) parses ISO-ish strings
+    got_iso = to_datetime(sf["iso"]).to_pandas()
+    pd.testing.assert_series_equal(
+        got_iso, pd.to_datetime(pdf["iso"]), check_names=False
+    )
+    # coerce nulls the unparseable cell; raise raises like pandas
+    got_n = to_numeric(sf["n"], errors="coerce").to_pandas()
+    exp_n = pd.to_numeric(pdf["n"], errors="coerce")
+    pd.testing.assert_series_equal(got_n, exp_n, check_names=False)
+    with pytest.raises(ValueError, match="abc"):
+        to_numeric(sf["n"], errors="raise")
+    with pytest.raises(ValueError):
+        to_datetime(sf["n"], format="%d/%m/%Y", errors="raise")
+    got_i = to_numeric(sf["i"], downcast="integer").to_pandas()
+    assert got_i.dropna().tolist() == [7, 42]
+
+
+def test_series_corr_spearman(spark):
+    """Spearman == pearson over average ranks of the pair-dropped subset
+    (pandas' rule; expected value built from pandas ranks since scipy is
+    absent here)."""
+    rng = np.random.RandomState(5)
+    p = pd.DataFrame(
+        {"x": rng.randn(200).round(1), "y": rng.randn(200).round(1)}
+    )
+    p.loc[p.sample(20, random_state=1).index, "x"] = np.nan
+    s = from_pandas(spark, p)
+    pairs = p.dropna()
+    exp = pairs["x"].rank().corr(pairs["y"].rank())
+    got = s["x"].corr(s["y"], method="spearman")
+    assert got == pytest.approx(exp, abs=1e-12)
+    with pytest.raises(ValueError):
+        s["x"].corr(s["y"], method="kendall")
