@@ -97,7 +97,7 @@ class FrameGroupBy:
     def var(self):
         return self._agg("var")
 
-    def _per_row(self, expr_fn):
+    def _per_row(self, expr_fn, cols: list[str] | None = None):
         """Per-row (non-aggregating) group op: window partitioned by the
         group keys, ordered by __index__ — natively scalable, no global
         machinery needed."""
@@ -106,11 +106,16 @@ class FrameGroupBy:
         from sdc_spark.frame.core import SparkFrame
 
         w = W.partitionBy(*self._keys).orderBy(IDX)
-        cols = self._value_cols()
+        cols = self._value_cols() if cols is None else cols
         out = self._frame._df.select(
             IDX, *self._keys, *[expr_fn(c, w).alias(c) for c in cols]
         )
         return SparkFrame(out)
+
+    def _numeric_value_cols(self) -> list[str]:
+        num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        dts = dict(self._frame._df.dtypes)
+        return [c for c in self._value_cols() if dts[c] in num]
 
     def cumcount(self):
         """groupby().cumcount() — 0-based position of each row within its
