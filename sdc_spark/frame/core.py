@@ -440,10 +440,6 @@ class SparkFrame:
         keep = [c for c in self.columns if c != col]
         return SparkFrame(self._df.select(F.col(col).alias(IDX), *keep))
 
-    def sort_index(self, ascending: bool = True) -> SparkFrame:
-        key = F.col(IDX).asc_nulls_last() if ascending else F.col(IDX).desc_nulls_last()
-        return SparkFrame(self._df.orderBy(key))
-
     # -- label/positional access (ref iloc/loc accessors,
     # …dataframe_functions.py:2216-2502) -----------------------------------
 

@@ -411,12 +411,6 @@ class SparkSeries:
             name=self.name,
         )
 
-    def autocorr(self, lag: int = 1):
-        """pandas Series.autocorr: Pearson correlation with the lag-shifted
-        self. Rides the distributed shift (scan machinery) + the corr
-        aggregate — no driver-side alignment."""
-        return self.corr(self.shift(lag))
-
     def idxmax(self):
         return self._reduce(F.max_by(IDX, VAL))
 

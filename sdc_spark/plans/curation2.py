@@ -204,11 +204,18 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias(f"{c}__rows"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__distinct"),
-            # fixed-point (1e-4) LONGs: min/max travel the comparison as
-            # integers so no float-rounding/format divergence can flake
-            # the oracle hash (values here are prices/rates, <=2 decimals)
-            F.round(F.min(c) * 10000).cast("long").alias(f"{c}__min"),
-            F.round(F.max(c) * 10000).cast("long").alias(f"{c}__max"),
+            # fixed-point (1e-4) LONGs computed BEFORE the aggregate:
+            # floor(x*1e4 + 0.5) is a pure IEEE-double op sequence, bitwise
+            # identical in Spark and DuckDB, so both engines aggregate the
+            # SAME integers and no engine-specific round()/cast-rounding
+            # (Spark truncates double->long, DuckDB rounds) can flake the
+            # oracle hash (values here are prices/rates, <=2 decimals, >0)
+            F.min(F.floor(F.col(c) * 10000 + F.lit(0.5)).cast("long")).alias(
+                f"{c}__min"
+            ),
+            F.max(F.floor(F.col(c) * 10000 + F.lit(0.5)).cast("long")).alias(
+                f"{c}__max"
+            ),
         ]
     row = li.agg(*aggs)
     # unpivot the single aggregate row via explode-of-structs: unionAll of
@@ -236,23 +243,27 @@ oracle(
     "stats_profile",
     """
     WITH agg AS (
-        SELECT count(*) AS rows_,
-               sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qn,
-               count(DISTINCT l_quantity) AS qd,
-               CAST(round(min(l_quantity) * 10000) AS BIGINT) AS qmin,
-               CAST(round(max(l_quantity) * 10000) AS BIGINT) AS qmax,
-               sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS en,
-               count(DISTINCT l_extendedprice) AS ed,
-               CAST(round(min(l_extendedprice) * 10000) AS BIGINT) AS emin,
-               CAST(round(max(l_extendedprice) * 10000) AS BIGINT) AS emax,
-               sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS dn,
-               count(DISTINCT l_discount) AS dd,
-               CAST(round(min(l_discount) * 10000) AS BIGINT) AS dmin,
-               CAST(round(max(l_discount) * 10000) AS BIGINT) AS dmax,
-               sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS tn,
-               count(DISTINCT l_tax) AS td,
-               CAST(round(min(l_tax) * 10000) AS BIGINT) AS tmin,
-               CAST(round(max(l_tax) * 10000) AS BIGINT) AS tmax
+        -- integer-only comparison surface: floor(x*1e4 + 0.5) pre-agg
+        -- mirrors the Spark side bit-for-bit (IEEE double mul/add/floor),
+        -- and every aggregate is CAST to BIGINT so no HUGEINT/DECIMAL
+        -- reaches the driver's hasher
+        SELECT CAST(count(*) AS BIGINT) AS rows_,
+               CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qn,
+               CAST(count(DISTINCT l_quantity) AS BIGINT) AS qd,
+               min(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS qmin,
+               max(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS qmax,
+               CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS en,
+               CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS ed,
+               min(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS emin,
+               max(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS emax,
+               CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dn,
+               CAST(count(DISTINCT l_discount) AS BIGINT) AS dd,
+               min(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS dmin,
+               max(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS dmax,
+               CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+               CAST(count(DISTINCT l_tax) AS BIGINT) AS td,
+               min(CAST(floor(l_tax * 10000 + 0.5) AS BIGINT)) AS tmin,
+               max(CAST(floor(l_tax * 10000 + 0.5) AS BIGINT)) AS tmax
         FROM lineitem
     )
     SELECT 'l_discount' AS "column", rows_ AS n_rows, dn AS n_nulls,
