@@ -245,10 +245,19 @@ class SparkFrame:
         data."""
         from sdc_spark.operators import order as sorder
 
+        from sdc_spark.materialize import materialize as _mat
+
         idx = [int(i) for i in indices]
         if any(i < 0 for i in idx):
+            # the count() needed to resolve negatives also validates every
+            # position in Python — no second Spark job
             n = self._df.count()
             idx = [i + n if i < 0 else i for i in idx]
+            if any(i < 0 or i >= n for i in idx):
+                raise IndexError("take(): indices are out-of-bounds")
+            validate = False
+        else:
+            validate = True
         key = "__ord__" if "__ord__" in self._df.columns else IDX
         pos = sorder.with_position(self._df, [key], "__pos__")
         spark = self._df.sparkSession
@@ -256,11 +265,15 @@ class SparkFrame:
             list(enumerate(idx)), schema="__rk__ long, __pos__ long"
         )
         hit = pos.join(F.broadcast(req), "__pos__")
-        # pandas raises on any position outside [0, n): validate eagerly
-        # (positions are unique per row, so distinct-hit count is enough)
-        matched = hit.select(F.countDistinct("__pos__")).first()[0]
-        if matched != len(set(idx)):
-            raise IndexError("take(): indices are out-of-bounds")
+        if validate:
+            # pandas raises on any position outside [0, n): validate
+            # eagerly (positions are unique per row, so distinct-hit count
+            # is enough) — on a MATERIALIZED hit, so the gather below
+            # reuses the computed join instead of re-running the lineage
+            hit = _mat(hit)
+            matched = hit.select(F.countDistinct("__pos__")).first()[0]
+            if matched != len(set(idx)):
+                raise IndexError("take(): indices are out-of-bounds")
         return SparkFrame(
             hit.select(F.col(IDX), F.col("__rk__").alias("__ord__"), *self.columns)
         )
@@ -544,6 +557,7 @@ class SparkFrame:
         is rejected — inline the value into the string."""
         out: list[str] = []
         quote: str | None = None
+        escaped = False  # previous char (inside quotes) was a backslash
         cur = ""  # identifier being scanned
         last = ""  # last COMPLETED word (survives spaces: `in [` detection)
         in_list_stack: list[bool] = []
@@ -557,7 +571,11 @@ class SparkFrame:
         for ch in expr:
             if quote is not None:
                 out.append(ch)
-                if ch == quote:
+                if escaped:
+                    escaped = False  # e.g. \' inside '...' does not close it
+                elif ch == "\\":
+                    escaped = True
+                elif ch == quote:
                     quote = None
                 continue
             if ch.isalnum() or ch == "_":
@@ -615,9 +633,14 @@ class SparkFrame:
         RHS expressions survive intact."""
         pos = None
         quote = None
+        escaped = False
         for i, ch in enumerate(expr):
             if quote is not None:
-                if ch == quote:
+                if escaped:
+                    escaped = False
+                elif ch == "\\":
+                    escaped = True
+                elif ch == quote:
                     quote = None
                 continue
             if ch in ("'", '"', "`"):

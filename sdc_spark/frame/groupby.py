@@ -208,7 +208,11 @@ class FrameGroupBy:
             )
         )
 
-    def cumsum(self):
+    def cumsum(self, numeric_only: bool = False):
+        """groupby().cumsum(). ``numeric_only=True`` restricts to numeric
+        value columns (pandas raises NotImplementedError on object
+        columns with the default False — so does the summing window
+        here, at execution)."""
         from pyspark.sql import Window as W
 
         floats = {c for c, t in self._frame._df.dtypes if t in ("double", "float")}
@@ -222,7 +226,8 @@ class FrameGroupBy:
                 )
             return run
 
-        return self._per_row(fn)
+        cols = self._numeric_value_cols() if numeric_only else None
+        return self._per_row(fn, cols=cols)
 
     def resample(self, rule: str, on: str):
         """df.groupby(keys).resample(rule, on=ts) — per-group time-bucket

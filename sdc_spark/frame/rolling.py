@@ -416,11 +416,20 @@ class GroupExpanding(GroupRolling):
 
 class GroupEwm:
     """df.groupby(keys).ewm(...) — per-group exponentially-weighted
-    kernels. Groups are the partitioning key, so no decay-scan
-    decomposition is needed: one hash shuffle, then pandas' own ewm runs
-    Arrow-batched inside each group (the same group-fits-in-memory
-    contract as gb.apply). Output shape matches the other group windows:
-    (__index__, keys, numeric columns)."""
+    kernels on the GROUPED segmented decay scan
+    (operators/order.py scan_ewm_grouped): range-partition by
+    (keys, __index__) so a skewed mega-group SPLITS across partitions
+    (no per-group memory bound — the round-5 hash-one-group-per-batch
+    path OOMed an executor on a dominant key at scale), per-partition
+    cython groupby-ewm for partition-local groups, and a P-row carry
+    composition for the at-most-one group straddling each boundary.
+    Output shape matches the other group windows:
+    (__index__, keys, numeric columns).
+
+    alpha == 1 (memoryless, q = 0) degenerates: mean is a per-group
+    forward-fill of the last valid value (one window pass, hash-partitioned
+    by group), var/std are all-null (pandas returns NaN — zero effective
+    history)."""
 
     def __init__(self, frame, keys, alpha: float, min_periods: int = 0):
         self._frame = frame
@@ -430,42 +439,40 @@ class GroupEwm:
 
     def _stat(self, name: str):
         from sdc_spark.frame.core import SparkFrame
+        from sdc_spark.operators import order as sorder
 
         cols = [c for c in self._frame._numeric_cols() if c not in self._keys]
-        keys, alpha, minp = self._keys, self._alpha, self._minp
+        keys, minp = self._keys, self._minp
         src = self._frame._df.select(IDX, *keys, *cols)
-        fields = {f.name: f.dataType.simpleString() for f in src.schema.fields}
-        schema = ", ".join(
-            [f"`{IDX}` {fields[IDX]}"]
-            + [f"`{k}` {fields[k]}" for k in keys]
-            + [f"`{c}` double" for c in cols]
+        if self._alpha == 1.0:
+            return self._memoryless(src, cols, name)
+        out = sorder.scan_ewm_grouped(
+            src, keys, [IDX], cols, self._alpha, name, min_periods=minp
         )
+        return SparkFrame(out.select(IDX, *keys, *cols))
 
-        def _per_partition(it):
-            # One cython groupby-ewm call per PARTITION, not per group:
-            # with millions of tiny groups the per-group Python dispatch of
-            # applyInPandas dominates (observed 3.7s -> per-partition form
-            # amortizes it). Arrow batches of one partition are
-            # concatenated first — a group must never straddle batches.
-            parts = list(it)
-            if not parts:
-                return
-            pdf = pd.concat(parts, ignore_index=True)
-            pdf = pdf.sort_values([*keys, IDX], kind="mergesort")
-            res = getattr(
-                pdf.groupby(keys, sort=False)[cols].ewm(alpha=alpha, min_periods=minp),
-                name,
-            )()
-            out = pdf[[IDX, *keys]].copy()
-            for c in cols:
-                out[c] = res[c].to_numpy()
-            yield out
+    def _memoryless(self, src, cols, name: str):
+        """alpha == 1: weight is entirely on the last valid observation."""
+        from sdc_spark.frame.core import SparkFrame
 
-        return SparkFrame(
-            src.repartition(*[F.col(k) for k in keys]).mapInPandas(
-                _per_partition, schema
-            )
+        cond = F.lit(True)
+        for k in self._keys:
+            cond = cond & F.col(k).isNotNull()
+        w = (
+            W.partitionBy(*self._keys)
+            .orderBy(IDX)
+            .rowsBetween(W.unboundedPreceding, 0)
         )
+        minp = max(self._minp, 1)
+        sel = [F.col(IDX), *[F.col(k) for k in self._keys]]
+        for c in cols:
+            if name == "mean":
+                v = F.last(F.col(c), ignorenulls=True).over(w)
+                nvalid = F.count(F.col(c)).over(w)
+                sel.append(F.when(nvalid >= minp, v).alias(c))
+            else:  # var/std of a single-weight window: NaN (pandas)
+                sel.append(F.lit(None).cast("double").alias(c))
+        return SparkFrame(src.filter(cond).select(*sel))
 
     def mean(self):
         return self._stat("mean")

@@ -372,24 +372,42 @@ class SparkSeries:
         if method == "spearman":
             # rank over the NON-NULL pairs only (pandas drops the pair
             # first, then ranks) — a null on either side excludes the row.
-            # Ranks ride the DISTRIBUTED rank machinery (with_position +
-            # per-value aggregate), not a global window.
+            # Average rank of value v is a pure function of the VALUE
+            # histogram: rank(v) = #smaller + (#ties + 1)/2. So instead of
+            # two row-level position passes + an IDX re-join, each side is
+            # one map-side-combined groupBy(value) count, a prefix scan
+            # over the (much smaller) distinct-value table, and a join of
+            # the per-value rank back onto the pair set — AQE broadcasts
+            # it when small; at 100 TB continuous keys it degrades to a
+            # shuffled join on the same key. The pair set is materialized
+            # ONCE and feeds both sides and the final corr — zero
+            # re-execution of the upstream join/scan.
+            from sdc_spark.materialize import materialize as _mat
+
             j = self._df.select(IDX, F.col(VAL).alias("__l__")).join(
                 other._df.select(IDX, F.col(VAL).alias("__r__")), IDX, "inner"
             ).filter(
                 sexpr.notna(F.col("__l__"), self._floating)
                 & sexpr.notna(F.col("__r__"), other._floating)
             )
-            left = SparkSeries(j.select(IDX, F.col("__l__").alias(VAL)))
-            right = SparkSeries(j.select(IDX, F.col("__r__").alias(VAL)))
-            jj = (
-                left.rank()._df.select(IDX, F.col(VAL).alias("__rl__"))
-                .join(
-                    right.rank()._df.select(IDX, F.col(VAL).alias("__rr__")),
-                    IDX,
+            j = _mat(j.select("__l__", "__r__"))
+
+            def _val_ranks(col: str, out: str):
+                cnts = j.groupBy(col).agg(F.count(F.lit(1)).alias("__c__"))
+                cum = sorder.scan_sum(cnts, [col], F.col("__c__"), "__cum__")
+                return cum.select(
+                    col,
+                    (
+                        F.col("__cum__")
+                        - F.col("__c__")
+                        + (F.col("__c__") + 1) / 2.0
+                    ).alias(out),
                 )
+
+            ranked = j.join(_val_ranks("__l__", "__rl__"), "__l__").join(
+                _val_ranks("__r__", "__rr__"), "__r__"
             )
-            return jj.agg(F.corr("__rl__", "__rr__").alias("r")).collect()[0]["r"]
+            return ranked.agg(F.corr("__rl__", "__rr__").alias("r")).collect()[0]["r"]
         if method != "pearson":
             raise ValueError(f"unsupported corr method {method!r}")
         j = self._df.select(IDX, F.col(VAL).alias("__l__")).join(
@@ -760,7 +778,9 @@ class SparkSeries:
             a = float(alpha)
         return SeriesEwm(self, a, min_periods)
 
-    def map(self, arg, dtype: str | None = None) -> SparkSeries:
+    def map(
+        self, arg, dtype: str | None = None, na_action: str | None = None
+    ) -> SparkSeries:
         """dict → literal map lookup (JVM); callable → Arrow pandas UDF
         (ref pandas_series_functions/map.py:38-115).
 
@@ -768,7 +788,13 @@ class SparkSeries:
         None reuses the input column's type — no driver-side probe action
         at expression-build time; pass dtype explicitly for
         type-changing callables (pandas infers from the materialized
-        result, which a lazy engine must not compute eagerly)."""
+        result, which a lazy engine must not compute eagerly).
+
+        ``na_action='ignore'`` propagates nulls without calling the
+        mapper (pandas parity); for the dict form this is a no-op (a
+        null key never matches a map literal)."""
+        if na_action not in (None, "ignore"):
+            raise ValueError(f"na_action must be None or 'ignore', got {na_action!r}")
         if isinstance(arg, dict):
             mapping = F.create_map(*[F.lit(x) for kv in arg.items() for x in kv])
             return self._unary(lambda c: mapping.getItem(c))
@@ -776,11 +802,17 @@ class SparkSeries:
 
         @F.pandas_udf(rt)
         def udf(s: pd.Series) -> pd.Series:
-            return s.map(arg)
+            return s.map(arg, na_action=na_action)
 
         return self._unary(udf, floating=rt in ("double", "float"))
 
-    def apply(self, func, dtype: str | None = None) -> SparkSeries:
+    def apply(self, func, dtype: str | None = None, args: tuple = (), **kwargs) -> SparkSeries:
+        """pandas Series.apply with the reference's ``args=`` passthrough
+        (ref sdc/datatypes/pandas_series_functions/apply.py:38-120):
+        positional ``args`` and ``**kwargs`` are closed over and forwarded
+        to ``func`` per element, Arrow-batched like map."""
+        if args or kwargs:
+            return self.map(lambda v: func(v, *args, **kwargs), dtype)
         return self.map(func, dtype)
 
     def append(self, other: SparkSeries, ignore_index: bool = False) -> SparkSeries:

@@ -16,9 +16,8 @@ from pyspark.sql import functions as F
 
 from sdc_spark.frame.series import IDX, VAL, SparkSeries
 
-# strftime -> Spark (Java) datetime pattern fragments. Literal '%%' first.
+# strftime -> Spark (Java) datetime pattern fragments.
 _STRFTIME_TO_JAVA = [
-    ("%%", "%"),
     ("%Y", "yyyy"),
     ("%y", "yy"),
     ("%m", "MM"),
@@ -38,15 +37,52 @@ _STRFTIME_TO_JAVA = [
 ]
 
 
+_DIRECTIVES = dict(_STRFTIME_TO_JAVA)
+
+
 def strftime_to_java(fmt: str) -> str:
     """Translate a pandas/CPython strftime format to a Spark datetime
-    pattern (the same mapping read_csv's parse_dates path relies on)."""
-    out = fmt
-    for py, java in _STRFTIME_TO_JAVA:
-        out = out.replace(py, java)
-    if "%" in out:
-        raise ValueError(f"unsupported strftime directive in {fmt!r}")
-    return out
+    pattern (the same mapping read_csv's parse_dates path relies on).
+
+    Single left-to-right scan of '%X' pairs — sequential str.replace
+    would turn '%%' into '%' first and then re-substitute the remainder
+    ('%Y%%m' must mean yyyy + literal '%m', not yyyy + month). Literal
+    text containing ASCII letters is emitted Java-quoted ('...', with
+    '' for an embedded quote); punctuation passes through bare."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def _flush() -> None:
+        if not lit:
+            return
+        run = "".join(lit)
+        lit.clear()
+        if any(c.isalpha() for c in run) or "'" in run:
+            out.append("'" + run.replace("'", "''") + "'")
+        else:
+            out.append(run)
+
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch != "%":
+            lit.append(ch)
+            i += 1
+            continue
+        if i + 1 >= len(fmt):
+            raise ValueError(f"trailing '%' in strftime format {fmt!r}")
+        nxt = fmt[i + 1]
+        if nxt == "%":
+            lit.append("%")
+        else:
+            tok = _DIRECTIVES.get("%" + nxt)
+            if tok is None:
+                raise ValueError(f"unsupported strftime directive in {fmt!r}")
+            _flush()
+            out.append(tok)
+        i += 2
+    _flush()
+    return "".join(out)
 
 
 def to_numeric(
@@ -56,13 +92,19 @@ def to_numeric(
 
     ``errors='coerce'`` -> unparseable values become null (``try_cast`` —
     lazy, codegen). ``errors='raise'`` -> one count aggregate over the
-    mismatches raises ValueError eagerly, like pandas. Result dtype is
-    double (pandas' numeric default here), or long with
-    ``downcast='integer'``."""
+    mismatches raises ValueError eagerly, like pandas.
+
+    Dtype: the default is double for ANY parseable input (documented
+    divergence from pandas, which eagerly probes the materialized result
+    and picks int64 when all values are integral — a lazy engine must
+    not run the query to type it). ``downcast='integer'`` applies
+    pandas' lossless rule with ONE scalar aggregate: values are parsed
+    as double first and the column becomes bigint only when every
+    non-null value is exactly integral and in long range — '1.5' stays
+    1.5 in a double column, never silently nulled."""
     if errors not in ("raise", "coerce"):
         raise ValueError(f"unsupported errors={errors!r}")
-    target = "bigint" if downcast == "integer" else "double"
-    cast = F.col(VAL).try_cast(target)
+    cast = F.col(VAL).try_cast("double")
     if errors == "raise":
         bad = (
             s._df.filter(F.col(VAL).isNotNull() & cast.isNull())
@@ -73,7 +115,28 @@ def to_numeric(
             raise ValueError(
                 f"Unable to parse string {bad[0][VAL]!r} to numeric"
             )
-    return SparkSeries(s._df.select(IDX, cast.alias(VAL)), name=s.name)
+    out = s._df.select(IDX, cast.alias(VAL))
+    if downcast == "integer":
+        d = F.col(VAL)
+        lossless = (
+            (F.floor(d) == d)
+            & (d >= F.lit(float(-(2**63))))
+            & (d < F.lit(float(2**63)))
+        )
+        row = out.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count(VAL).alias("n"),
+            F.sum(
+                F.when(d.isNull(), 0).when(lossless, 0).otherwise(1)
+            ).alias("lossy"),
+        ).collect()[0]
+        # nulls (missing or coerced) keep the column double — an int64
+        # pandas column cannot hold NaN either
+        if row["n"] and row["n"] == row["rows"] and not row["lossy"]:
+            return SparkSeries(
+                out.select(IDX, d.cast("bigint").alias(VAL)), name=s.name
+            )
+    return SparkSeries(out, name=s.name)
 
 
 def to_datetime(

@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sdc_spark.materialize import materialize as _materialize
+
 _RKEY = "__rkey__"
 
 
@@ -88,7 +90,7 @@ def _with_carries(
     part = (
         unioned.repartitionByRange(n_part, F.col("__key__"))
         .withColumn("__pid__", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
     pid_axis_df = spark.range(n_part).select(
         F.col("id").cast("int").alias("__pid__")

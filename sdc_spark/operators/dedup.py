@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sdc_spark.materialize import materialize as _materialize
+
 
 def normalized_text(col) -> Column:
     """Canonical text form for hashing: lowercase, collapsed whitespace."""
@@ -126,8 +128,8 @@ def minhash_lsh_pairs(
     docs = with_grams(df, text_col, id_col, ngram)
 
     # The hashed shingle index (doc, xxhash64(gram)) is materialized ONCE
-    # (localCheckpoint; on a cluster, persist(MEMORY_AND_DISK) or a real
-    # checkpoint dir) and feeds all three consumers — signature, and both
+    # (sdc_spark.materialize — mode-switchable localCheckpoint / persist /
+    # checkpoint) and feeds all three consumers — signature, and both
     # sides of the verification join. Spark shares no subplan across join
     # inputs, so the un-materialized plan re-runs normalize+shingle 3x:
     # equal within noise at sf0.1 local (input is page-cached), but at
@@ -135,7 +137,7 @@ def minhash_lsh_pairs(
     base = (
         docs.select("doc", F.explode("grams").alias("g"))
         .select("doc", F.xxhash64("g").alias("h"))
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
 
     # Signature via the index → 128-column partial hash-aggregate: stays in
@@ -417,7 +419,7 @@ def dedup_components(
     edges = sym.union(
         pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
     ).distinct()
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(_materialize)
     labels = edges.select("u").distinct().select("u", F.col("u").alias("lbl"))
     for _ in range(max_iter):
         nbr = (
@@ -439,7 +441,7 @@ def dedup_components(
                 ),
                 "lbl",
             )
-            .localCheckpoint(eager=True)
+            .transform(_materialize)
         )
         changed = snap.filter(F.col("new_lbl") != F.col("lbl")).count()
         labels = snap.select("u", F.col("new_lbl").alias("lbl"))
@@ -556,7 +558,7 @@ def incremental_near_dups(
         base = (
             docs.select("doc", F.explode("grams").alias("g"))
             .select("doc", F.xxhash64("g").alias("h"))
-            .localCheckpoint(eager=True)  # one scan feeds bands AND verify
+            .transform(_materialize)  # one scan feeds bands AND verify
         )
         rows = num_hashes // bands
         sig = base.groupBy("doc").agg(

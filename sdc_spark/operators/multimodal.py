@@ -165,11 +165,12 @@ def sample_frames(
     return df.mapInPandas(run, FRAME_SCHEMA)
 
 
-# -- real decoders for self-describing uncompressed formats -----------------
-# BMP (24-bit uncompressed) and WAV (PCM) are pure header+raster formats:
-# parsing them needs numpy only, so these paths are REAL decodes — the
-# NotImplementedError stubs above remain only for compressed codecs
-# (JPEG/PNG/MP3/H.264) whose libraries aren't in the container.
+# -- real decoders ----------------------------------------------------------
+# BMP (24-bit uncompressed) and WAV (PCM) are pure header+raster formats
+# needing numpy only; PNG is decodable with stdlib zlib (IDAT inflate) +
+# numpy un-filtering — all three are REAL decodes. The
+# NotImplementedError stubs above remain only for codecs whose libraries
+# aren't in the container (JPEG/MP3/H.264).
 
 BMP_SCHEMA = (
     "id long, width int, height int, bpp int, "
@@ -321,3 +322,186 @@ def decode_and_featurize_arrow(df: DataFrame) -> DataFrame:
             )
 
     return df.select("id", "content").mapInArrow(run, FEATURE_SCHEMA)
+
+
+PNG_SCHEMA = (
+    "id long, width int, height int, bit_depth int, color_type int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, nch: int) -> "np.ndarray":
+    """Reverse the per-row PNG filters (types 0-4) on inflated IDAT bytes.
+    Filters none/sub/up are vectorized (sub via per-channel cumsum mod
+    256); average/paeth fall back to the spec's sequential recurrence."""
+    stride = w * nch
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters = rows[:, 0]
+    recon = np.zeros((h, stride), np.int32)
+    prior = np.zeros(stride, np.int32)
+    for r in range(h):
+        f = int(filters[r])
+        line = rows[r, 1:].astype(np.int32)
+        if f == 0:
+            rec = line
+        elif f == 1:  # sub: per-channel prefix sum mod 256
+            rec = line
+            for c in range(nch):
+                rec[c::nch] = np.cumsum(rec[c::nch]) & 0xFF
+        elif f == 2:  # up
+            rec = (line + prior) & 0xFF
+        elif f == 3:  # average
+            rec = line
+            for x in range(stride):
+                left = rec[x - nch] if x >= nch else 0
+                rec[x] = (rec[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif f == 4:  # paeth
+            rec = line
+            for x in range(stride):
+                left = rec[x - nch] if x >= nch else 0
+                up = prior[x]
+                ul = prior[x - nch] if x >= nch else 0
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        recon[r] = rec
+        prior = recon[r]
+    return recon.astype(np.uint8).reshape(h, w, nch)
+
+
+def _png_decode(buf: bytes) -> tuple:
+    """Parse one PNG: IHDR dims, inflate IDAT (stdlib zlib), un-filter.
+    Supports 8-bit depth, color types 0 (gray) / 2 (RGB) / 4 (gray+A) /
+    6 (RGBA), non-interlaced — the pure-numpy subset; palette and Adam7
+    raise (poison-pill null row)."""
+    import zlib
+
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not PNG")
+    pos, w, h, depth, ctype, interlace, idat = 8, None, None, None, None, 0, []
+    n = len(buf)
+    while pos + 8 <= n:
+        ln = int.from_bytes(buf[pos : pos + 4], "big")
+        cid = buf[pos + 4 : pos + 8]
+        body = buf[pos + 8 : pos + 8 + ln]
+        if cid == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype, interlace = body[8], body[9], body[12]
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + ln  # length + type + body + crc
+    if w is None or not idat:
+        raise ValueError("missing chunks")
+    if depth != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced supported")
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"unsupported color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (w * nch + 1):
+        raise ValueError("IDAT size mismatch")
+    px = _png_unfilter(raw, w, h, nch)
+    if ctype in (0, 4):  # gray (+alpha): replicate gray into r/g/b
+        g = float(px[..., 0].mean())
+        means = (g, g, g)
+    else:
+        means = tuple(float(px[..., c].mean()) for c in range(3))
+    return w, h, int(depth), int(ctype), means
+
+
+def decode_png(df: DataFrame) -> DataFrame:
+    """REAL PNG decode over {id, content} rows — stdlib ``zlib`` IDAT
+    inflate + numpy per-row un-filtering, no PIL. Arrow-batched
+    mapInPandas, embarrassingly parallel; malformed/unsupported payloads
+    yield null metric columns (poison-pill discipline)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("width", "height", "bit_depth", "color_type", "mean_r", "mean_g", "mean_b")
+        for pdf in batches:
+            out = {k: [] for k in ("id", *cols)}
+            for i, buf in zip(pdf["id"], pdf["content"]):
+                out["id"].append(i)
+                try:
+                    w, h, depth, ctype, (mr, mg, mb) = _png_decode(bytes(buf))
+                    vals = (w, h, depth, ctype, mr, mg, mb)
+                    for k, v in zip(cols, vals):
+                        out[k].append(v)
+                except Exception:  # noqa: BLE001 — poison-pill rows -> nulls
+                    for k in cols:
+                        out[k].append(None)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(out["id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="Int32"),
+                    "height": pd.Series(out["height"], dtype="Int32"),
+                    "bit_depth": pd.Series(out["bit_depth"], dtype="Int32"),
+                    "color_type": pd.Series(out["color_type"], dtype="Int32"),
+                    "mean_r": pd.Series(out["mean_r"], dtype="float64"),
+                    "mean_g": pd.Series(out["mean_g"], dtype="float64"),
+                    "mean_b": pd.Series(out["mean_b"], dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(run, PNG_SCHEMA)
+
+
+def encode_png(px: "np.ndarray", filters: "list[int] | None" = None) -> bytes:
+    """Minimal PNG encoder (tests + payload synthesis): 8-bit gray/RGB/
+    RGBA from an (h, w, nch) array, one spec filter per row (default all
+    0). The forward filters here and the decoder's un-filtering are
+    independent transforms, so an encode→decode round-trip is a real
+    correctness check, not a tautology."""
+    import struct
+    import zlib
+
+    h, w, nch = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    filters = filters or [0] * h
+    lines = []
+    prior = np.zeros(w * nch, np.int32)
+    for r in range(h):
+        cur = px[r].reshape(-1).astype(np.int32)
+        f = filters[r]
+        if f == 0:
+            res = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(nch, np.int32), cur[:-nch]])
+            res = (cur - left) & 0xFF
+        elif f == 2:
+            res = (cur - prior) & 0xFF
+        elif f == 3:
+            left = np.concatenate([np.zeros(nch, np.int32), cur[:-nch]])
+            res = (cur - ((left + prior) >> 1)) & 0xFF
+        elif f == 4:
+            res = np.empty_like(cur)
+            for x in range(len(cur)):
+                left = int(cur[x - nch]) if x >= nch else 0
+                up = int(prior[x])
+                ul = int(prior[x - nch]) if x >= nch else 0
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                res[x] = (int(cur[x]) - pred) & 0xFF
+        else:
+            raise ValueError(f)
+        lines.append(bytes([f]) + res.astype(np.uint8).tobytes())
+        prior = cur
+    raw = zlib.compress(b"".join(lines))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(cid + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + cid + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", raw)
+        + chunk(b"IEND", b"")
+    )

@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sdc_spark.materialize import materialize as _materialize
+
 PID = "__pid__"
 POS = "__pos__"
 CTX = "__ctx__"
@@ -58,9 +60,11 @@ def range_partitioned(
     in which two branches scheduled in the same job can still race the
     first materialization, which was the one observed correctness flake
     (pack_sequences, round 2). One eager materialization = one boundary
-    sample = one pid assignment shared by all branches. On a cluster, swap
-    localCheckpoint for persist(MEMORY_AND_DISK) + count() or a reliable
-    checkpoint dir if executor loss must be survivable."""
+    sample = one pid assignment shared by all branches. The materialization
+    primitive is sdc_spark.materialize.materialize — set
+    spark.sdc.materialize.mode=persist|checkpoint on a cluster where
+    executor loss must be survivable (correctness is mode-independent,
+    pinned by tests/test_materialize.py)."""
     if pin:
         n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         part = df.repartitionByRange(n, *_cols(order_cols))
@@ -68,7 +72,7 @@ def range_partitioned(
         part = df.repartitionByRange(num_partitions, *_cols(order_cols))
     else:
         part = df.repartitionByRange(*_cols(order_cols))
-    return part.withColumn(PID, F.spark_partition_id()).localCheckpoint(eager=True)
+    return part.withColumn(PID, F.spark_partition_id()).transform(_materialize)
 
 
 def global_fill(
@@ -917,3 +921,234 @@ def scan_multi(
         out_df = out_df.withColumn(out, combined)
     drop = [PID] + [f"__o_{out}__" for out in scans]
     return out_df.drop(*drop)
+
+
+def scan_ewm_grouped(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    val_cols: Sequence[str],
+    alpha: float,
+    stat: str,
+    min_periods: int = 0,
+) -> DataFrame:
+    """Per-group ewm mean/var/std (pandas ``groupby(keys).ewm(alpha)``,
+    adjust=True, ignore_na=False, bias=False) with NO per-group memory
+    bound — the 100-TB-safe replacement for hashing each group into one
+    Arrow batch (which OOMs an executor on a skewed mega-group).
+
+    Shape: range-partition by (keys..., order) — a mega-group SPLITS
+    across many partitions, so partition size is ~data/P regardless of
+    group skew. Groups are then contiguous runs, and at most ONE group
+    straddles each partition boundary; so:
+
+    - Pass A reduces each partition to one summary row describing only
+      its LAST group's segment (decayed num/den/num²/den² tails + valid
+      count, per value column) plus its first/last key — a P-row
+      collect, bounded by the partition count exactly like scan_ewm.
+    - A driver-side P-step fold composes each straddling group's carry
+      entering every partition (a group spanning p1..p2 contributes its
+      p1-suffix, whole middle partitions, and is consumed by p2's
+      prefix).
+    - Pass B computes the stat per partition: every partition-LOCAL
+      segment runs through pandas' cython groupby-ewm (one call per
+      Arrow batch — fast even with millions of tiny groups); only the
+      single carry-continuing first segment (if any) is computed by the
+      seeded chunk-renormalized scan (same scaling identity as
+      scan_ewm).
+
+    NaN group keys are dropped (pandas groupby semantics). Exact up to
+    float reassociation vs pandas' sequential recurrence.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if stat not in ("mean", "var", "std"):
+        raise ValueError(stat)
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("scan_ewm_grouped requires alpha in (0, 1)")
+    q = 1.0 - alpha
+    q2 = q * q
+    keys = list(keys)
+    order_cols = list(order_cols)
+    val_cols = list(val_cols)
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(k).isNotNull()
+    base = df.filter(cond).select(
+        *keys, *order_cols, *[F.col(c).cast("double").alias(c) for c in val_cols]
+    )
+    part = range_partitioned(base, [*keys, *order_cols], pin=True)
+    chunk = max(16, min(4096, int(600.0 / -math.log(q2))))
+    sort_cols = [*keys, *order_cols]
+    minp = max(min_periods, 1)
+
+    def _tails(x: "np.ndarray") -> tuple[float, float, float, float, int]:
+        """End-of-segment decayed sums (num, den at q; num2, den2 at q/q²)
+        via the chunk-renormalized fold — never materializes q^n."""
+        v = ~np.isnan(x)
+        num = den = num2 = den2 = 0.0
+        for lo in range(0, len(x), chunk):
+            xs, vs = x[lo : lo + chunk], v[lo : lo + chunk]
+            c = len(xs)
+            pw = q ** np.arange(c - 1, -1, -1, dtype="float64")
+            pw2 = q2 ** np.arange(c - 1, -1, -1, dtype="float64")
+            xz = np.where(vs, xs, 0.0)
+            vz = vs.astype("float64")
+            num = num * (q**c) + float(np.dot(pw, xz))
+            num2 = num2 * (q**c) + float(np.dot(pw, xz * xz))
+            den = den * (q**c) + float(np.dot(pw, vz))
+            den2 = den2 * (q2**c) + float(np.dot(pw2, vz))
+        return num, den, num2, den2, int(v.sum())
+
+    ktypes = {
+        f.name: f.dataType.simpleString()
+        for f in part.schema.fields
+        if f.name in keys
+    }
+    sum_schema = (
+        "pid int, n_seg long, "
+        + ", ".join(f"`__fk_{k}__` {ktypes[k]}, `__lk_{k}__` {ktypes[k]}" for k in keys)
+        + ", "
+        + ", ".join(
+            f"`__num_{c}__` double, `__den_{c}__` double, `__num2_{c}__` double,"
+            f" `__den2_{c}__` double, `__nv_{c}__` long"
+            for c in val_cols
+        )
+    )
+
+    def _summary(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        lastk = [pdf[k].iloc[-1] for k in keys]
+        seg_mask = np.ones(len(pdf), dtype=bool)
+        for k, kv in zip(keys, lastk):
+            seg_mask &= (pdf[k] == kv).to_numpy()
+        # last segment = trailing contiguous run of the last key
+        run = np.flatnonzero(~seg_mask)
+        start = (run[-1] + 1) if len(run) else 0
+        seg = pdf.iloc[start:]
+        row: dict = {"pid": [int(pdf[PID].iloc[0])], "n_seg": [len(seg)]}
+        for k in keys:
+            row[f"__fk_{k}__"] = [pdf[k].iloc[0]]
+            row[f"__lk_{k}__"] = [pdf[k].iloc[-1]]
+        for c in val_cols:
+            num, den, num2, den2, nv = _tails(seg[c].to_numpy(dtype="float64"))
+            row[f"__num_{c}__"] = [num]
+            row[f"__den_{c}__"] = [den]
+            row[f"__num2_{c}__"] = [num2]
+            row[f"__den2_{c}__"] = [den2]
+            row[f"__nv_{c}__"] = [nv]
+        return pd.DataFrame(row)
+
+    rows = part.groupBy(PID).applyInPandas(_summary, sum_schema).collect()
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    info = {r["pid"]: r for r in rows}
+    # carries[p] = (open_key tuple | None, {col: [num, den, num2, den2, cnt]})
+    carries: dict[int, tuple] = {}
+    open_key: tuple | None = None
+    state = {c: [0.0, 0.0, 0.0, 0.0, 0] for c in val_cols}
+    for p in range(n_part):
+        carries[p] = (open_key, {c: list(s) for c, s in state.items()})
+        r = info.get(p)
+        if r is None:
+            continue  # empty partition: open group passes through
+        first = tuple(r[f"__fk_{k}__"] for k in keys)
+        last = tuple(r[f"__lk_{k}__"] for k in keys)
+        if open_key is not None and first == open_key and first == last:
+            # whole partition is one segment of the open group: compose
+            d1, d2 = q ** r["n_seg"], q2 ** r["n_seg"]
+            for c in val_cols:
+                s = state[c]
+                state[c] = [
+                    s[0] * d1 + r[f"__num_{c}__"],
+                    s[1] * d1 + r[f"__den_{c}__"],
+                    s[2] * d1 + r[f"__num2_{c}__"],
+                    s[3] * d2 + r[f"__den2_{c}__"],
+                    s[4] + r[f"__nv_{c}__"],
+                ]
+        else:
+            # open group ends inside p (or p starts a new group): the new
+            # open group is p's last segment, carried fresh
+            for c in val_cols:
+                state[c] = [
+                    r[f"__num_{c}__"],
+                    r[f"__den_{c}__"],
+                    r[f"__num2_{c}__"],
+                    r[f"__den2_{c}__"],
+                    r[f"__nv_{c}__"],
+                ]
+        open_key = last
+
+    ordered_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in part.schema.fields
+        if f.name in (*keys, *order_cols)
+    )
+    out_schema = ordered_fields + ", " + ", ".join(f"`{c}` double" for c in val_cols)
+
+    def _seeded_stat(x: "np.ndarray", carry: list) -> "np.ndarray":
+        """Chunk-renormalized seeded scan for ONE carry-continuing segment."""
+        c_num, c_den, c_num2, c_den2, c_cnt = carry
+        n = len(x)
+        valid = ~np.isnan(x)
+        num = np.empty(n)
+        den = np.empty(n)
+        num2 = np.empty(n)
+        den2 = np.empty(n)
+        s = [c_num, c_den, c_num2, c_den2]
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            k = np.arange(hi - lo, dtype="float64")
+            xz = np.where(valid[lo:hi], x[lo:hi], 0.0)
+            vz = valid[lo:hi].astype("float64")
+            inv, pw = q**-k, q**k
+            inv2, pw2 = q2**-k, q2**k
+            num[lo:hi] = pw * np.cumsum(xz * inv) + s[0] * q ** (k + 1)
+            den[lo:hi] = pw * np.cumsum(vz * inv) + s[1] * q ** (k + 1)
+            num2[lo:hi] = pw * np.cumsum(xz * xz * inv) + s[2] * q ** (k + 1)
+            den2[lo:hi] = pw2 * np.cumsum(vz * inv2) + s[3] * q2 ** (k + 1)
+            s = [num[hi - 1], den[hi - 1], num2[hi - 1], den2[hi - 1]]
+        cnt = c_cnt + np.cumsum(valid.astype("int64"))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if stat == "mean":
+                out = np.where((den > 0) & (cnt >= minp), num / np.maximum(den, 1e-300), np.nan)
+            else:
+                mean = num / np.maximum(den, 1e-300)
+                biased = num2 / np.maximum(den, 1e-300) - mean * mean
+                denom = den * den - den2
+                var = np.where(denom > 0, biased * (den * den) / np.where(denom > 0, denom, 1.0), np.nan)
+                var = np.maximum(var, 0.0)  # clamp float-cancellation negatives
+                out = np.where((den > 0) & (cnt >= minp), var, np.nan)
+                if stat == "std":
+                    out = np.sqrt(out)
+        return out
+
+    def _stat_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        pid = int(pdf[PID].iloc[0])
+        open_k, carry = carries[pid]
+        # rows of the carry-continuing first segment (if the open group
+        # reaches into this partition)
+        first = tuple(pdf[k].iloc[0] for k in keys)
+        seed_len = 0
+        if open_k is not None and first == open_k:
+            m = np.ones(len(pdf), dtype=bool)
+            for k, kv in zip(keys, open_k):
+                m &= (pdf[k] == kv).to_numpy()
+            brk = np.flatnonzero(~m)
+            seed_len = int(brk[0]) if len(brk) else len(pdf)
+        res = pdf[sort_cols].copy()
+        gb = pdf.groupby(keys, sort=False)[val_cols]
+        ew = getattr(gb.ewm(alpha=alpha, min_periods=min_periods), stat)()
+        for c in val_cols:
+            col = ew[c].to_numpy(dtype="float64")
+            if seed_len:
+                col[:seed_len] = _seeded_stat(
+                    pdf[c].to_numpy(dtype="float64")[:seed_len], carry[c]
+                )
+            res[c] = col
+        return res
+
+    return part.groupBy(PID).applyInPandas(_stat_part, out_schema)

@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sdc_spark.materialize import materialize as _materialize
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -220,7 +222,7 @@ def ivf_centroids(v: DataFrame, n_cells: int) -> DataFrame:
         # n_cells rows; materializing collapses the seed+assign lineage so
         # downstream consumers (assign pass + query probing) don't re-run
         # the two corpus passes hidden inside it
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
 
 
@@ -256,7 +258,7 @@ def semantic_dedup(
     # The assignment feeds three plan branches (both pair sides + the final
     # verdict join); materialize it once so the seed/assign pipeline doesn't
     # re-run per branch (observed 9 corpus scans without this).
-    assigned = ivf_assign(v, centroids, "nid", "nvec").localCheckpoint(eager=True)
+    assigned = ivf_assign(v, centroids, "nid", "nvec").transform(_materialize)
     a = assigned.select(
         F.col("cell"),
         F.col("nid").alias("aid"),
@@ -438,7 +440,7 @@ def pq_codebooks(v: DataFrame, dim: int, m: int = 8, ksub: int = 16) -> DataFram
         .select("s", "code", F.coalesce("mvec", "cvec").alias("cvec"))
         # m*ksub rows; collapse the seed+assign lineage (2 corpus passes)
         # before the codes pass and the per-query LUT both consume it
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
 
 
@@ -474,7 +476,7 @@ def ann_pq_topk(
     ).select(
         "nid",
         F.transform(F.col("raw"), lambda x: F.try_divide(x, F.col("nrm"))).alias("nvec"),
-    ).localCheckpoint(eager=True)  # feeds codebooks, codes, exact re-rank
+    ).transform(_materialize)  # feeds codebooks, codes, exact re-rank
 
     books = pq_codebooks(v, dim, m, ksub)
     dsub = dim // m

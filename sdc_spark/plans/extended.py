@@ -11,6 +11,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sdc_spark.materialize import materialize as _materialize
+
 from sdc_spark.functions.categorical import encode
 from sdc_spark.functions.expressions import pandas_floordiv
 from sdc_spark.plans.registry import oracle, query
@@ -442,8 +444,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("src"),
         F.lead("event_type").over(w).alias("dst"),
     ).filter(F.col("dst").isNotNull())
-    edges = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")).localCheckpoint(
-        eager=True
+    edges = (
+        steps.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .transform(_materialize)
     )
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     nodes = edges.select(F.col("src").alias("node")).union(
@@ -534,7 +538,7 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = doc.select(
         F.explode(F.split(normalized_text(F.col("text")), " ")).alias("tok")
-    ).filter(F.length("tok") > 0).localCheckpoint(eager=True)
+    ).filter(F.length("tok") > 0).transform(_materialize)
     rows = []
     for j in range(_CMS_D):
         b = F.conv(

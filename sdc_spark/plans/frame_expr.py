@@ -23,14 +23,23 @@ def _uniq_lineitem(li, *cols):
     """lineitem restricted to rows whose (orderkey, linenumber)-derived uid
     appears EXACTLY once: the synthetic generator emits duplicate keys, so
     any per-row uid join or uid-tie-broken scan must run on the unique
-    subset to stay deterministic (one hash-partitioned window count — no
-    global window)."""
-    from pyspark.sql import Window as W
+    subset to stay deterministic.
 
+    Shape: groupBy-count + left-semi join, NOT a per-uid window. The
+    groupBy shuffles only 8-byte uids after map-side partial counts (the
+    window form shuffles every payload column), and AQE converts the
+    semi join to broadcast when the unique-uid list is small enough —
+    at 100 TB it degrades gracefully to a shuffled semi join on the
+    same key partitioning."""
     uid = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
     base = li.select(uid.alias("uid"), *cols)
-    n = F.count(F.lit(1)).over(W.partitionBy("uid"))
-    return base.withColumn("__n__", n).filter(F.col("__n__") == 1).drop("__n__")
+    once = (
+        base.groupBy("uid")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") == 1)
+        .select("uid")
+    )
+    return base.join(once, "uid", "left_semi")
 
 
 

@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sdc_spark.materialize import materialize as _materialize
+
 from sdc_spark.plans.registry import oracle, query
 from sdc_spark.sources.readers import read_table
 
@@ -59,7 +61,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the arboricity-bounded form — instead of O(Σ d²) on hubs. Three hash
     joins total; the edge list is materialized once and reused for all
     three sides."""
-    und = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = _edges(spark, sf_dir).transform(_materialize)
     deg = (
         und.select(F.col("u").alias("n"))
         .union(und.select("v"))

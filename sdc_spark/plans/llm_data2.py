@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sdc_spark.materialize import materialize as _materialize
+
 from sdc_spark.functions import text as stext
 from sdc_spark.operators.curation import resample_to_mix
 from sdc_spark.operators.dedup import normalized_text
@@ -729,6 +731,59 @@ oracle(
 )
 
 
+@query("multimodal_decode_png")
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode (stdlib zlib inflate + numpy un-filtering — no
+    PIL), hash-verified like multimodal_decode_bmp: each embeddings row
+    synthesizes a horizontal-gradient RGB PNG (dimensions and channel
+    bases are pure functions of vec_id/label; row 0 sub-filtered, the
+    rest up-filtered, so both vectorized un-filter paths execute), and
+    the oracle predicts dimensions and channel means analytically:
+    mean_c = base_c + (w-1)/2 for a base+x gradient."""
+    import numpy as np
+    import pandas as pd
+
+    from sdc_spark.operators.multimodal import decode_png, encode_png
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for vid, lab in zip(pdf["vec_id"], pdf["label"]):
+                w = 4 + int(vid) % 5
+                h = 2 + int(lab) % 3
+                bases = (int(lab) * 37 % 200, int(lab) * 57 % 200, int(lab) * 77 % 200)
+                x = np.arange(w, dtype=np.int32)
+                row = np.stack([b + x for b in bases], axis=1)  # (w, 3), max 206
+                px = np.broadcast_to(row, (h, w, 3)).astype(np.uint8)
+                filters = [1] + [2] * (h - 1)
+                rows.append((int(vid), encode_png(px, filters=filters)))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    payloads = emb.mapInPandas(synth, "id long, content binary")
+    return decode_png(payloads).select(
+        "id", "width", "height", "bit_depth", "color_type",
+        "mean_r", "mean_g", "mean_b",
+    ).orderBy("id")
+
+
+oracle(
+    "multimodal_decode_png",
+    """
+    SELECT vec_id AS id,
+           CAST(4 + vec_id % 5 AS INT) AS width,
+           CAST(2 + label % 3 AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(2 AS INT) AS color_type,
+           CAST(label * 37 % 200 + (4 + vec_id % 5 - 1) / 2.0 AS DOUBLE) AS mean_r,
+           CAST(label * 57 % 200 + (4 + vec_id % 5 - 1) / 2.0 AS DOUBLE) AS mean_g,
+           CAST(label * 77 % 200 + (4 + vec_id % 5 - 1) / 2.0 AS DOUBLE) AS mean_b
+    FROM embeddings ORDER BY id
+    """,
+)
+
+
 @query("multimodal_decode_wav")
 def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, hash-verified like multimodal_decode_bmp: each
@@ -975,7 +1030,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         # four consumers (per-doc multiplicities, c12, c1, vocab): without
         # this the normalize+split+zip pipeline re-scans the raw corpus 4x
         # (explain_audit showed scans=4); on a cluster persist instead
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
     per_doc = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
     c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))

@@ -14,6 +14,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sdc_spark.materialize import materialize as _materialize
+
 DEFAULT_AGGS: tuple[tuple[str, str], ...] = (("count", "*"), ("sum", "value"))
 
 
@@ -229,7 +231,7 @@ def trending_topk_stream(
             merged = keep.unionByName(batch_df.select(cur.columns))
         else:
             merged = batch_df
-        merged = merged.localCheckpoint(eager=True)
+        merged = merged.transform(_materialize)
         merged.createOrReplaceGlobalTempView(sink_table + "_counts")
         wr = W.partitionBy("win_start").orderBy(F.desc("n"), key_col)
         merged.withColumn("rk", F.row_number().over(wr)).filter(

@@ -190,6 +190,29 @@ def test_map_apply(sf, pdf):
     eq_series(sf["D"].map(lambda x: x * 3.5), pdf["D"].map(lambda x: x * 3.5))
 
 
+def test_apply_args_kwargs(sf, pdf):
+    """Reference parity: series.apply(func, args=..., **kwargs) forwards
+    positionals and keywords per element
+    (ref sdc/datatypes/pandas_series_functions/apply.py:38-120)."""
+    f = lambda x, a, b=1.0: x * a + b  # noqa: E731
+    eq_series(
+        sf["D"].apply(f, args=(2.0,), b=0.25),
+        pdf["D"].apply(f, args=(2.0,), b=0.25),
+    )
+    eq_series(sf["D"].apply(f, args=(3.0,)), pdf["D"].apply(f, args=(3.0,)))
+
+
+def test_map_na_action(spark):
+    ps = pd.Series([1.0, float("nan"), 3.0])
+    s = from_pandas(spark, ps.to_frame("v"))["v"]
+    calls = lambda x: x * 2 if x == x else -99.0  # noqa: E731
+    eq_series(s.map(calls, na_action="ignore"), ps.map(calls, na_action="ignore"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="na_action"):
+        s.map(calls, na_action="bogus")
+
+
 def test_describe(sf, pdf):
     got = sf.describe()
     exp = pdf.describe()

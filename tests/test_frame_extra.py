@@ -593,6 +593,16 @@ def test_groupby_per_row_ops(spark):
     got = gb.cumsum().to_pandas()["v"].sort_index()
     exp = pgb["v"].cumsum().sort_index()
     pd.testing.assert_series_equal(got, exp, check_names=False, check_dtype=False, atol=1e-9)
+    # numeric_only drops the string column, like pandas cumsum(numeric_only=True)
+    pdf2 = pdf.assign(s=[chr(65 + i % 5) for i in range(len(pdf))])
+    sf3 = from_pandas(spark, pdf2)
+    got2 = sf3.groupby("k").cumsum(numeric_only=True).to_pandas()
+    exp2 = pdf2.groupby("k").cumsum(numeric_only=True)
+    assert "s" not in got2.columns
+    pd.testing.assert_series_equal(
+        got2["v"].sort_index(), exp2["v"].sort_index(),
+        check_names=False, check_dtype=False, atol=1e-9,
+    )
 
 
 def test_context_guard_repartitions_fine_layouts(spark):
@@ -1616,3 +1626,86 @@ def test_series_corr_spearman(spark):
     assert got == pytest.approx(exp, abs=1e-12)
     with pytest.raises(ValueError):
         s["x"].corr(s["y"], method="kendall")
+
+
+def test_groupby_ewm_dominant_group(spark):
+    """A mega-group (80% of rows) must SPLIT across range partitions and
+    flow through the carry composition of scan_ewm_grouped — the scale
+    shape where the old hash-one-group-per-batch path would concentrate
+    all its rows in one Arrow batch."""
+    rng = np.random.RandomState(7)
+    k = np.where(rng.rand(5000) < 0.8, 3, rng.randint(0, 3, 5000))
+    pdf = pd.DataFrame({"k": k, "v": rng.randn(5000) * 5, "u": rng.randn(5000)})
+    pdf.loc[pdf.sample(400, random_state=3).index, "v"] = float("nan")
+    sf2 = from_pandas(spark, pdf)
+    for stat in ("mean", "var", "std"):
+        got = getattr(sf2.groupby("k").ewm(alpha=0.15, min_periods=1), stat)().to_pandas()
+        exp = getattr(pdf.groupby("k").ewm(alpha=0.15, min_periods=1), stat)()
+        for c in ("v", "u"):
+            exp_flat = exp[c].reset_index(level=0, drop=True).sort_index()
+            np.testing.assert_allclose(
+                got[c].sort_index().to_numpy(),
+                exp_flat.to_numpy(),
+                rtol=1e-8,
+                atol=1e-10,
+                equal_nan=True,
+            )
+
+
+def test_groupby_ewm_alpha_one(spark):
+    """alpha=1 degenerates to per-group last-valid carry (mean) and
+    all-NaN (var/std) — pandas semantics."""
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({"k": rng.randint(0, 4, 200), "v": rng.randn(200)})
+    pdf.loc[pdf.sample(30, random_state=5).index, "v"] = float("nan")
+    sf2 = from_pandas(spark, pdf)
+    got = sf2.groupby("k").ewm(alpha=1.0, min_periods=1).mean().to_pandas()
+    exp = pdf.groupby("k").ewm(alpha=1.0, min_periods=1).mean()["v"]
+    exp_flat = exp.reset_index(level=0, drop=True).sort_index()
+    np.testing.assert_allclose(
+        got["v"].sort_index().to_numpy(), exp_flat.to_numpy(),
+        rtol=1e-12, equal_nan=True,
+    )
+    got_v = sf2.groupby("k").ewm(alpha=1.0).var().to_pandas()
+    exp_v = pdf.groupby("k").ewm(alpha=1.0).var()["v"]
+    exp_v_flat = exp_v.reset_index(level=0, drop=True).sort_index()
+    np.testing.assert_allclose(
+        got_v["v"].sort_index().to_numpy(), exp_v_flat.to_numpy(),
+        rtol=1e-12, equal_nan=True,
+    )
+
+
+def test_to_numeric_downcast_lossless_rule(spark):
+    """downcast='integer' follows pandas' lossless rule: all-integral,
+    null-free input -> int64; a fractional value or any null keeps
+    float64 (never silently nulled)."""
+    from sdc_spark.frame import to_numeric
+
+    pdf = pd.DataFrame({"a": ["7", "42", "9"], "b": ["1.5", "2", "3"]})
+    sf = from_pandas(spark, pdf)
+    got_a = to_numeric(sf["a"], downcast="integer").to_pandas()
+    exp_a = pd.to_numeric(pdf["a"], downcast="integer")
+    assert got_a.tolist() == exp_a.tolist()
+    assert str(got_a.dtype).startswith("int")
+    got_b = to_numeric(sf["b"], downcast="integer").to_pandas()
+    exp_b = pd.to_numeric(pdf["b"], downcast="integer")
+    np.testing.assert_allclose(got_b.to_numpy(), exp_b.to_numpy(dtype="float64"))
+    assert str(got_b.dtype).startswith("float")
+
+
+def test_strftime_literal_percent():
+    """'%%' is a literal percent, scanned once left-to-right: '%Y%%m' is
+    yyyy + literal '%m' (the old sequential-replace turned it into a
+    month pattern), and a trailing bare '%' raises."""
+    from sdc_spark.functions.conversion import strftime_to_java
+
+    assert strftime_to_java("%Y-%m-%d") == "yyyy-MM-dd"
+    assert strftime_to_java("%%") == "%"
+    assert strftime_to_java("%Y%%m") == "yyyy'%m'"
+    assert strftime_to_java("%d/%m/%Y %H:%M:%S") == "dd/MM/yyyy HH:mm:ss"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="trailing"):
+        strftime_to_java("%Y%")
+    with _pytest.raises(ValueError, match="unsupported"):
+        strftime_to_java("%Q")

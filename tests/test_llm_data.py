@@ -303,3 +303,58 @@ def test_pq_codebooks_full_grid_under_degenerate_seeds(spark):
     assert all(r["count"] == ksub for r in got), got
     codes = {(r.s, r.code) for r in books.select("s", "code").collect()}
     assert codes == {(s, c) for s in range(m) for c in range(1, ksub + 1)}
+
+
+def test_decode_png_real(spark):
+    """Encode→decode round-trip across ALL five PNG filter types (the
+    forward filters in encode_png and the un-filtering in decode_png are
+    independent transforms) plus gray/RGBA channel semantics and the
+    poison-pill path."""
+    import numpy as np
+
+    from sdc_spark.operators import multimodal as smm
+
+    rng = np.random.RandomState(3)
+    imgs = {
+        # one image per filter type, RGB
+        fid: rng.randint(0, 256, (7, 5, 3)).astype(np.uint8) for fid in range(5)
+    }
+    payloads = [
+        (fid, smm.encode_png(px, filters=[fid] * px.shape[0]))
+        for fid, px in imgs.items()
+    ]
+    # mixed filters in one image; grayscale; RGBA
+    mixed = rng.randint(0, 256, (6, 4, 3)).astype(np.uint8)
+    payloads.append((10, smm.encode_png(mixed, filters=[0, 1, 2, 3, 4, 2])))
+    gray = rng.randint(0, 256, (3, 4, 1)).astype(np.uint8)
+    payloads.append((11, smm.encode_png(gray)))
+    rgba = rng.randint(0, 256, (4, 4, 4)).astype(np.uint8)
+    payloads.append((12, smm.encode_png(rgba, filters=[4, 4, 1, 3])))
+    payloads.append((13, b"\x89PNG\r\n\x1a\njunk"))  # poison pill
+    df = spark.createDataFrame(payloads, "id long, content binary")
+    rows = {r.id: r for r in smm.decode_png(df).collect()}
+    for fid, px in imgs.items():
+        r = rows[fid]
+        assert (r.width, r.height, r.bit_depth, r.color_type) == (5, 7, 8, 2), fid
+        np.testing.assert_allclose(
+            [r.mean_r, r.mean_g, r.mean_b],
+            [px[..., c].mean() for c in range(3)],
+            rtol=1e-12,
+        )
+    r = rows[10]
+    np.testing.assert_allclose(
+        [r.mean_r, r.mean_g, r.mean_b],
+        [mixed[..., c].mean() for c in range(3)],
+        rtol=1e-12,
+    )
+    r = rows[11]
+    assert r.color_type == 0
+    np.testing.assert_allclose([r.mean_r, r.mean_g, r.mean_b], [gray.mean()] * 3, rtol=1e-12)
+    r = rows[12]
+    assert r.color_type == 6
+    np.testing.assert_allclose(
+        [r.mean_r, r.mean_g, r.mean_b],
+        [rgba[..., c].mean() for c in range(3)],
+        rtol=1e-12,
+    )
+    assert rows[13].width is None and rows[13].mean_r is None
