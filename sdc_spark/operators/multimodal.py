@@ -7,11 +7,14 @@ carried through relational ops untouched; decode/feature steps run as
 Arrow-batched ``mapInPandas`` over partitions so bytes never pass through
 Python row-by-row.
 
-The actual codecs (PIL/torchaudio/ffmpeg) are NOT in this container —
-``decode_image``'s real path raises NotImplementedError behind the
-``stub=False`` flag; the default stub derives deterministic pseudo-features
-from the raw bytes (length, mean, first-moment), keeping schema, batching,
-partitioning, and downstream plumbing fully real and testable.
+Codec status: BMP, WAV, PNG (stdlib zlib + numpy) and baseline JPEG
+(pure-numpy huffman + IDCT, operators/jpeg.py) are REAL decodes —
+hash-verified against analytic oracles. Only codecs with no
+library-free path (MP3/H.264, progressive JPEG) remain stubs: the
+``stub=False`` flag on the generic stages raises NotImplementedError,
+and the default stub derives deterministic pseudo-features from the raw
+bytes, keeping schema, batching, partitioning, and downstream plumbing
+fully real and testable.
 
 Scale notes: binary payloads dominate row size — repartition by size
 budget, not row count (``maxRecordsPerBatch`` low for Arrow transfers);
@@ -168,9 +171,10 @@ def sample_frames(
 # -- real decoders ----------------------------------------------------------
 # BMP (24-bit uncompressed) and WAV (PCM) are pure header+raster formats
 # needing numpy only; PNG is decodable with stdlib zlib (IDAT inflate) +
-# numpy un-filtering — all three are REAL decodes. The
+# numpy un-filtering; baseline JPEG with pure-numpy huffman + IDCT
+# (operators/jpeg.py) — all four are REAL decodes. The
 # NotImplementedError stubs above remain only for codecs whose libraries
-# aren't in the container (JPEG/MP3/H.264).
+# aren't in the container (MP3/H.264, progressive JPEG).
 
 BMP_SCHEMA = (
     "id long, width int, height int, bpp int, "
@@ -505,3 +509,51 @@ def encode_png(px: "np.ndarray", filters: "list[int] | None" = None) -> bytes:
         + chunk(b"IDAT", raw)
         + chunk(b"IEND", b"")
     )
+
+
+JPEG_SCHEMA = (
+    "id long, width int, height int, n_components int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def decode_jpeg(df: DataFrame) -> DataFrame:
+    """REAL baseline-JPEG decode over {id, content} rows — pure
+    numpy + stdlib huffman/IDCT (operators/jpeg.py), no PIL/libjpeg.
+    Arrow-batched mapInPandas, embarrassingly parallel; progressive /
+    arithmetic / malformed payloads yield null metric columns
+    (poison-pill discipline)."""
+    from sdc_spark.operators.jpeg import jpeg_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("width", "height", "n_components", "mean_r", "mean_g", "mean_b")
+        for pdf in batches:
+            out = {k: [] for k in ("id", *cols)}
+            for i, buf in zip(pdf["id"], pdf["content"]):
+                out["id"].append(i)
+                try:
+                    px = jpeg_decode(bytes(buf))
+                    h, w, nc = px.shape
+                    if nc == 1:
+                        m = float(px[..., 0].mean())
+                        means = (m, m, m)
+                    else:
+                        means = tuple(float(px[..., c].mean()) for c in range(3))
+                    for k, v in zip(cols, (w, h, nc, *means)):
+                        out[k].append(v)
+                except Exception:  # noqa: BLE001 — poison-pill rows -> nulls
+                    for k in cols:
+                        out[k].append(None)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(out["id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="Int32"),
+                    "height": pd.Series(out["height"], dtype="Int32"),
+                    "n_components": pd.Series(out["n_components"], dtype="Int32"),
+                    "mean_r": pd.Series(out["mean_r"], dtype="float64"),
+                    "mean_g": pd.Series(out["mean_g"], dtype="float64"),
+                    "mean_b": pd.Series(out["mean_b"], dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(run, JPEG_SCHEMA)

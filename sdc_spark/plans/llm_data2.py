@@ -784,6 +784,58 @@ oracle(
 )
 
 
+@query("multimodal_decode_jpeg")
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode (pure-numpy huffman + IDCT,
+    operators/jpeg.py — no libjpeg), hash-verified: each embeddings row
+    synthesizes a constant-color JPEG at quality 75, where the DC
+    quantization step (8) exactly equals the DCT DC gain, so the decoded
+    pixel value — and hence every channel mean — equals the input value
+    EXACTLY and the oracle is analytic. Pins marker parsing, huffman
+    tables, DC prediction, dequantize/IDCT, and YCbCr round-trip."""
+    import numpy as np
+    import pandas as pd
+
+    from sdc_spark.operators.jpeg import jpeg_encode
+    from sdc_spark.operators.multimodal import decode_jpeg
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label").filter(
+        F.col("vec_id") < 200
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for vid, lab in zip(pdf["vec_id"], pdf["label"]):
+                w = 9 + int(vid) % 8
+                h = 6 + int(lab) % 5
+                val = int(lab) * 31 % 256
+                px = np.full((h, w, 3), val, np.uint8)
+                rows.append((int(vid), jpeg_encode(px, quality=75)))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    payloads = emb.mapInPandas(synth, "id long, content binary")
+    return decode_jpeg(payloads).select(
+        "id", "width", "height", "n_components",
+        "mean_r", "mean_g", "mean_b",
+    ).orderBy("id")
+
+
+oracle(
+    "multimodal_decode_jpeg",
+    """
+    SELECT vec_id AS id,
+           CAST(9 + vec_id % 8 AS INT) AS width,
+           CAST(6 + label % 5 AS INT) AS height,
+           CAST(3 AS INT) AS n_components,
+           CAST(label * 31 % 256 AS DOUBLE) AS mean_r,
+           CAST(label * 31 % 256 AS DOUBLE) AS mean_g,
+           CAST(label * 31 % 256 AS DOUBLE) AS mean_b
+    FROM embeddings WHERE vec_id < 200 ORDER BY id
+    """,
+)
+
+
 @query("multimodal_decode_wav")
 def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, hash-verified like multimodal_decode_bmp: each

@@ -1,0 +1,99 @@
+"""Pure-codec tests for operators/jpeg.py — pinned against an
+INDEPENDENT brute-force O(N^4) DCT implementation (not the codec's own
+matrix form), so encoder and decoder cannot share a bug."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sdc_spark.operators.jpeg import (
+    QUANT_LUMA,
+    _scale_quant,
+    jpeg_decode,
+    jpeg_encode,
+)
+
+
+def _ref_dct(block):
+    out = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        block[x, y]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            cu = np.sqrt(0.125) if u == 0 else 0.5
+            cv = np.sqrt(0.125) if v == 0 else 0.5
+            out[u, v] = cu * cv * s
+    return out
+
+
+def _ref_idct(coef):
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = np.sqrt(0.125) if u == 0 else 0.5
+                    cv = np.sqrt(0.125) if v == 0 else 0.5
+                    s += (
+                        cu
+                        * cv
+                        * coef[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[x, y] = s
+    return out
+
+
+def test_gray_block_exact_vs_reference():
+    """decode(encode(img)) must equal the analytically-computed
+    quantization round-trip using the independent reference DCT."""
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (8, 8, 1)).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(img, quality=90))
+    q = _scale_quant(QUANT_LUMA.reshape(8, 8), 90)
+    coef = _ref_dct(img[..., 0].astype(float) - 128.0)
+    exp = np.clip(
+        np.round(_ref_idct(np.round(coef / q) * q) + 128.0), 0, 255
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(dec[..., 0], exp)
+
+
+def test_constant_color_lossless_at_q75():
+    """quality 75 -> DC quant step 8 == DCT DC gain: constant blocks
+    round-trip exactly, including edge-padded non-multiple-of-8 sizes."""
+    for val, shape in ((0, (8, 8)), (77, (11, 17)), (255, (24, 9))):
+        img = np.full((*shape, 3), val, np.uint8)
+        dec = jpeg_decode(jpeg_encode(img, quality=75))
+        assert dec.shape == (*shape, 3)
+        np.testing.assert_array_equal(dec, img)
+
+
+def test_multi_mcu_roundtrip_close():
+    """Multi-MCU random image: lossy but bounded (q90, smooth-ish)."""
+    rng = np.random.RandomState(7)
+    base = rng.randint(60, 196, (5, 7, 3))
+    img = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(img, quality=90))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 2.0
+
+
+def test_unsupported_and_malformed_raise():
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\x89PNG\r\n\x1a\n")
+    img = np.full((8, 8, 1), 10, np.uint8)
+    buf = bytearray(jpeg_encode(img))
+    # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_decode(bytes(buf))

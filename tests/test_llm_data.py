@@ -358,3 +358,43 @@ def test_decode_png_real(spark):
         rtol=1e-12,
     )
     assert rows[13].width is None and rows[13].mean_r is None
+
+
+def test_decode_jpeg_real(spark):
+    """Baseline JPEG encode→decode through the Spark stage. The codec
+    itself is pinned against an independent brute-force DCT in
+    test_jpeg_codec.py; here: constant-color exactness at quality 75
+    (q_dc == 8 makes the DC round-trip lossless), gradient closeness,
+    grayscale, and the poison-pill path."""
+    import numpy as np
+
+    from sdc_spark.operators import multimodal as smm
+    from sdc_spark.operators.jpeg import jpeg_encode
+
+    payloads = []
+    # constant color, quality 75: decoded means are EXACT
+    const = np.full((11, 17, 3), 77, np.uint8)
+    payloads.append((0, jpeg_encode(const, quality=75)))
+    # smooth gradient at quality 95: means within 1
+    x = np.arange(16)
+    grad = np.broadcast_to(
+        np.stack([40 + 3 * x, 90 + 2 * x, 140 + x], axis=1), (16, 16, 3)
+    ).astype(np.uint8)
+    payloads.append((1, jpeg_encode(grad, quality=95)))
+    gray = np.full((8, 8, 1), 200, np.uint8)
+    payloads.append((2, jpeg_encode(gray, quality=75)))
+    payloads.append((3, b"\xff\xd8garbage"))
+    df = spark.createDataFrame(payloads, "id long, content binary")
+    rows = {r.id: r for r in smm.decode_jpeg(df).collect()}
+    r = rows[0]
+    assert (r.width, r.height, r.n_components) == (17, 11, 3)
+    assert (r.mean_r, r.mean_g, r.mean_b) == (77.0, 77.0, 77.0)
+    r = rows[1]
+    for got, exp in zip(
+        (r.mean_r, r.mean_g, r.mean_b),
+        (grad[..., 0].mean(), grad[..., 1].mean(), grad[..., 2].mean()),
+    ):
+        assert abs(got - exp) < 1.0
+    r = rows[2]
+    assert r.n_components == 1 and r.mean_r == 200.0
+    assert rows[3].width is None
