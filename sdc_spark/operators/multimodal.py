@@ -557,3 +557,190 @@ def decode_jpeg(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, JPEG_SCHEMA)
+
+
+AUDIO_FEAT_SCHEMA = (
+    "id long, sample_rate int, n_samples long, zcr double, "
+    "spectral_centroid_hz double, dominant_freq_hz double, rms double"
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over PCM WAV payloads: zero-crossing
+    rate, FFT spectral centroid, dominant frequency (numpy rfft) and RMS —
+    the standard cheap features a training-data pipeline filters/buckets
+    audio by. Mono 16-bit PCM (first channel of multi-channel). Arrow-
+    batched mapInPandas, embarrassingly parallel; malformed rows -> nulls."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("sample_rate", "n_samples", "zcr", "spectral_centroid_hz", "dominant_freq_hz", "rms")
+        for pdf in batches:
+            out = {k: [] for k in ("id", *cols)}
+            for i, buf in zip(pdf["id"], pdf["content"]):
+                out["id"].append(i)
+                try:
+                    a = np.frombuffer(buf, dtype=np.uint8)
+                    if a.size < 44 or a[:4].tobytes() != b"RIFF" or a[8:12].tobytes() != b"WAVE":
+                        raise ValueError("not WAV")
+                    pos, fmt, data = 12, None, None
+                    while pos + 8 <= a.size:
+                        cid = a[pos : pos + 4].tobytes()
+                        sz = int(np.frombuffer(a[pos + 4 : pos + 8].tobytes(), "<u4")[0])
+                        body = a[pos + 8 : pos + 8 + sz]
+                        if cid == b"fmt ":
+                            fmt = body
+                        elif cid == b"data":
+                            data = body
+                        pos += 8 + sz + (sz & 1)
+                    if fmt is None or data is None:
+                        raise ValueError("missing chunks")
+                    ch = int(np.frombuffer(fmt[2:4].tobytes(), "<u2")[0])
+                    rate = int(np.frombuffer(fmt[4:8].tobytes(), "<u4")[0])
+                    depth = int(np.frombuffer(fmt[14:16].tobytes(), "<u2")[0])
+                    if depth != 16:
+                        raise ValueError("only 16-bit PCM")
+                    x = np.frombuffer(data.tobytes(), "<i2").astype(np.float64)
+                    x = x[::ch]  # first channel
+                    n = x.size
+                    if n < 2:
+                        raise ValueError("too short")
+                    # zero-crossing rate: fraction of adjacent sign flips
+                    s = np.signbit(x)
+                    zcr = float(np.count_nonzero(s[1:] != s[:-1])) / (n - 1)
+                    spec = np.abs(np.fft.rfft(x))
+                    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                    power = spec[1:]  # drop DC for centroid/dominant
+                    tot = power.sum()
+                    cent = float((freqs[1:] * power).sum() / tot) if tot > 0 else 0.0
+                    dom = float(freqs[1:][int(np.argmax(power))]) if tot > 0 else 0.0
+                    rms = float(np.sqrt((x**2).mean()))
+                    for k, v in zip(cols, (rate, n, zcr, cent, dom, rms)):
+                        out[k].append(v)
+                except Exception:  # noqa: BLE001 — poison-pill rows -> nulls
+                    for k in cols:
+                        out[k].append(None)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(out["id"], dtype="int64"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="Int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="Int64"),
+                    "zcr": pd.Series(out["zcr"], dtype="float64"),
+                    "spectral_centroid_hz": pd.Series(out["spectral_centroid_hz"], dtype="float64"),
+                    "dominant_freq_hz": pd.Series(out["dominant_freq_hz"], dtype="float64"),
+                    "rms": pd.Series(out["rms"], dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_FEAT_SCHEMA)
+
+
+def phash64(px: "np.ndarray") -> int:
+    """64-bit perceptual hash of an (h, w[, c]) uint8 image: resize to
+    32x32 grayscale (area mean), 2-D DCT (the jpeg module's basis,
+    extended to 32), keep the top-left 8x8 low-frequency block minus DC,
+    threshold against its median — the standard pHash. Near-duplicate
+    images (re-encodes, small edits) agree on most bits; hamming
+    distance <= ~10 is the usual dup call."""
+    if px.ndim == 3:
+        px = px.mean(axis=2)
+    h, w = px.shape
+    # area-mean resize to 32x32 via bucketed indices
+    ys = (np.arange(h) * 32) // h
+    xs = (np.arange(w) * 32) // w
+    small = np.zeros((32, 32))
+    cnt = np.zeros((32, 32))
+    np.add.at(small, (ys[:, None], xs[None, :]), px.astype(np.float64))
+    np.add.at(cnt, (ys[:, None], xs[None, :]), 1.0)
+    small /= np.maximum(cnt, 1.0)
+    # 32-point DCT-II basis
+    n = 32
+    u = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    c = np.sqrt(2.0 / n) * np.cos((2 * x + 1) * u * np.pi / (2 * n))
+    c[0] *= np.sqrt(0.5)
+    d = c @ small @ c.T
+    block = d[:8, :8].reshape(-1)[1:]  # drop DC
+    med = np.median(block)
+    bits = block > med
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # map to signed 64-bit (Spark long)
+    return out - (1 << 63) if out >= (1 << 63) else out
+
+
+PHASH_SCHEMA = "id long, phash long"
+
+
+def image_phash(df: DataFrame) -> DataFrame:
+    """Perceptual-hash stage over decoded-image payloads ({id, content}
+    with content = BMP/PNG/JPEG bytes — format sniffed per row). The
+    8-byte hash is what shuffles in a dedup join, never the image."""
+    from sdc_spark.operators.jpeg import jpeg_decode
+
+    def _decode_any(buf: bytes) -> np.ndarray:
+        if buf[:8] == b"\x89PNG\r\n\x1a\n":
+            return _png_pixels(buf)
+        if buf[:2] == b"\xff\xd8":
+            return jpeg_decode(buf)
+        if buf[:2] == b"BM":
+            return _bmp_pixels(buf)
+        raise ValueError("unknown format")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for i, buf in zip(pdf["id"], pdf["content"]):
+                ids.append(i)
+                try:
+                    hs.append(phash64(_decode_any(bytes(buf))))
+                except Exception:  # noqa: BLE001
+                    hs.append(None)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "phash": pd.Series(hs, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(run, PHASH_SCHEMA)
+
+
+def _png_pixels(buf: bytes) -> np.ndarray:
+    """Full-pixel PNG decode (shared parse with _png_decode)."""
+    import zlib
+
+    pos, w, h, depth, ctype, interlace, idat = 8, None, None, None, None, 0, []
+    n = len(buf)
+    while pos + 8 <= n:
+        ln = int.from_bytes(buf[pos : pos + 4], "big")
+        cid = buf[pos + 4 : pos + 8]
+        body = buf[pos + 8 : pos + 8 + ln]
+        if cid == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype, interlace = body[8], body[9], body[12]
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat or depth != 8 or interlace != 0:
+        raise ValueError("unsupported PNG")
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    return _png_unfilter(raw, w, h, nch)[..., : min(nch, 3)]
+
+
+def _bmp_pixels(buf: bytes) -> np.ndarray:
+    a = np.frombuffer(buf, dtype=np.uint8)
+    off = int(np.frombuffer(a[10:14].tobytes(), "<u4")[0])
+    w = int(np.frombuffer(a[18:22].tobytes(), "<i4")[0])
+    h = int(np.frombuffer(a[22:26].tobytes(), "<i4")[0])
+    bpp = int(np.frombuffer(a[28:30].tobytes(), "<u2")[0])
+    if bpp != 24:
+        raise ValueError("only 24-bit BMP")
+    stride = (w * 3 + 3) & ~3
+    px = a[off : off + stride * abs(h)].reshape(abs(h), stride)[:, : w * 3]
+    px = px.reshape(abs(h), w, 3)[::-1]  # bottom-up -> top-down, BGR
+    return px[..., ::-1]  # -> RGB

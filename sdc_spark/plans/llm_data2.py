@@ -836,6 +836,133 @@ oracle(
 )
 
 
+@query("multimodal_audio_features")
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FFT audio features, hash-verified analytically: each event
+    row synthesizes a square-wave WAV (alternates sign every k samples),
+    where RMS == amplitude EXACTLY and the zero-crossing count is
+    floor((n-1)/k) by construction — both predicted in closed form by the
+    oracle. Pins WAV chunk parsing, channel de-interleave, the ZCR
+    kernel, and the RMS reduction (spectral columns are pinned by the
+    sine-wave unit test; a square wave's FFT bin alignment depends on
+    divisibility, so the oracle sticks to the exact columns)."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from sdc_spark.operators.multimodal import audio_features
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id").filter(
+        F.col("event_id") < 1500
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for eid, uid in zip(pdf["event_id"], pdf["user_id"]):
+                rate = 4000
+                n = 1000 + int(eid) % 7
+                k = 2 + int(eid) % 9
+                amp = (int(uid) % 50 + 1) * 100
+                t = np.arange(n)
+                samples = np.where((t // k) % 2 == 0, amp, -amp).astype("<i2")
+                data = samples.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+                riff = 4 + (8 + len(fmt)) + (8 + len(data))
+                buf = (
+                    b"RIFF" + struct.pack("<I", riff) + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                rows.append((int(eid), buf))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    payloads = ev.mapInPandas(synth, "id long, content binary")
+    feats = audio_features(payloads)
+    return feats.select(
+        "id",
+        "sample_rate",
+        "n_samples",
+        F.round("rms", 4).alias("rms"),
+        (F.round(F.col("zcr") * 1_000_000)).cast("long").alias("zcr_e6"),
+    ).orderBy("id")
+
+
+oracle(
+    "multimodal_audio_features",
+    """
+    WITH params AS (
+        SELECT event_id AS id,
+               1000 + event_id % 7 AS n,
+               2 + event_id % 9 AS k,
+               (user_id % 50 + 1) * 100 AS amp
+        FROM events WHERE event_id < 1500
+    )
+    SELECT id,
+           CAST(4000 AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(amp AS DOUBLE) AS rms,
+           CAST(round(((n - 1) // k) * 1000000.0 / (n - 1))
+                AS BIGINT) AS zcr_e6
+    FROM params ORDER BY id
+    """,
+)
+
+
+@query("dedup_image_phash")
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-level near-duplicate detection on perceptual hashes: each
+    embeddings row (vec_id < 100) synthesizes a PNG whose pixels are a
+    pure function of its LABEL, so rows sharing a label are exact visual
+    duplicates; pHash-64 (32x32 DCT sign bits) collides exactly within a
+    label group, and the bucket join on the 8-byte hash — never the
+    image — emits the pair list. The oracle reconstructs the same pairs
+    relationally from the synthesis rule (label self-join). Distinct
+    labels land far apart in hamming space (pinned by the codec tests),
+    so bucket-equality is the whole dup call here."""
+    import numpy as np
+    import pandas as pd
+
+    from sdc_spark.operators.multimodal import encode_png, image_phash
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label").filter(
+        F.col("vec_id") < 100
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for vid, lab in zip(pdf["vec_id"], pdf["label"]):
+                rng = np.random.RandomState(int(lab) + 17)
+                base = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+                px = np.repeat(np.repeat(base, 4, axis=0), 4, axis=1)
+                rows.append((int(vid), encode_png(px)))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    payloads = emb.mapInPandas(synth, "id long, content binary")
+    hashed = image_phash(payloads)
+    a = hashed.select(F.col("id").alias("id_a"), F.col("phash").alias("ha"))
+    b = hashed.select(F.col("id").alias("id_b"), F.col("phash").alias("hb"))
+    return (
+        a.join(b, (F.col("ha") == F.col("hb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+oracle(
+    "dedup_image_phash",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE a.vec_id < 100 AND b.vec_id < 100
+    ORDER BY id_a, id_b
+    """,
+)
+
+
 @query("multimodal_decode_wav")
 def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, hash-verified like multimodal_decode_bmp: each

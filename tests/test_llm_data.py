@@ -398,3 +398,84 @@ def test_decode_jpeg_real(spark):
     r = rows[2]
     assert r.n_components == 1 and r.mean_r == 200.0
     assert rows[3].width is None
+
+
+def test_audio_features_real(spark):
+    """FFT features pinned analytically: a pure sine at f0 has dominant
+    frequency f0 and spectral centroid ~f0 (exact when n is a multiple of
+    the period); a square wave at f0 has ZCR = 2*f0/rate."""
+    import struct
+
+    import numpy as np
+
+    from sdc_spark.operators import multimodal as smm
+
+    def wav(samples, rate=8000):
+        data = samples.astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        riff = 4 + (8 + len(fmt)) + (8 + len(data))
+        return (
+            b"RIFF" + struct.pack("<I", riff) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    rate, n = 8000, 8000  # 1s -> bin width exactly 1 Hz
+    t = np.arange(n)
+    sine = (10000 * np.sin(2 * np.pi * 440 * t / rate)).round()
+    square = np.where((t * 2 * 200 // rate) % 2 == 0, 9000, -9000)
+    payloads = [(0, wav(sine)), (1, wav(square)), (2, b"RIFFjunk")]
+    df = spark.createDataFrame(payloads, "id long, content binary")
+    rows = {r.id: r for r in smm.audio_features(df).collect()}
+    r = rows[0]
+    assert r.sample_rate == 8000 and r.n_samples == 8000
+    assert abs(r.dominant_freq_hz - 440.0) < 1e-9
+    assert abs(r.spectral_centroid_hz - 440.0) < 1.0  # rounding leakage only
+    assert abs(r.rms - np.sqrt((sine.astype(float) ** 2).mean())) < 1e-6
+    r = rows[1]
+    # square wave at 200 Hz: 400 sign flips/sec -> zcr = 400/7999-ish
+    assert abs(r.zcr - 400.0 / 7999.0) < 1e-3
+    assert abs(r.dominant_freq_hz - 200.0) < 1e-9
+    assert rows[2].zcr is None
+
+
+def test_image_phash_dedup(spark):
+    """pHash invariance: the same image re-encoded (PNG vs BMP vs
+    high-quality JPEG) maps to nearly-identical hashes (hamming <= 6),
+    while a different image is far away (> 20)."""
+    import numpy as np
+
+    from sdc_spark.operators import multimodal as smm
+    from sdc_spark.operators.jpeg import jpeg_encode
+
+    rng = np.random.RandomState(1)
+    base = np.repeat(np.repeat(rng.randint(0, 256, (8, 8, 3)), 8, axis=0), 8, axis=1).astype(np.uint8)
+    other = np.repeat(np.repeat(rng.randint(0, 256, (8, 8, 3)), 8, axis=0), 8, axis=1).astype(np.uint8)
+
+    def bmp(px):
+        import struct
+
+        h, w, _ = px.shape
+        stride = (w * 3 + 3) & ~3
+        raster = b"".join(
+            px[y, :, ::-1].tobytes() + bytes(stride - w * 3) for y in range(h - 1, -1, -1)
+        )
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+        return hdr + info + raster
+
+    payloads = [
+        (0, smm.encode_png(base)),
+        (1, bmp(base)),
+        (2, jpeg_encode(base, quality=95)),
+        (3, smm.encode_png(other)),
+    ]
+    df = spark.createDataFrame(payloads, "id long, content binary")
+    rows = {r.id: r.phash for r in smm.image_phash(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert rows[0] == rows[1]  # PNG and BMP decode identically -> same hash
+    assert ham(rows[0], rows[2]) <= 6  # JPEG q95 is near-dup
+    assert ham(rows[0], rows[3]) > 20  # different image far away
