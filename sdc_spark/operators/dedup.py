@@ -447,7 +447,96 @@ def dedup_components(
         labels = snap.select("u", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break
+    else:
+        # propagation moves a label ONE hop per round, so a component whose
+        # diameter exceeds max_iter would silently mislabel its far nodes —
+        # fail loudly and point at the diameter-independent alternative
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter or use "
+            "components_star, which converges in O(log n) rounds."
+        )
     return labels.select(F.col("u").alias("doc"), F.col("lbl").alias("component"))
+
+
+def components_star(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm). Same contract as ``dedup_components``:
+    output (doc, component) with component = min node id, deterministic.
+
+    Why a second implementation: min-label propagation runs for
+    *diameter* rounds — fine for near-clique dup clusters, but a 100-TB
+    corpus also produces chain-shaped components (temporally drifting
+    near-dup chains, redirect chains), where diameter is unbounded.
+    Large-star/small-star halves tree heights every alternation and
+    converges in O(log n) rounds regardless of diameter: large-star
+    re-hangs every strictly-larger neighbor of each center onto the
+    neighborhood minimum; small-star then flattens each center's smaller
+    neighbors onto that minimum. Each half-round is a groupBy + join on
+    the SAME key (one co-partitioned exchange pair) + distinct; edge
+    multiplicity never exceeds the input edge count, so per-round cost is
+    bounded by the (shrinking) edge set, not by node degree skew.
+    Fixpoint = the star graph rooted at each component minimum, detected
+    by a (count, hash-sum) checksum — one scalar agg per round."""
+    edges = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
+            F.least(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .transform(_materialize)
+    )
+    prev = None
+    for _ in range(max_iter):
+        # large-star over the symmetric view: center c, m = min(N(c) ∪ {c});
+        # emit (v, m) for every neighbor v > c (edges stay (hi, lo)-oriented)
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .transform(_materialize)
+        )
+        # small-star: center u over its (all strictly smaller) neighbors N;
+        # m = min(N); re-hang N \ {m} and u itself onto m
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        edges = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("n"), "m")
+            .union(mins2.select(F.col("u").alias("n"), "m"))
+            .filter(F.col("n") != F.col("m"))
+            .distinct()
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .transform(_materialize)
+        )
+        # set fingerprint: edges are distinct, so count + bit_xor of row
+        # hashes identifies the set (xor never overflows under ANSI mode)
+        row = edges.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        cur = (row["c"], row["h"])
+        if cur == prev:
+            break
+        prev = cur
+    nodes = (
+        pairs.select(F.col(a_col).alias("doc"))
+        .union(pairs.select(F.col(b_col).alias("doc")))
+        .distinct()
+    )
+    return nodes.join(
+        edges.select(F.col("u").alias("doc"), F.col("v").alias("component")),
+        "doc",
+        "left",
+    ).select("doc", F.coalesce("component", F.col("doc")).alias("component"))
 
 
 def decontaminate(

@@ -401,6 +401,41 @@ oracle(
 )
 
 
+_COMPONENTS_ORACLE = f"""
+    WITH RECURSIVE {_GRAMS_SQL},
+    e AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs WHERE jac >= 0.8
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs WHERE jac >= 0.8
+    ),
+    walk(u, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        UNION
+        SELECT e.u, w.lbl FROM e JOIN walk w ON e.v = w.u
+    )
+    SELECT u AS doc, min(lbl) AS component FROM walk GROUP BY u
+    """
+
+
+@query("dedup_components_star")
+def dedup_components_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al. SoCC'14) over the same verified near-dup pairs as
+    `dedup_components` — the diameter-INDEPENDENT scale path: min-label
+    propagation needs diameter rounds (chain-shaped components at 100 TB
+    make that unbounded, and it now fails loudly past max_iter), where
+    the star alternation halves tree heights every round and converges
+    in O(log n) rounds. Identical deterministic contract (component =
+    min doc id), same recursive-CTE oracle."""
+    pairs = sdedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.8
+    )
+    return sdedup.components_star(pairs)
+
+
+oracle("dedup_components_star", _COMPONENTS_ORACLE)
+
+
 @query("text_decontaminate")
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3/PaLM-style n-gram leakage guard,

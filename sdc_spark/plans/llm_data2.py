@@ -910,6 +910,71 @@ oracle(
 )
 
 
+@query("multimodal_video_frames")
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling over YUV4MPEG2 clips (pure-numpy Y4M
+    parsing — no ffmpeg), hash-verified analytically: each embeddings row
+    synthesizes a 6-frame clip whose frame-k luma is the constant
+    (label*31 + k*7) % 256 — even vec_ids as C420 (constant chroma
+    planes), odd as Cmono — and the stride-2 sampler emits frames 0/2/4.
+    Every output column (dims, per-plane means, the scene-change
+    delta_prev between sampled frames) is a closed-form function of
+    (vec_id, label), so the oracle pins header parsing, the C420/mono
+    plane walk, the sampling stride, and the delta chain end-to-end."""
+    import numpy as np
+    import pandas as pd
+
+    from sdc_spark.operators.multimodal import encode_y4m, video_frame_features
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label").filter(
+        F.col("vec_id") < 300
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for vid, lab in zip(pdf["vec_id"], pdf["label"]):
+                vid, lab = int(vid), int(lab)
+                w = 8 + 2 * (vid % 4)
+                h = 4 + 2 * (lab % 3)
+                y = np.stack(
+                    [np.full((h, w), (lab * 31 + k * 7) % 256, np.uint8) for k in range(6)]
+                )
+                if vid % 2 == 0:
+                    u = np.full((6, h // 2, w // 2), lab * 53 % 256, np.uint8)
+                    v = np.full((6, h // 2, w // 2), lab * 71 % 256, np.uint8)
+                    rows.append((vid, encode_y4m(y, u, v)))
+                else:
+                    rows.append((vid, encode_y4m(y)))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    payloads = emb.mapInPandas(synth, "id long, content binary")
+    return video_frame_features(payloads, stride=2).orderBy("id", "frame_idx")
+
+
+oracle(
+    "multimodal_video_frames",
+    """
+    SELECT vec_id AS id,
+           CAST(k AS INT) AS frame_idx,
+           CAST(6 AS INT) AS n_frames,
+           CAST(8 + 2 * (vec_id % 4) AS INT) AS width,
+           CAST(4 + 2 * (label % 3) AS INT) AS height,
+           CAST((label * 31 + k * 7) % 256 AS DOUBLE) AS mean_y,
+           CASE WHEN vec_id % 2 = 0
+                THEN CAST(label * 53 % 256 AS DOUBLE) END AS mean_u,
+           CASE WHEN vec_id % 2 = 0
+                THEN CAST(label * 71 % 256 AS DOUBLE) END AS mean_v,
+           CASE WHEN k > 0
+                THEN CAST(abs((label * 31 + k * 7) % 256
+                            - (label * 31 + (k - 2) * 7) % 256) AS DOUBLE)
+           END AS delta_prev
+    FROM embeddings CROSS JOIN (SELECT unnest([0, 2, 4]) AS k)
+    WHERE vec_id < 300 ORDER BY id, frame_idx
+    """,
+)
+
+
 @query("dedup_image_phash")
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-level near-duplicate detection on perceptual hashes: each

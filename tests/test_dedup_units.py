@@ -56,3 +56,49 @@ def test_exact_dedup_keeps_min_id(spark):
 def test_normalized_text(spark):
     df = spark.createDataFrame([("  A\t\tB  c ",)], "t string")
     assert df.select(normalized_text("t").alias("n")).collect()[0].n == "a b c"
+
+
+def test_components_star_matches_ground_truth(spark):
+    """Both components implementations pinned against a union-find ground
+    truth on adversarial shapes: a 100-node chain (diameter stresses LP's
+    round count; the re-hanging stresses LSS), a clique, singleton
+    self-pairs, and a seeded random graph — one edge list, so
+    cross-component interference is exercised too. Also pins that LP
+    FAILS LOUDLY when max_iter < diameter instead of silently returning
+    mislabeled far nodes (the bug this test originally caught)."""
+    import random
+
+    import pytest
+
+    from sdc_spark.operators.dedup import components_star, dedup_components
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(100, 200)]          # chain, comp min 100
+    edges += [(a, b) for a in range(300, 306) for b in range(a + 1, 306)]  # clique
+    edges += [(500, 500), (501, 501)]                      # isolated self-pairs
+    nodes = list(range(1000, 1080))
+    edges += [tuple(rng.sample(nodes, 2)) for _ in range(60)]  # random graph
+    rng.shuffle(edges)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {(n, find(n)) for n in parent}
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    ss = {(r.doc, r.component) for r in components_star(df).collect()}
+    assert ss == truth
+    lp = {(r.doc, r.component) for r in dedup_components(df, max_iter=150).collect()}
+    assert lp == truth
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(df, max_iter=5).collect()

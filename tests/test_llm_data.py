@@ -479,3 +479,34 @@ def test_image_phash_dedup(spark):
     assert rows[0] == rows[1]  # PNG and BMP decode identically -> same hash
     assert ham(rows[0], rows[2]) <= 6  # JPEG q95 is near-dup
     assert ham(rows[0], rows[3]) > 20  # different image far away
+
+
+def test_video_frame_features_real(spark):
+    """Y4M frame sampling pinned: a 5-frame C420 clip with per-frame
+    constant luma 10k and constant chroma planes samples frames 0/2/4 at
+    stride 2, with exact plane means and delta_prev = 20 between sampled
+    frames; a mono clip yields null chroma; junk payloads yield nulls."""
+    import numpy as np
+
+    from sdc_spark.operators import multimodal as smm
+
+    y = np.stack([np.full((4, 6), 10 * k, np.uint8) for k in range(5)])
+    u = np.full((5, 2, 3), 77, np.uint8)
+    v = np.full((5, 2, 3), 33, np.uint8)
+    payloads = [
+        (0, smm.encode_y4m(y, u, v)),
+        (1, smm.encode_y4m(y[:2])),
+        (2, b"YUV4MPEG2 junk"),
+    ]
+    df = spark.createDataFrame(payloads, "id long, content binary")
+    rows = smm.video_frame_features(df, stride=2).collect()
+    c420 = sorted((r for r in rows if r.id == 0), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in c420] == [0, 2, 4]
+    assert all(r.n_frames == 5 and r.width == 6 and r.height == 4 for r in c420)
+    assert [r.mean_y for r in c420] == [0.0, 20.0, 40.0]
+    assert all(r.mean_u == 77.0 and r.mean_v == 33.0 for r in c420)
+    assert [r.delta_prev for r in c420] == [None, 20.0, 20.0]
+    mono = [r for r in rows if r.id == 1]
+    assert len(mono) == 1 and mono[0].frame_idx == 0 and mono[0].mean_u is None
+    junk = [r for r in rows if r.id == 2]
+    assert len(junk) == 1 and junk[0].mean_y is None
