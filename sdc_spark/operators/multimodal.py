@@ -8,8 +8,9 @@ Arrow-batched ``mapInPandas`` over partitions so bytes never pass through
 Python row-by-row.
 
 Codec status: BMP, WAV, PNG (stdlib zlib + numpy), baseline JPEG
-(pure-numpy huffman + IDCT, operators/jpeg.py) and Y4M video
-(YUV4MPEG2 raw-plane parsing, mono + C420) are REAL decodes —
+(pure-numpy huffman + IDCT, operators/jpeg.py), GIF (pure-Python LZW,
+operators/gif.py) and Y4M video (YUV4MPEG2 raw-plane parsing, mono +
+C420) are REAL decodes —
 hash-verified against analytic oracles. Only codecs with no
 library-free path (MP3/H.264, progressive JPEG) remain stubs: the
 ``stub=False`` flag on the generic stages raises NotImplementedError,
@@ -173,7 +174,8 @@ def sample_frames(
 # BMP (24-bit uncompressed) and WAV (PCM) are pure header+raster formats
 # needing numpy only; PNG is decodable with stdlib zlib (IDAT inflate) +
 # numpy un-filtering; baseline JPEG with pure-numpy huffman + IDCT
-# (operators/jpeg.py) — all four are REAL decodes. The
+# (operators/jpeg.py); GIF with pure-Python LZW (operators/gif.py);
+# Y4M video with raw-plane parsing — all REAL decodes. The
 # NotImplementedError stubs above remain only for codecs whose libraries
 # aren't in the container (MP3/H.264, progressive JPEG).
 
@@ -882,3 +884,47 @@ def video_frame_features(df: DataFrame, stride: int = 2) -> DataFrame:
             )
 
     return df.mapInPandas(run, VIDEO_FEAT_SCHEMA)
+
+
+GIF_SCHEMA = (
+    "id long, width int, height int, n_frames int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def decode_gif(df: DataFrame) -> DataFrame:
+    """REAL GIF decode over {id, content} rows — pure-Python LZW
+    (variable-width codes, dictionary growth, deferred clear) + numpy
+    palette mapping, every frame of animated GIFs composited and
+    averaged (operators/gif.py). Arrow-batched mapInPandas,
+    embarrassingly parallel; malformed payloads yield null metrics."""
+    from sdc_spark.operators.gif import gif_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("width", "height", "n_frames", "mean_r", "mean_g", "mean_b")
+        for pdf in batches:
+            out = {k: [] for k in ("id", *cols)}
+            for i, buf in zip(pdf["id"], pdf["content"]):
+                out["id"].append(i)
+                try:
+                    w, h, frames = gif_decode(bytes(buf))
+                    px = np.stack(frames).reshape(-1, 3).astype(np.float64)
+                    vals = (w, h, len(frames), *px.mean(axis=0))
+                    for k, v in zip(cols, vals):
+                        out[k].append(v)
+                except Exception:  # noqa: BLE001 — poison-pill rows -> nulls
+                    for k in cols:
+                        out[k].append(None)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(out["id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="Int32"),
+                    "height": pd.Series(out["height"], dtype="Int32"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="Int32"),
+                    "mean_r": pd.Series(out["mean_r"], dtype="float64"),
+                    "mean_g": pd.Series(out["mean_g"], dtype="float64"),
+                    "mean_b": pd.Series(out["mean_b"], dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(run, GIF_SCHEMA)

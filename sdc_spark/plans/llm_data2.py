@@ -975,6 +975,77 @@ oracle(
 )
 
 
+@query("multimodal_decode_gif")
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (pure-Python variable-width LZW + numpy palette
+    mapping, operators/gif.py — no PIL), hash-verified analytically:
+    each embeddings row synthesizes an animated GIF of 1 + label%3
+    frames, frame k filled with palette index k whose RGB entry is a
+    closed-form function of (label, k); the decoder composites every
+    frame and the per-channel means equal the average of those palette
+    entries exactly. Pins header/color-table parsing, sub-block
+    reassembly, LZW dictionary growth, multi-frame walking, and the
+    frame-average reduction."""
+    import numpy as np
+    import pandas as pd
+
+    from sdc_spark.operators.gif import gif_encode
+    from sdc_spark.operators.multimodal import decode_gif
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label").filter(
+        F.col("vec_id") < 300
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for vid, lab in zip(pdf["vec_id"], pdf["label"]):
+                vid, lab = int(vid), int(lab)
+                w = 5 + vid % 6
+                h = 3 + lab % 4
+                nf = 1 + lab % 3
+                pal = np.array(
+                    [
+                        (
+                            (lab * 37 + k * 11) % 256,
+                            (lab * 57 + k * 13) % 256,
+                            (lab * 77 + k * 17) % 256,
+                        )
+                        for k in range(max(nf, 2))
+                    ],
+                    dtype=np.uint8,
+                )
+                frames = [np.full((h, w), k, np.uint8) for k in range(nf)]
+                rows.append((vid, gif_encode(frames, pal)))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    payloads = emb.mapInPandas(synth, "id long, content binary")
+    dec = decode_gif(payloads)
+    return dec.select(
+        "id", "width", "height", "n_frames",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    ).orderBy("id")
+
+
+oracle(
+    "multimodal_decode_gif",
+    """
+    SELECT vec_id AS id,
+           CAST(5 + vec_id % 6 AS INT) AS width,
+           CAST(3 + label % 4 AS INT) AS height,
+           CAST(1 + label % 3 AS INT) AS n_frames,
+           round(avg((label * 37 + k * 11) % 256), 4) AS mean_r,
+           round(avg((label * 57 + k * 13) % 256), 4) AS mean_g,
+           round(avg((label * 77 + k * 17) % 256), 4) AS mean_b
+    FROM embeddings CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+    WHERE vec_id < 300 AND k < 1 + label % 3
+    GROUP BY vec_id, label ORDER BY id
+    """,
+)
+
+
 @query("dedup_image_phash")
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-level near-duplicate detection on perceptual hashes: each
