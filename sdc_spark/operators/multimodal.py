@@ -688,6 +688,10 @@ def image_phash(df: DataFrame) -> DataFrame:
             return jpeg_decode(buf)
         if buf[:2] == b"BM":
             return _bmp_pixels(buf)
+        if buf[:6] in (b"GIF87a", b"GIF89a"):
+            from sdc_spark.operators.gif import gif_decode
+
+            return gif_decode(buf)[2][0]  # first frame RGB
         raise ValueError("unknown format")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

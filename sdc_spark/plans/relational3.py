@@ -448,3 +448,60 @@ oracle(
     FROM t WINDOW w AS (ORDER BY event_id)
     """,
 )
+
+
+@query("dq_drift_psi")
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor (the standard corpus
+    drift gate a continuously-ingesting pipeline runs between dump
+    releases — PSI is public credit-scoring/ML-monitoring methodology):
+    token-length distributions of a 'baseline' corpus slice (even
+    doc_id) vs the 'incoming' slice (odd doc_id), bucketed to a fixed
+    decile-ish grid, add-one smoothed, with the per-bucket PSI
+    contribution (share_cur - share_base) * ln(share_cur / share_base).
+
+    One aggregate scan builds BOTH histograms (conditional counts — no
+    second pass, no shuffle beyond the 10-row groupBy); at 100 TB the
+    monitor costs one corpus scan and moves 10 rows."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2 == 0).alias("is_base"),
+        F.least(F.floor(F.length("text") / 100), F.lit(9)).alias("bucket"),
+    )
+    hist = docs.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(~F.col("is_base"), 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = hist.agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_cur").alias("t_cur")
+    )
+    p = (F.col("n_base") + 1) / (F.col("t_base") + 10)
+    q = (F.col("n_cur") + 1) / (F.col("t_cur") + 10)
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_base",
+            "n_cur",
+            F.round((q - p) * F.log(q / p), 4).alias("psi_contrib"),
+        )
+        .orderBy("bucket")
+    )
+
+
+oracle(
+    "dq_drift_psi",
+    """
+    WITH hist AS (
+        SELECT least(CAST(floor(length(text) / 100) AS BIGINT), 9) AS bucket,
+               sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_base,
+               sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_cur
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_base) AS t_base, sum(n_cur) AS t_cur FROM hist)
+    SELECT bucket, n_base, n_cur,
+           round((1.0 * (n_cur + 1) / (t_cur + 10) - 1.0 * (n_base + 1) / (t_base + 10))
+                 * ln((1.0 * (n_cur + 1) / (t_cur + 10)) / (1.0 * (n_base + 1) / (t_base + 10))),
+                 4) AS psi_contrib
+    FROM hist CROSS JOIN tot ORDER BY bucket
+    """,
+)
