@@ -537,7 +537,7 @@ oracle(
     )
     SELECT doc_id AS doc, n_tokens,
            CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
-           (cum - n_tokens) % 2048 AS offset,
+           CAST((cum - n_tokens) % 2048 AS BIGINT) AS offset,
            n_tokens > 0 AND
            CAST((cum - n_tokens) // 2048 AS BIGINT)
              <> CAST((cum - 1) // 2048 AS BIGINT) AS spans_boundary
@@ -611,7 +611,7 @@ oracle(
     SELECT doc_id,
            CAST(max(n) AS DOUBLE) / sum(n) AS top_token_frac,
            CAST(count(*) AS DOUBLE) / sum(n) AS distinct_frac,
-           sum(n) AS n_tokens
+           CAST(sum(n) AS BIGINT) AS n_tokens
     FROM c GROUP BY doc_id
     """,
 )
@@ -638,7 +638,7 @@ def docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 oracle(
     "docs_by_source",
     """
-    SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+    SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
            CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
            max(n_chars) AS max_chars
     FROM documents GROUP BY source, lang ORDER BY source, lang
@@ -747,9 +747,9 @@ oracle(
         SELECT list(t) AS s FROM top
     )
     SELECT source,
-           sum(len(toks)) AS tokens_before,
-           sum(len(list_filter(toks, x -> NOT list_contains(stops.s, x))))
-             AS tokens_after
+           CAST(sum(len(toks)) AS BIGINT) AS tokens_before,
+           CAST(sum(len(list_filter(toks, x -> NOT list_contains(stops.s, x))))
+             AS BIGINT) AS tokens_after
     FROM toks, stops GROUP BY source ORDER BY source
     """,
 )

@@ -91,17 +91,17 @@ oracle(
     )
     SELECT source,
            count(*) AS n_docs,
-           sum(CASE WHEN coalesce(ok_word_count, FALSE)
+           CAST(sum(CASE WHEN coalesce(ok_word_count, FALSE)
                      AND coalesce(ok_mean_word_len, FALSE)
                      AND coalesce(ok_symbol_ratio, FALSE)
                      AND coalesce(ok_alpha_words, FALSE)
                      AND coalesce(ok_stopwords, FALSE)
-                    THEN 1 ELSE 0 END) AS n_keep,
-           sum(CASE WHEN coalesce(ok_word_count, FALSE) THEN 0 ELSE 1 END) AS fail_word_count,
-           sum(CASE WHEN coalesce(ok_mean_word_len, FALSE) THEN 0 ELSE 1 END) AS fail_mean_word_len,
-           sum(CASE WHEN coalesce(ok_symbol_ratio, FALSE) THEN 0 ELSE 1 END) AS fail_symbol_ratio,
-           sum(CASE WHEN coalesce(ok_alpha_words, FALSE) THEN 0 ELSE 1 END) AS fail_alpha_words,
-           sum(CASE WHEN coalesce(ok_stopwords, FALSE) THEN 0 ELSE 1 END) AS fail_stopwords
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum(CASE WHEN coalesce(ok_word_count, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS fail_word_count,
+           CAST(sum(CASE WHEN coalesce(ok_mean_word_len, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS fail_mean_word_len,
+           CAST(sum(CASE WHEN coalesce(ok_symbol_ratio, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS fail_symbol_ratio,
+           CAST(sum(CASE WHEN coalesce(ok_alpha_words, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS fail_alpha_words,
+           CAST(sum(CASE WHEN coalesce(ok_stopwords, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS fail_stopwords
     FROM r GROUP BY source ORDER BY source
     """,
 )
@@ -282,7 +282,7 @@ oracle(
                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
         FROM documents
     )
-    SELECT split, count(*) AS n_docs, sum(n_tok) AS n_tokens
+    SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
     FROM s GROUP BY split ORDER BY split
     """,
 )
@@ -404,7 +404,7 @@ oracle(
     )
     SELECT p.doc_id,
            count(*) AS n_passages,
-           sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup_passages,
+           CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
            CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*) AS dup_frac
     FROM passages p JOIN cross_doc c ON p.phash = c.phash
@@ -517,7 +517,7 @@ oracle(
         SELECT doc_id, token, count(*) AS c FROM toks
         WHERE length(token) > 0 GROUP BY 1, 2
     )
-    SELECT doc_id, sum(c) AS n_tokens,
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
            round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
     FROM per_tok GROUP BY doc_id ORDER BY doc_id
     """,
@@ -607,8 +607,8 @@ oracle(
         FROM deduped
     )
     SELECT split, count(*) AS n_docs,
-           sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS n_tokens,
+           CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS n_tokens,
            count(DISTINCT h) AS n_unique
     FROM split GROUP BY split ORDER BY split
     """,
@@ -1305,8 +1305,8 @@ oracle(
         FROM toks
     )
     SELECT source, doc_id,
-           (cum - n_tok) // 2048 AS pack_id,
-           (cum - n_tok) % 2048 AS offset,
+           CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
+           CAST((cum - n_tok) % 2048 AS BIGINT) AS offset,
            (n_tok > 0 AND (cum - n_tok) // 2048 <> (cum - 1) // 2048)
              AS spans_boundary
     FROM staged ORDER BY source, doc_id
@@ -1392,7 +1392,7 @@ oracle(
     ), v AS (
         SELECT count(DISTINCT w2) AS v FROM big
     )
-    SELECT doc_id, sum(m) AS n_bigrams,
+    SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
            round(sum(m * (ln(CAST(c12 + 1 AS DOUBLE)) - ln(CAST(c1 + v.v AS DOUBLE)))) / sum(m), 4) AS mean_lp
     FROM per_doc JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
     GROUP BY doc_id ORDER BY doc_id
@@ -1501,8 +1501,8 @@ oracle(
                   <> CAST((cum - 1) // 2048 AS BIGINT)) AS spans_boundary
         FROM s
     )
-    SELECT pack_id, count(*) AS n_docs, sum(n_tokens) AS tokens_started,
-           sum(CASE WHEN spans_boundary THEN 1 ELSE 0 END) AS n_split
+    SELECT pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens_started,
+           CAST(sum(CASE WHEN spans_boundary THEN 1 ELSE 0 END) AS BIGINT) AS n_split
     FROM p GROUP BY pack_id ORDER BY pack_id
     """,
 )

@@ -156,7 +156,7 @@ oracle(
                row_number() OVER (PARTITION BY source ORDER BY n_tok) AS rk
         FROM t
     )
-    SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tok,
+    SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tok,
            round(2.0 * sum(rk * n_tok) / (count(*) * sum(n_tok))
                  - (count(*) + 1.0) / count(*), 4) AS gini
     FROM r GROUP BY 1

@@ -82,9 +82,9 @@ oracle(
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     ), islands AS (
         SELECT user_id, start_us, end_us,
-               sum(new_island) OVER (PARTITION BY user_id ORDER BY start_us, event_id
+               CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY start_us, event_id
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS island
+                 AS BIGINT) AS island
         FROM flagged
     )
     SELECT user_id, island,
@@ -358,7 +358,7 @@ oracle(
     "variant_props_extract",
     """
     SELECT event_type, count(*) AS n,
-           sum(CAST(props->>'k' AS BIGINT)) AS k_sum,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
            count(props->>'missing') AS n_missing_present,
            count(DISTINCT CAST(props->>'k' AS BIGINT)) AS k_distinct
     FROM events GROUP BY 1
@@ -393,11 +393,11 @@ oracle(
     "frame_cumsum",
     """
     SELECT event_id,
-           sum(CAST(round(value * 100) AS BIGINT))
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
                OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
-                     AND CURRENT ROW) AS cum_v_cents,
-           sum(user_id) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED
-                              PRECEDING AND CURRENT ROW) AS cum_uid
+                     AND CURRENT ROW) AS BIGINT) AS cum_v_cents,
+           CAST(sum(user_id) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_uid
     FROM events
     """,
 )
@@ -493,8 +493,8 @@ oracle(
     """
     WITH hist AS (
         SELECT least(CAST(floor(length(text) / 100) AS BIGINT), 9) AS bucket,
-               sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_base,
-               sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_cur
+               CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
         FROM documents GROUP BY 1
     ),
     tot AS (SELECT sum(n_base) AS t_base, sum(n_cur) AS t_cur FROM hist)

@@ -65,7 +65,7 @@ oracle(
     "series_groupby",
     """
     SELECT user_id,
-           sum(CAST(round(value * 10000) AS BIGINT)) AS v4_sum,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v4_sum,
            count(value) AS n
     FROM events
     GROUP BY user_id
@@ -400,11 +400,11 @@ oracle(
     "onehot_priority",
     """
     SELECT year(o_orderdate) AS o_year,
-           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_1,
-           sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_2,
-           sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS n_3,
-           sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS n_4,
-           sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n_5
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+           CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_2,
+           CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_3,
+           CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_4,
+           CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_5
     FROM orders GROUP BY 1 ORDER BY o_year
     """,
 )

@@ -105,7 +105,7 @@ oracle(
     )
     SELECT substring(t[1], 1, 1) AS initial,
            count(*) AS n_docs,
-           sum(len(t)) AS total_tok,
+           CAST(sum(len(t)) AS BIGINT) AS total_tok,
            min(doc_id) AS min_doc
     FROM norm GROUP BY 1
     """,

@@ -53,7 +53,15 @@ def write_webdataset(
     through. Returns the (lazy) per-shard summary DataFrame — executing
     it performs the write. Sample->shard assignment is hash(key) mod
     num_shards (deterministic), member order within a shard is sorted by
-    key."""
+    key.
+
+    ``path`` must be on a filesystem shared by driver and executors
+    (local dir in local mode, NFS/Lustre/FUSE-mounted object store on a
+    cluster) — the driver creates the directory, executors write into
+    it. Each task ATTEMPT writes its own ``.{shard}.attempt-{id}.inprogress``
+    temp file before the atomic rename, so a speculative or retried
+    attempt can never interleave bytes with the original; whichever
+    attempt renames last wins with a complete, self-consistent tar."""
     os.makedirs(path, exist_ok=True)
     exts = sorted(member_cols)
     sel = df.select(
@@ -65,9 +73,15 @@ def write_webdataset(
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         shard = f"shard-{pid:06d}.tar"
-        tmp = os.path.join(path, f".{shard}.inprogress")
+        # attempt-unique temp name: concurrent speculative/retried
+        # attempts each write their own file; os.replace publishes
+        # whichever finishes last as one complete tar (never interleaved)
+        tmp = os.path.join(
+            path, f".{shard}.attempt-{ctx.taskAttemptId()}.inprogress"
+        )
         n_samples = n_members = 0
         tar = None
         try:
