@@ -6,8 +6,10 @@ Reference parity: the reference documents both as the siblings of
 pass lists ``pd.to_numeric`` as an intended rewrite target
 (…hpat_pandas_dataframe_pass.py:415-416). Here they compile to
 ``try_cast`` / ``try_to_timestamp`` — whole-stage-codegen casts, no Python
-in the row path; ``errors='raise'`` validates with ONE count aggregate
-(the only action), ``errors='coerce'`` is fully lazy.
+in the row path; ``errors='raise'`` validates with ONE limit(1) probe over
+a single-execution input (expensive lineages are materialized first so the
+probe and the real query share one computation), ``errors='coerce'`` is
+fully lazy.
 """
 
 from __future__ import annotations
@@ -15,6 +17,35 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sdc_spark.frame.series import IDX, VAL, SparkSeries
+from sdc_spark.materialize import materialize
+
+# Optimized-plan node names whose presence means re-executing the lineage
+# is genuinely expensive (shuffle or Python stage) — a bare scan+filter
+# lineage is cheaper to run twice than to copy into the block manager.
+_EXPENSIVE_PLAN_NODES = (
+    "Join", "Aggregate", "Window", "Generate", "Sort", "Expand",
+    "FlatMapGroupsInPandas", "MapInPandas", "ArrowEvalPython",
+)
+
+
+def _single_execution(s: SparkSeries) -> SparkSeries:
+    """Return ``s`` backed by a frame whose lineage executes at most once
+    across the raise-validation probe AND every downstream consumer.
+
+    ``errors='raise'`` must probe the parsed column eagerly (pandas
+    raises at call time), which would otherwise re-run the input's whole
+    lineage once for the probe and again for the real query — the
+    round-6 `series_conversions` regression. Inputs whose optimized plan
+    contains a shuffle/Python stage are materialized first; a plain
+    scan(+filter/project) lineage is left alone, since running it twice
+    is cheaper than block-manager round-trips."""
+    try:
+        plan = s._df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # noqa: BLE001 — connect-mode etc.: be safe, copy
+        return SparkSeries(materialize(s._df), name=s.name)
+    if any(n in plan for n in _EXPENSIVE_PLAN_NODES):
+        return SparkSeries(materialize(s._df), name=s.name)
+    return s
 
 # strftime -> Spark (Java) datetime pattern fragments.
 _STRFTIME_TO_JAVA = [
@@ -106,6 +137,7 @@ def to_numeric(
         raise ValueError(f"unsupported errors={errors!r}")
     cast = F.col(VAL).try_cast("double")
     if errors == "raise":
+        s = _single_execution(s)
         bad = (
             s._df.filter(F.col(VAL).isNotNull() & cast.isNull())
             .limit(1)
@@ -152,6 +184,7 @@ def to_datetime(
     fmt = [F.lit(strftime_to_java(format))] if format else []
     parsed = F.try_to_timestamp(F.col(VAL), *fmt)
     if errors == "raise":
+        s = _single_execution(s)
         bad = (
             s._df.filter(F.col(VAL).isNotNull() & parsed.isNull())
             .limit(1)

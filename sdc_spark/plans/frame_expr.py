@@ -225,16 +225,25 @@ def series_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     astype siblings, …series_functions.py:1855-1868): ship dates formatted
     to dd/MM/yyyy strings then parsed back with a strftime format;
     quantities stringified then re-parsed. try_to_timestamp / try_cast —
-    codegen casts, zero Python in the row path."""
+    codegen casts, zero Python in the row path.
+
+    The _uniq_lineitem join output feeds THREE consumers here
+    (to_datetime's eager raise-validation probe plus both sides of the
+    final index-alignment join), so it is materialized once — without
+    this the semi-join lineage re-executes per consumer (the round-6
+    3.1x bench regression)."""
     from sdc_spark.frame.series import VAL, SparkSeries
     from sdc_spark.functions.conversion import to_datetime, to_numeric
+    from sdc_spark.materialize import materialize
 
     li = read_table(spark, sf_dir, "lineitem")
-    base = _uniq_lineitem(
-        li,
-        F.date_format("l_shipdate", "dd/MM/yyyy HH:mm:ss").alias("dstr"),
-        F.col("l_quantity").cast("string").alias("qstr"),
-    ).withColumnRenamed("uid", IDX)
+    base = materialize(
+        _uniq_lineitem(
+            li,
+            F.date_format("l_shipdate", "dd/MM/yyyy HH:mm:ss").alias("dstr"),
+            F.col("l_quantity").cast("string").alias("qstr"),
+        ).withColumnRenamed("uid", IDX)
+    )
     d = to_datetime(
         SparkSeries(base.select(IDX, F.col("dstr").alias(VAL))),
         format="%d/%m/%Y %H:%M:%S",
