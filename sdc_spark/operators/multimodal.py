@@ -11,12 +11,15 @@ Codec status: BMP, WAV, PNG (stdlib zlib + numpy), baseline JPEG
 (pure-numpy huffman + IDCT, operators/jpeg.py), GIF (pure-Python LZW,
 operators/gif.py) and Y4M video (YUV4MPEG2 raw-plane parsing, mono +
 C420) are REAL decodes —
-hash-verified against analytic oracles. Only codecs with no
-library-free path (MP3/H.264, progressive JPEG) remain stubs: the
-``stub=False`` flag on the generic stages raises NotImplementedError,
-and the default stub derives deterministic pseudo-features from the raw
-bytes, keeping schema, batching, partitioning, and downstream plumbing
-fully real and testable.
+hash-verified against analytic oracles. The generic stages
+(decode_and_featurize / resize_images / sample_frames) route their
+``stub=False`` path through operators/codec_backend (PIL/native when
+importable on the worker, pure-numpy floor here). Only codecs with no
+library-free path (MP3, H.264/VP9/MP4, progressive JPEG) still raise
+NotImplementedError; the default stub derives deterministic
+pseudo-features from the raw bytes, keeping schema, batching,
+partitioning, and downstream plumbing fully real and testable for
+payload-agnostic demos.
 
 Scale notes: binary payloads dominate row size — repartition by size
 budget, not row count (``maxRecordsPerBatch`` low for Arrow transfers);
@@ -64,16 +67,50 @@ def _stub_features(buf: bytes, dim: int = 8) -> np.ndarray:
 def decode_and_featurize(df: DataFrame, stub: bool = True) -> DataFrame:
     """mapInPandas decode + feature-extraction stage.
 
-    ``stub=False`` is the real-codec path — explicitly unimplemented in
-    this container (no PIL/ffmpeg); everything around it (Arrow batches,
-    schema, partition parallelism) is the production shape."""
+    ``stub=False`` is the REAL image path: sniff-decode PNG/JPEG/BMP/GIF
+    (operators/codec_backend — PIL fast path off-sandbox, pure-numpy
+    here), features = an 8-dim 4x2 grayscale thumbnail (bilinear),
+    byte_mean/std over the DECODED pixels. Undecodable payloads yield
+    null metrics (poison-pill). The default stub path derives
+    deterministic pseudo-features from the raw bytes for payload-agnostic
+    plumbing demos; both share schema, batching, and partitioning."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not stub:
-                raise NotImplementedError(
-                    "real image/audio decode requires PIL/torchaudio — not in container"
+                from sdc_spark.operators.codec_backend import (
+                    bilinear_resize,
+                    decode_image_pixels,
                 )
+
+                ids, nb, bm, bs, ft = [], [], [], [], []
+                for i, buf in zip(pdf["id"], pdf["content"]):
+                    ids.append(i)
+                    nb.append(len(buf))
+                    try:
+                        px = decode_image_pixels(bytes(buf)).astype(np.float64)
+                        gray = px.mean(axis=-1)
+                        bm.append(float(gray.mean()))
+                        bs.append(float(gray.std()))
+                        ft.append(
+                            bilinear_resize(gray, 4, 2)
+                            .reshape(-1)
+                            .astype(np.float32)
+                        )
+                    except Exception:  # noqa: BLE001 — poison pill
+                        bm.append(None)
+                        bs.append(None)
+                        ft.append(None)
+                yield pd.DataFrame(
+                    {
+                        "id": pd.Series(ids, dtype="int64"),
+                        "n_bytes": pd.Series(nb, dtype="int64"),
+                        "byte_mean": pd.Series(bm, dtype="float64"),
+                        "byte_std": pd.Series(bs, dtype="float64"),
+                        "feat": ft,
+                    }
+                )
+                continue
             content = pdf["content"]
             n_bytes = content.map(len)
             feats = content.map(_stub_features)
@@ -98,20 +135,56 @@ RESIZE_SCHEMA = "id long, width int, height int, content binary"
 
 
 def resize_images(
-    df: DataFrame, width: int = 64, height: int = 64, stub: bool = True
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    stub: bool = True,
+    backend: str | None = None,
 ) -> DataFrame:
     """mapInPandas image-resize stage over {id, content, meta} rows.
 
-    ``stub=False`` is the real-codec path (PIL) — unimplemented in this
-    container. The stub emits a deterministic byte-resample of the payload
-    to exactly width*height bytes (nearest-index gather), so output size,
-    schema and Arrow batch shape match what a real resampler produces."""
+    ``stub=False`` is the REAL path: sniff-decode the payload (PNG/JPEG/
+    BMP/GIF via operators/codec_backend — PIL when present, pure-numpy
+    bilinear otherwise), resample to (width, height) with half-pixel-
+    center bilinear weights, re-encode as PNG. Undecodable payloads
+    yield null content/dims (poison-pill discipline).
+
+    The default ``stub=True`` keeps the payload-agnostic byte-resample
+    mode (a deterministic nearest-index gather to width*height bytes) for
+    pipelines whose binary column is not a raster image — the multimodal
+    plumbing demo over text-bytes payloads uses this."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in batches:
             if not stub:
-                raise NotImplementedError("real image resize requires PIL — not in container")
+                from sdc_spark.operators.codec_backend import (
+                    decode_image_pixels,
+                    resize_pixels,
+                )
+
+                ids, ws, hs, outs = [], [], [], []
+                for i, buf in zip(pdf["id"], pdf["content"]):
+                    ids.append(i)
+                    try:
+                        px = decode_image_pixels(bytes(buf))
+                        out = resize_pixels(px, width, height, force=backend)
+                        outs.append(encode_png(out))
+                        ws.append(width)
+                        hs.append(height)
+                    except Exception:  # noqa: BLE001 — poison pill
+                        outs.append(None)
+                        ws.append(None)
+                        hs.append(None)
+                yield pd.DataFrame(
+                    {
+                        "id": pd.Series(ids, dtype="int64"),
+                        "width": pd.Series(ws, dtype="Int32"),
+                        "height": pd.Series(hs, dtype="Int32"),
+                        "content": outs,
+                    }
+                )
+                continue
 
             def resample(buf: bytes) -> bytes:
                 a = np.frombuffer(buf, dtype=np.uint8)
@@ -142,15 +215,49 @@ def sample_frames(
     frame (row explosion happens INSIDE the Arrow batch, not via a Python
     UDF per row).
 
-    ``stub=False`` is the real path (ffmpeg/pyav) — unimplemented here. The
-    stub treats the payload as a concatenation of equal 'frames' and takes
-    n_frames evenly-spaced slices, preserving the real operator's fan-out
-    shape (id multiplicity, frame ordering, bounded frame size)."""
+    ``stub=False`` is the REAL path for Y4M (YUV4MPEG2) payloads: parse
+    the raw-plane container (_y4m_iter_frames), take n_frames evenly
+    spaced frames, emit each frame's Y plane (luma raster, at most
+    frame_bytes bytes) — no ffmpeg needed. Compressed containers
+    (H.264/VP9/MP4) still raise NotImplementedError: there is no
+    library-free decode path, and silently emitting garbage would be
+    worse than failing loudly. The default stub treats the payload as a
+    concatenation of equal 'frames' and takes n_frames evenly-spaced
+    slices, preserving the real operator's fan-out shape (id
+    multiplicity, frame ordering, bounded frame size)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not stub:
-                raise NotImplementedError("real frame sampling requires ffmpeg — not in container")
+                ids, idxs, frames = [], [], []
+                for i, buf in zip(pdf["id"], pdf["content"]):
+                    buf = bytes(buf)
+                    if not buf.startswith(b"YUV4MPEG2"):
+                        raise NotImplementedError(
+                            "compressed video needs ffmpeg — only Y4M has a "
+                            "library-free decode path"
+                        )
+                    planes = [y for _w, _h, _m, y, _u, _v in _y4m_iter_frames(buf)]
+                    n = len(planes)
+                    if n == 0:
+                        continue
+                    picks = sorted(
+                        {(k * (n - 1)) // max(n_frames - 1, 1) for k in range(min(n_frames, n))}
+                    )
+                    for k, fi in enumerate(picks):
+                        ids.append(i)
+                        idxs.append(k)
+                        frames.append(
+                            planes[fi].astype(np.uint8).tobytes()[:frame_bytes]
+                        )
+                yield pd.DataFrame(
+                    {
+                        "id": pd.Series(ids, dtype="int64"),
+                        "frame_idx": pd.Series(idxs, dtype="int32"),
+                        "frame": frames,
+                    }
+                )
+                continue
             ids, idxs, frames = [], [], []
             for i, buf in zip(pdf["id"], pdf["content"]):
                 a = np.frombuffer(buf, dtype=np.uint8)
@@ -410,6 +517,18 @@ def _png_decode(buf: bytes) -> tuple:
     nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
     if nch is None:
         raise ValueError(f"unsupported color type {ctype}")
+    from sdc_spark.operators.codec_backend import backend
+
+    if backend() == "pil":  # native inflate+unfilter; header stays parsed
+        import io as _io
+
+        from PIL import Image as _Image
+
+        arr = np.asarray(
+            _Image.open(_io.BytesIO(buf)).convert("RGB"), dtype=np.uint8
+        )
+        means = tuple(float(arr[..., c].mean()) for c in range(3))
+        return w, h, int(depth), int(ctype), means
     raw = zlib.decompress(b"".join(idat))
     if len(raw) != h * (w * nch + 1):
         raise ValueError("IDAT size mismatch")
@@ -522,19 +641,39 @@ JPEG_SCHEMA = (
 
 def decode_jpeg(df: DataFrame) -> DataFrame:
     """REAL baseline-JPEG decode over {id, content} rows — pure
-    numpy + stdlib huffman/IDCT (operators/jpeg.py), no PIL/libjpeg.
+    numpy + stdlib huffman/IDCT (operators/jpeg.py) as the floor, PIL
+    (libjpeg) automatically when importable on the worker
+    (operators/codec_backend — SDC_CODEC_BACKEND pins either).
     Arrow-batched mapInPandas, embarrassingly parallel; progressive /
     arithmetic / malformed payloads yield null metric columns
     (poison-pill discipline)."""
+    from sdc_spark.operators.codec_backend import backend
     from sdc_spark.operators.jpeg import jpeg_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_pil = backend() == "pil"
+        if use_pil:
+            import io as _io
+
+            from PIL import Image as _Image
         cols = ("width", "height", "n_components", "mean_r", "mean_g", "mean_b")
         for pdf in batches:
             out = {k: [] for k in ("id", *cols)}
             for i, buf in zip(pdf["id"], pdf["content"]):
                 out["id"].append(i)
                 try:
+                    if use_pil:
+                        im = _Image.open(_io.BytesIO(bytes(buf)))
+                        nc_src = len(im.getbands())
+                        px = np.asarray(im.convert("RGB"), dtype=np.uint8)
+                        h, w = px.shape[:2]
+                        nc = nc_src
+                        means = tuple(
+                            float(px[..., c].mean()) for c in range(3)
+                        )
+                        for k, v in zip(cols, (w, h, nc, *means)):
+                            out[k].append(v)
+                        continue
                     px = jpeg_decode(bytes(buf))
                     h, w, nc = px.shape
                     if nc == 1:
@@ -679,20 +818,9 @@ def image_phash(df: DataFrame) -> DataFrame:
     """Perceptual-hash stage over decoded-image payloads ({id, content}
     with content = BMP/PNG/JPEG bytes — format sniffed per row). The
     8-byte hash is what shuffles in a dedup join, never the image."""
-    from sdc_spark.operators.jpeg import jpeg_decode
+    from sdc_spark.operators.codec_backend import decode_image_pixels
 
-    def _decode_any(buf: bytes) -> np.ndarray:
-        if buf[:8] == b"\x89PNG\r\n\x1a\n":
-            return _png_pixels(buf)
-        if buf[:2] == b"\xff\xd8":
-            return jpeg_decode(buf)
-        if buf[:2] == b"BM":
-            return _bmp_pixels(buf)
-        if buf[:6] in (b"GIF87a", b"GIF89a"):
-            from sdc_spark.operators.gif import gif_decode
-
-            return gif_decode(buf)[2][0]  # first frame RGB
-        raise ValueError("unknown format")
+    _decode_any = decode_image_pixels  # sniff + backend routing (PIL/numpy)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1506,3 +1506,69 @@ oracle(
     FROM p GROUP BY pack_id ORDER BY pack_id
     """,
 )
+
+
+@query("multimodal_resize")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (pure-numpy half-pixel-center bilinear,
+    operators/codec_backend.bilinear_resize; PIL routes in automatically
+    off-sandbox but the query pins backend='numpy' so the analytic oracle
+    holds on any deployment), hash-verified like multimodal_decode_png.
+
+    Fixture: each embeddings row synthesizes a PNG with a VERTICAL
+    gradient of step 2 (px[y] = base_c + 2y, 6 rows) and horizontally
+    constant columns (width 5 + vec_id % 4). Resizing to (5, 3) puts
+    every vertical sample at t=0.5 between rows 2i and 2i+1 — an exact
+    float blend (0.5*(b+4i) + 0.5*(b+4i+2) = b+4i+1, integers all the
+    way), so the re-encoded PNG's channel means are analytic:
+    mean_c = base_c + 5. A nearest-neighbor resampler would produce
+    base_c+4 or base_c+6 — the oracle genuinely pins the interpolation
+    weights, not just plumbing. Horizontal downscale blends identical
+    columns (exact for any weights), covering varying input widths."""
+    import numpy as np
+    import pandas as pd
+
+    from sdc_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        resize_images,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for vid, lab in zip(pdf["vec_id"], pdf["label"]):
+                in_w = 5 + int(vid) % 4
+                bases = (int(lab) * 37 % 180, int(lab) * 57 % 180,
+                         int(lab) * 77 % 180)
+                y = np.arange(6, dtype=np.int32)
+                col = np.stack([b + 2 * y for b in bases], axis=1)  # (6, 3)
+                px = np.repeat(col[:, None, :], in_w, axis=1).astype(np.uint8)
+                rows.append((int(vid), encode_png(px)))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    payloads = emb.mapInPandas(synth, "id long, content binary")
+    resized = resize_images(
+        payloads, width=5, height=3, stub=False, backend="numpy"
+    )
+    return (
+        decode_png(resized.select("id", "content"))
+        .select("id", "width", "height", "mean_r", "mean_g", "mean_b")
+        .orderBy("id")
+    )
+
+
+oracle(
+    "multimodal_resize",
+    """
+    SELECT vec_id AS id,
+           CAST(5 AS INT) AS width,
+           CAST(3 AS INT) AS height,
+           CAST(label * 37 % 180 + 5 AS DOUBLE) AS mean_r,
+           CAST(label * 57 % 180 + 5 AS DOUBLE) AS mean_g,
+           CAST(label * 77 % 180 + 5 AS DOUBLE) AS mean_b
+    FROM embeddings ORDER BY id
+    """,
+)

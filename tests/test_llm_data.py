@@ -63,13 +63,47 @@ def test_multimodal_stub_deterministic(spark, sf_dir):
     assert all(len(v[2]) == 8 for v in a.values())
 
 
-def test_multimodal_real_path_raises(spark, sf_dir):
+def test_multimodal_real_path_decodes_images_and_poisons_junk(spark, monkeypatch):
+    """stub=False is now the REAL image path: a PNG payload yields decoded
+    grayscale stats + an 8-dim bilinear thumbnail; non-image bytes yield
+    null metrics (poison-pill), never an exception."""
+    import numpy as np
+
+    from sdc_spark.operators.multimodal import encode_png
+
+    monkeypatch.setenv("SDC_CODEC_BACKEND", "numpy")
+    px = np.full((4, 4, 3), 120, np.uint8)
+    rows = [(0, encode_png(px)), (1, b"not an image at all")]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r.id: r for r in smm.decode_and_featurize(df, stub=False).collect()}
+    assert got[0].byte_mean == 120.0 and got[0].byte_std == 0.0
+    assert len(got[0].feat) == 8 and all(abs(f - 120.0) < 1e-6 for f in got[0].feat)
+    assert got[1].byte_mean is None and got[1].feat is None
+    assert got[1].n_bytes == len(b"not an image at all")
+
+
+def test_sample_frames_real_path_y4m(spark):
+    """stub=False samples REAL Y4M frames: evenly spaced luma planes,
+    bounded size; compressed payloads still raise (no library-free
+    decode path)."""
+    import numpy as np
     import pytest
 
-    doc = read_table(spark, sf_dir, "documents").limit(2)
-    df = smm.decode_and_featurize(smm.attach_binary(doc, "text", "doc_id"), stub=False)
-    with pytest.raises(Exception, match="NotImplementedError|real image"):
-        df.collect()
+    y = np.stack([np.full((4, 6), 10 * k, np.uint8) for k in range(5)])
+    clip = smm.encode_y4m(y)
+    df = spark.createDataFrame([(0, clip)], "id long, content binary")
+    rows = sorted(
+        smm.sample_frames(df, n_frames=3, frame_bytes=24, stub=False).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in rows] == [0, 1, 2]
+    # evenly spaced over 5 frames -> source frames 0, 2, 4 (luma 0/20/40)
+    assert [bytes(r.frame)[0] for r in rows] == [0, 20, 40]
+    assert all(len(r.frame) == 24 for r in rows)
+
+    bad = spark.createDataFrame([(1, b"\x00\x00\x01mp4junk")], "id long, content binary")
+    with pytest.raises(Exception, match="NotImplementedError|compressed video"):
+        smm.sample_frames(bad, n_frames=2, stub=False).collect()
 
 
 def test_multimodal_resize_and_frames(spark, sf_dir):
