@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sdc_spark.materialize import materialize as _materialize
+from sdc_spark.materialize import unmaterialize as _unmaterialize
 
 
 def normalized_text(col) -> Column:
@@ -421,6 +422,7 @@ def dedup_components(
     ).distinct()
     edges = edges.transform(_materialize)
     labels = edges.select("u").distinct().select("u", F.col("u").alias("lbl"))
+    prev_snap = None
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -445,6 +447,12 @@ def dedup_components(
         )
         changed = snap.filter(F.col("new_lbl") != F.col("lbl")).count()
         labels = snap.select("u", F.col("new_lbl").alias("lbl"))
+        # persist-mode hygiene: the superseded round's blocks are never
+        # read again — release them so unbounded iteration can't
+        # accumulate cached state (no-op under the checkpoint modes)
+        if prev_snap is not None:
+            _unmaterialize(prev_snap)
+        prev_snap = snap
         if changed == 0:
             break
     else:
@@ -491,6 +499,7 @@ def components_star(
         .transform(_materialize)
     )
     prev = None
+    converged = False
     for _ in range(max_iter):
         # large-star over the symmetric view: center c, m = min(N(c) ∪ {c});
         # emit (v, m) for every neighbor v > c (edges stay (hi, lo)-oriented)
@@ -508,6 +517,7 @@ def components_star(
         # small-star: center u over its (all strictly smaller) neighbors N;
         # m = min(N); re-hang N \ {m} and u itself onto m
         mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        old_edges = edges
         edges = (
             ls.join(mins2, "u")
             .select(F.col("v").alias("n"), "m")
@@ -517,6 +527,10 @@ def components_star(
             .select(F.col("n").alias("u"), F.col("m").alias("v"))
             .transform(_materialize)
         )
+        # persist-mode hygiene: this round's edge set is computed, so the
+        # superseded half-round frames' blocks are never read again
+        _unmaterialize(ls)
+        _unmaterialize(old_edges)
         # set fingerprint: edges are distinct, so count + bit_xor of row
         # hashes identifies the set (xor never overflows under ANSI mode)
         row = edges.agg(
@@ -525,8 +539,18 @@ def components_star(
         ).first()
         cur = (row["c"], row["h"])
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # a non-fixpoint edge set can still be multi-level (a node hung on
+        # a non-minimum), i.e. labels would be WRONG, not merely stale —
+        # mirror dedup_components' loud failure instead of returning them
+        raise RuntimeError(
+            f"components_star did not reach a fixpoint in {max_iter} "
+            "alternations (expected O(log n)); raise max_iter — returning "
+            "non-converged labels would mislabel components."
+        )
     nodes = (
         pairs.select(F.col(a_col).alias("doc"))
         .union(pairs.select(F.col(b_col).alias("doc")))

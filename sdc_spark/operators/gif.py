@@ -173,7 +173,10 @@ def gif_decode(buf: bytes) -> tuple[int, int, list[np.ndarray]]:
     Frames are decoded independently at their own (left, top, w, h)
     placement onto the logical screen, composited over the previous frame
     (disposal methods beyond 'draw over' are not distinguished — fine for
-    feature extraction)."""
+    feature extraction). The Graphic Control Extension's transparency
+    flag IS honored: pixels matching the frame's transparent color index
+    are skipped during compositing, so they show the previous frame's
+    pixels instead of the palette's opaque RGB (GIF89a spec §23)."""
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not GIF")
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", buf[6:13])
@@ -185,11 +188,16 @@ def gif_decode(buf: bytes) -> tuple[int, int, list[np.ndarray]]:
         pos += 3 * n
     screen = np.zeros((sh, sw, 3), dtype=np.uint8)
     frames: list[np.ndarray] = []
+    transparent = None  # GCE transparent color index for the NEXT image
     while pos < len(buf):
         b = buf[pos]
         if b == 0x3B:  # trailer
             break
-        if b == 0x21:  # extension: label + sub-blocks, skip
+        if b == 0x21:  # extension: parse GCE transparency, skip the rest
+            label = buf[pos + 1]
+            if label == 0xF9 and buf[pos + 2] >= 4:
+                gce_flags = buf[pos + 3]
+                transparent = buf[pos + 6] if gce_flags & 0x01 else None
             pos += 2
             while buf[pos] != 0:
                 pos += 1 + buf[pos]
@@ -222,16 +230,29 @@ def gif_decode(buf: bytes) -> tuple[int, int, list[np.ndarray]]:
             de = np.empty_like(idx)
             de[rows] = idx
             idx = de
-        screen[top : top + h, left : left + w] = ct[np.minimum(idx, len(ct) - 1)]
+        rgb = ct[np.minimum(idx, len(ct) - 1)]
+        if transparent is not None:
+            region = screen[top : top + h, left : left + w]
+            opaque = idx != transparent
+            region[opaque] = rgb[opaque]
+        else:
+            screen[top : top + h, left : left + w] = rgb
+        transparent = None  # a GCE applies only to the image that follows
         frames.append(screen.copy())
     if not frames:
         raise ValueError("no frames")
     return sw, sh, frames
 
 
-def gif_encode(frames: "list[np.ndarray]", palette: "np.ndarray") -> bytes:
+def gif_encode(
+    frames: "list[np.ndarray]",
+    palette: "np.ndarray",
+    transparent_idx: "list[int | None] | None" = None,
+) -> bytes:
     """Encode (h, w) palette-index frames with a shared global color
-    table (palette: (n<=256, 3) uint8) as GIF89a. Test/synthesis path."""
+    table (palette: (n<=256, 3) uint8) as GIF89a. Test/synthesis path.
+    ``transparent_idx[i]`` (optional, per frame) emits a Graphic Control
+    Extension marking that palette index transparent for frame i."""
     h, w = frames[0].shape
     n = max(2, 1 << int(np.ceil(np.log2(max(len(palette), 2)))))
     pal = np.zeros((n, 3), dtype=np.uint8)
@@ -241,7 +262,11 @@ def gif_encode(frames: "list[np.ndarray]", palette: "np.ndarray") -> bytes:
     out.extend(struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0))
     out.extend(pal.tobytes())
     min_code = max(bits, 2)
-    for fr in frames:
+    for i, fr in enumerate(frames):
+        t = transparent_idx[i] if transparent_idx else None
+        if t is not None:
+            # GCE: label 0xF9, block size 4, flags bit0 = transparency
+            out.extend(struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0x01, 0, t, 0))
         out.extend(struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0))
         out.append(min_code)
         out.extend(_sub_blocks(lzw_encode(min_code, fr.ravel())))

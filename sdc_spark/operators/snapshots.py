@@ -121,31 +121,64 @@ def snapshot_diff(
     v_new: int,
     key_cols: list[str],
 ) -> DataFrame:
-    """Row-level diff between two committed versions: one full-outer join
-    on the key, rows classified added / removed / changed / unchanged
-    (changed = same key, any non-key column differs — compared via a
-    single xxhash64 over the non-key columns, null-safe).
+    """Row-level diff between two committed versions: per-key multiset
+    fingerprints joined full-outer, rows classified added / removed /
+    changed / unchanged.
 
-    Output: key columns + ``change_type``. The join is the only shuffle;
-    both sides are parquet scans of immutable version dirs, so the diff
-    of a 100-TB table against its predecessor is a single co-partitioned
-    SMJ/hash join sized by the table, not by the version history."""
+    Robust to the cases a naive row-hash join gets wrong:
+
+    - **duplicate keys** — each side aggregates to ONE row per key
+      (count + an order-independent sum of row hashes), so dup-key fan-out
+      cannot manufacture spurious diff rows; a key whose duplicate
+      multiplicity changes is reported ``changed``.
+    - **null vs sentinel** — every value column contributes an explicit
+      ``isNull`` boolean ahead of its string form to the hash, so a
+      genuine NUL/empty string is distinguishable from NULL (Spark's hash
+      functions skip null arguments, which is also why interleaving the
+      flags keeps adjacent columns positionally unambiguous).
+    - **schema drift** — columns are compared over the INTERSECTION of
+      the two versions' non-key columns; added/dropped columns cannot
+      raise, and (documented limitation) a row whose only difference
+      lies in a non-shared column reads ``unchanged``.
+
+    The row-hash sum is carried as decimal(38,0), which cannot overflow
+    under ANSI mode for any feasible per-key row count.
+
+    Output: key columns + ``change_type``. Each side's groupBy and the
+    full-outer join shuffle on the same key, so AQE plans one exchange
+    pair; both sides are parquet scans of immutable version dirs — the
+    diff of a 100-TB table against its predecessor is sized by the
+    table, not by the version history."""
     old = read_snapshot(spark, root, v_old)
     new = read_snapshot(spark, root, v_new)
-    val_cols = [c for c in new.columns if c not in key_cols]
+    shared = set(old.columns) & set(new.columns)
+    val_cols = [c for c in new.columns if c not in key_cols and c in shared]
 
     def fp(df: DataFrame, name: str) -> DataFrame:
-        return df.select(
-            *key_cols,
-            F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in val_cols]).alias(name),
+        parts = []
+        for c in val_cols:
+            parts.append(F.col(c).isNull())
+            parts.append(F.col(c).cast("string"))
+        row_h = F.xxhash64(*parts) if parts else F.lit(0).cast("long")
+        return (
+            df.select(*key_cols, row_h.alias("__h__"))
+            .groupBy(*key_cols)
+            .agg(
+                F.count(F.lit(1)).alias(f"{name}_n"),
+                F.sum(F.col("__h__").cast("decimal(38,0)")).alias(f"{name}_s"),
+            )
         )
 
-    joined = fp(old, "old_fp").join(fp(new, "new_fp"), key_cols, "full_outer")
+    joined = fp(old, "old").join(fp(new, "new"), key_cols, "full_outer")
     return joined.select(
         *key_cols,
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        F.when(F.col("old_n").isNull(), F.lit("added"))
+        .when(F.col("new_n").isNull(), F.lit("removed"))
+        .when(
+            (F.col("old_n") != F.col("new_n"))
+            | (F.col("old_s") != F.col("new_s")),
+            F.lit("changed"),
+        )
         .otherwise(F.lit("unchanged"))
         .alias("change_type"),
     )

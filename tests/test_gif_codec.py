@@ -83,3 +83,23 @@ def test_decode_gif_stage(spark):
     assert (r.width, r.height, r.n_frames) == (4, 3, 2)
     assert (r.mean_r, r.mean_g, r.mean_b) == (130.0, 10.0, 15.0)
     assert rows[1].width is None
+
+
+def test_gif_transparency_composites_previous_frame():
+    """GCE transparency (GIF89a spec 23): transparent pixels in frame 2
+    show frame 1's pixels, not the palette's opaque RGB at that index."""
+    pal = np.array([[10, 20, 30], [200, 100, 50]], np.uint8)
+    f1 = np.ones((2, 3), np.uint8)   # solid palette[1]
+    f2 = np.zeros((2, 3), np.uint8)  # all index 0...
+    f2[0, 0] = 1
+    buf = gif_encode([f1, f2], pal, transparent_idx=[None, 0])
+    _w, _h, frames = gif_decode(buf)
+    # frame 1: solid color 1
+    assert np.array_equal(frames[0][0, 0], pal[1])
+    # frame 2: index-0 pixels are TRANSPARENT -> previous frame (color 1)
+    # shows through everywhere; the lone opaque pixel is also color 1
+    assert np.array_equal(frames[1], np.broadcast_to(pal[1], (2, 3, 3)))
+    # same frames WITHOUT the GCE: index 0 is opaque palette RGB
+    buf2 = gif_encode([f1, f2], pal)
+    _w, _h, frames2 = gif_decode(buf2)
+    assert np.array_equal(frames2[1][1, 2], pal[0])
