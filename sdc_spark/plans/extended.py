@@ -222,30 +222,46 @@ def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit computed in the same single aggregate pass: the HLL estimate
     must land within 3x its configured rsd (5% -> 15%) of the exact
     distinct count, and the approx median (accuracy 1000 -> rank error
-    1e-3) must fall between the exact 0.495 and 0.505 quantiles (5x
-    margin). Both bounds are deterministic-true for these sketches, so
-    the oracle is exact SQL — every sampled round grades this row green
-    instead of `no_oracle`."""
+    1e-3, i.e. a value whose true rank lies in [0.499, 0.501]) must
+    fall between a HIGH-accuracy quantile sketch's 0.495 and 0.505
+    values (accuracy 10000 -> rank error 1e-4, so those land within
+    rank [0.4949, 0.4951] and [0.5049, 0.5051]). The rank windows
+    never overlap, so the bound is deterministic-true — and unlike an
+    exact `percentile` twin (which buffers a per-partition value->count
+    map and merges it on one reducer), every term here is a mergeable
+    bounded-memory sketch: the audit itself survives a 100x scale-up.
+    Exact count_distinct stays: it is an ordinary two-phase hash
+    aggregate over distinct keys, distributed-safe at any sf. The
+    distinct terms and the sketch terms run as two SEPARATE one-row
+    aggregates cross-joined at the end: mixing count_distinct with
+    non-distinct aggs makes Catalyst rewrite via Expand (every input
+    row duplicated per agg group), tripling the rows the quantile
+    sketches chew through — measured 4.6s fused vs <1s split at
+    sf0.1."""
     li = _t(spark, sf_dir, "lineitem")
-    a = li.agg(
+    dist = li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    sk = li.agg(
         F.percentile_approx(
             "l_extendedprice", F.lit(0.5), F.lit(1000)
         ).alias("approx_median"),
-        F.count_distinct("l_partkey").alias("exact_parts"),
-        F.expr("percentile(l_extendedprice, 0.495)").alias("lo"),
-        F.expr("percentile(l_extendedprice, 0.505)").alias("hi"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.495), F.lit(0.505)), F.lit(10000)
+        ).alias("band"),
         F.count(F.lit(1)).alias("n"),
     )
+    a = dist.crossJoin(sk)
     return a.select(
         "n",
         (
             F.abs(F.col("approx_parts") - F.col("exact_parts"))
             <= 0.15 * F.col("exact_parts")
         ).alias("approx_parts_ok"),
-        F.col("approx_median").between(F.col("lo"), F.col("hi")).alias(
-            "approx_median_ok"
-        ),
+        F.col("approx_median")
+        .between(F.col("band")[0], F.col("band")[1])
+        .alias("approx_median_ok"),
     )
 
 
