@@ -114,10 +114,43 @@ oracle(
 
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (chunk-bucketed, hamming ≤ 8). Signature
-    is engine-specific (xxhash64) → rows-only check; cross-validated
-    against minhash pairs in tests/test_llm_data.py."""
-    return sdedup.simhash_near_dups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    """SimHash-64 near-dup pairs (chunk-bucketed, hamming ≤ 8).
+    Signatures are engine-specific (xxhash64), so the GRADED surface is
+    a precision audit (the `agg_approx_sketch` pattern): every reported
+    pair's EXACT word-trigram Jaccard is re-computed and the emitted
+    booleans — at least one pair found, and 100% of pairs with
+    J >= 0.5 — are deterministic-true under the fixed hash (measured:
+    min pair Jaccard 0.90 at both sf0.001 and sf0.01, so the 0.5 bound
+    has ~2x margin). n_docs anchors the audit to an exactly-oracled
+    value. Cross-validated against minhash pairs in
+    tests/test_llm_data.py."""
+    doc = _t(spark, sf_dir, "documents")
+    pairs = sdedup.simhash_near_dups(doc, "text", "doc_id")
+    g = sdedup.with_grams(doc, "text", "doc_id")
+    scored = (
+        pairs.join(g.select(F.col("doc").alias("doc_a"), F.col("grams").alias("ga")), "doc_a")
+        .join(g.select(F.col("doc").alias("doc_b"), F.col("grams").alias("gb")), "doc_b")
+        .select(sdedup.jaccard(F.col("ga"), F.col("gb")).alias("jac"))
+    )
+    audit = scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.col("jac") >= 0.5).alias("precision_ok"),
+    )
+    n_docs = doc.agg(F.count(F.lit(1)).alias("n_docs"))
+    return n_docs.crossJoin(audit).select(
+        "n_docs",
+        (F.col("n_pairs") >= 1).alias("pairs_found"),
+        F.coalesce("precision_ok", F.lit(False)).alias("precision_ok"),
+    )
+
+
+oracle(
+    "dedup_simhash",
+    """
+    SELECT count(*) AS n_docs, TRUE AS pairs_found, TRUE AS precision_ok
+    FROM documents
+    """,
+)
 
 
 @query("dedup_embedding")
@@ -180,25 +213,98 @@ oracle(
 )
 
 
+def _ann_recall_audit(
+    approx: DataFrame,
+    exact: DataFrame,
+    queries_df: DataFrame,
+    k: int,
+    theta: float,
+    per_query: bool,
+) -> DataFrame:
+    """Error-bound audit for approximate top-k (the `agg_approx_sketch`
+    pattern): recall is measured against the already-oracled brute-force
+    twin under the fixed hash seed, so the emitted booleans are
+    deterministic-true and the oracle is exact SQL — a rows-only row
+    becomes a fully graded one. `per_query` emits a row per query vector
+    (only when per-query recall is stably above theta); otherwise ONE
+    row bounds the mean recall, which is the stable statistic when
+    individual queries can land in unlucky cells/codebooks."""
+    qids = queries_df.select(F.col("vec_id").alias("qid"))
+    hits = (
+        approx.join(exact.select("qid", "nid"), ["qid", "nid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    per = (
+        qids.join(approx.groupBy("qid").agg(F.count(F.lit(1)).alias("n_ret")), "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_ret", F.lit(0)).alias("n_ret"),
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+        )
+    )
+    if per_query:
+        return per.select(
+            "qid",
+            (F.col("n_ret") <= k).alias("found_le_k"),
+            (F.col("hits") >= F.lit(float(theta * k))).alias("recall_ok"),
+        )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.max("n_ret") <= k).alias("per_query_le_k"),
+        (
+            F.sum("hits") >= F.lit(theta) * F.count(F.lit(1)) * F.lit(float(k))
+        ).alias("mean_recall_ok"),
+    )
+
+
 @query("ann_lsh_topk")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 (multi-probe). Bucket hashes are
-    engine-specific → rows-only; recall vs brute force asserted in
-    tests/test_llm_data.py."""
+    engine-specific, so the GRADED surface is a per-query recall audit
+    vs the brute-force twin: recall@5 >= 0.6 per query vector
+    (measured 1.0 at sf0.001 and sf0.01 under the fixed xxhash64
+    planes — deterministic-true with wide margin)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return ssim.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = ssim.ann_lsh_topk(emb, q, k=5)
+    exact = ssim.ann_bruteforce_topk(emb, q, k=5)
+    return _ann_recall_audit(approx, exact, q, k=5, theta=0.6, per_query=True)
+
+
+oracle(
+    "ann_lsh_topk",
+    """
+    SELECT vec_id AS qid, TRUE AS found_le_k, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
 
 
 @query("ann_ivf_topk")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (coarse-quantizer) approximate top-5 — deterministic seeded
     centroids + one Lloyd step, nprobe-cell search. Cell boundaries are
-    engine-specific → rows-only; recall vs brute force asserted in
-    tests/test_llm_data.py."""
+    engine-specific, so the GRADED surface is the mean-recall audit vs
+    the brute-force twin: mean recall@5 over the 10 query vectors
+    >= 0.25 (measured 0.58 / 0.54 at sf0.001 / sf0.01 — >2x margin;
+    per-query recall is NOT bounded because an unlucky query can land
+    all its neighbors outside the nprobe=4 probed cells)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return ssim.ann_ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4
-    )
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = ssim.ann_ivf_topk(emb, q, k=5, n_cells=16, nprobe=4)
+    exact = ssim.ann_bruteforce_topk(emb, q, k=5)
+    return _ann_recall_audit(approx, exact, q, k=5, theta=0.25, per_query=False)
+
+
+oracle(
+    "ann_ivf_topk",
+    """
+    SELECT count(*) AS n_queries, TRUE AS per_query_le_k, TRUE AS mean_recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
 
 
 @query("text_tokens")
@@ -846,9 +952,22 @@ oracle(
 def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-5: 8x16 codebooks, ADC scoring over
     8-byte codes, exact re-rank of the top-20. Codes are
-    engine-specific → rows-only; recall vs brute force asserted in
-    tests/test_llm_data.py."""
+    engine-specific, so the GRADED surface is the mean-recall audit vs
+    the brute-force twin: mean recall@5 over the 10 query vectors
+    >= 0.15 (measured 0.56 / 0.36 at sf0.001 / sf0.01 — >2x margin;
+    per-query recall is NOT bounded because quantization error can zero
+    out an individual query's top-5)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return ssim.ann_pq_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, m=8, ksub=16, refine=4
-    )
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = ssim.ann_pq_topk(emb, q, k=5, m=8, ksub=16, refine=4)
+    exact = ssim.ann_bruteforce_topk(emb, q, k=5)
+    return _ann_recall_audit(approx, exact, q, k=5, theta=0.15, per_query=False)
+
+
+oracle(
+    "ann_pq_topk",
+    """
+    SELECT count(*) AS n_queries, TRUE AS per_query_le_k, TRUE AS mean_recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)

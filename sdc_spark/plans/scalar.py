@@ -318,12 +318,31 @@ oracle(
 def str_title_swapcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """title/swapcase — per-character case logic via Arrow-vectorized pandas
     UDFs (the engine's sanctioned slow path; ref pandas_series_functions/
-    map.py:38-115 is the same pattern). No SQL oracle (Python titlecase
-    rules aren't expressible in DuckDB) → rows-only check."""
+    map.py:38-115 is the same pattern). Python titlecase rules aren't
+    expressible in DuckDB in general, but on this ASCII alpha+space
+    input (lowered p_name ++ p_type) they reduce to per-word initcap,
+    and swapcase∘capitalize reduces to lower(first)+upper(rest) — so
+    the oracle IS exact SQL here (verified char-exact vs Python's own
+    str.title/.swapcase on the full column)."""
     part = _t(spark, sf_dir, "part")
-    low = sstr.lower("p_type")
+    low = sstr.lower(F.concat_ws(" ", "p_name", "p_type"))
     return part.select(
         "p_partkey",
         sstr.title(low).alias("titled"),
         sstr.swapcase(sstr.capitalize(low)).alias("swapped"),
     )
+
+
+oracle(
+    "str_title_swapcase",
+    """
+    WITH low AS (
+        SELECT p_partkey, lower(p_name || ' ' || p_type) AS s FROM part
+    )
+    SELECT p_partkey,
+           array_to_string(list_transform(string_split(s, ' '),
+                                          w -> upper(w[1]) || w[2:]), ' ') AS titled,
+           substr(s, 1, 1) || upper(substr(s, 2)) AS swapped
+    FROM low
+    """,
+)
