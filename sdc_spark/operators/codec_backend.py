@@ -58,12 +58,15 @@ def backend() -> str:
     return "pil" if _pil() is not None else "numpy"
 
 
-def decode_image_pixels(buf: bytes) -> np.ndarray:
+def decode_image_pixels(buf: bytes, force: str | None = None) -> np.ndarray:
     """Sniff PNG/JPEG/BMP/GIF magic and decode to an (h, w, 3) uint8 RGB
     array via the active backend. Raises on unknown/unsupported payloads
-    (callers apply poison-pill discipline)."""
+    (callers apply poison-pill discipline). ``force`` pins a backend
+    regardless of the environment — graded queries whose oracles depend
+    on exact decoder semantics pin 'numpy' so they grade identically on
+    a PIL-equipped cluster."""
     buf = bytes(buf)
-    if backend() == "pil":
+    if (force or backend()) == "pil":
         import io
 
         im = _pil().open(io.BytesIO(buf)).convert("RGB")

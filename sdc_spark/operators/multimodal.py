@@ -64,7 +64,9 @@ def _stub_features(buf: bytes, dim: int = 8) -> np.ndarray:
     return np.array([c.mean() if c.size else 0.0 for c in chunks], dtype=np.float32)
 
 
-def decode_and_featurize(df: DataFrame, stub: bool = True) -> DataFrame:
+def decode_and_featurize(
+    df: DataFrame, stub: bool = True, backend: str | None = None
+) -> DataFrame:
     """mapInPandas decode + feature-extraction stage.
 
     ``stub=False`` is the REAL image path: sniff-decode PNG/JPEG/BMP/GIF
@@ -73,7 +75,10 @@ def decode_and_featurize(df: DataFrame, stub: bool = True) -> DataFrame:
     byte_mean/std over the DECODED pixels. Undecodable payloads yield
     null metrics (poison-pill). The default stub path derives
     deterministic pseudo-features from the raw bytes for payload-agnostic
-    plumbing demos; both share schema, batching, and partitioning."""
+    plumbing demos; both share schema, batching, and partitioning.
+    ``backend`` pins the codec backend ('numpy'/'pil') regardless of the
+    worker environment — graded queries pin 'numpy' so their oracles
+    hold on PIL-equipped deployments too."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -88,7 +93,9 @@ def decode_and_featurize(df: DataFrame, stub: bool = True) -> DataFrame:
                     ids.append(i)
                     nb.append(len(buf))
                     try:
-                        px = decode_image_pixels(bytes(buf)).astype(np.float64)
+                        px = decode_image_pixels(
+                            bytes(buf), force=backend
+                        ).astype(np.float64)
                         gray = px.mean(axis=-1)
                         bm.append(float(gray.mean()))
                         bs.append(float(gray.std()))
@@ -241,8 +248,13 @@ def sample_frames(
                     n = len(planes)
                     if n == 0:
                         continue
+                    # denominator uses the EMITTED count (min(n_frames, n)),
+                    # not n_frames: with n_frames-1 a 2-frame clip at
+                    # n_frames=3 would map both picks to frame 0 and drop
+                    # the last frame entirely
+                    m = min(n_frames, n)
                     picks = sorted(
-                        {(k * (n - 1)) // max(n_frames - 1, 1) for k in range(min(n_frames, n))}
+                        {(k * (n - 1)) // max(m - 1, 1) for k in range(m)}
                     )
                     for k, fi in enumerate(picks):
                         ids.append(i)
@@ -639,19 +651,22 @@ JPEG_SCHEMA = (
 )
 
 
-def decode_jpeg(df: DataFrame) -> DataFrame:
+def decode_jpeg(df: DataFrame, backend: str | None = None) -> DataFrame:
     """REAL baseline-JPEG decode over {id, content} rows — pure
     numpy + stdlib huffman/IDCT (operators/jpeg.py) as the floor, PIL
     (libjpeg) automatically when importable on the worker
     (operators/codec_backend — SDC_CODEC_BACKEND pins either).
     Arrow-batched mapInPandas, embarrassingly parallel; progressive /
     arithmetic / malformed payloads yield null metric columns
-    (poison-pill discipline)."""
-    from sdc_spark.operators.codec_backend import backend
+    (poison-pill discipline). ``backend`` pins a backend regardless of
+    the environment — the graded query pins 'numpy' because its analytic
+    oracle depends on the pure decoder's exact IDCT rounding, which
+    libjpeg does not reproduce bit-for-bit."""
+    from sdc_spark.operators.codec_backend import backend as _resolve
     from sdc_spark.operators.jpeg import jpeg_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        use_pil = backend() == "pil"
+        use_pil = (backend or _resolve()) == "pil"
         if use_pil:
             import io as _io
 
@@ -814,10 +829,13 @@ def phash64(px: "np.ndarray") -> int:
 PHASH_SCHEMA = "id long, phash long"
 
 
-def image_phash(df: DataFrame) -> DataFrame:
+def image_phash(df: DataFrame, backend: str | None = None) -> DataFrame:
     """Perceptual-hash stage over decoded-image payloads ({id, content}
     with content = BMP/PNG/JPEG bytes — format sniffed per row). The
-    8-byte hash is what shuffles in a dedup join, never the image."""
+    8-byte hash is what shuffles in a dedup join, never the image.
+    ``backend`` pins the codec backend — the graded query pins 'numpy'
+    (phash bits flip with sub-LSB decode differences, so the oracle is
+    only exact under one decoder)."""
     from sdc_spark.operators.codec_backend import decode_image_pixels
 
     _decode_any = decode_image_pixels  # sniff + backend routing (PIL/numpy)
@@ -828,7 +846,7 @@ def image_phash(df: DataFrame) -> DataFrame:
             for i, buf in zip(pdf["id"], pdf["content"]):
                 ids.append(i)
                 try:
-                    hs.append(phash64(_decode_any(bytes(buf))))
+                    hs.append(phash64(_decode_any(bytes(buf), force=backend)))
                 except Exception:  # noqa: BLE001
                     hs.append(None)
             yield pd.DataFrame(

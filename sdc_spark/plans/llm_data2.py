@@ -815,7 +815,9 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["id", "content"])
 
     payloads = emb.mapInPandas(synth, "id long, content binary")
-    return decode_jpeg(payloads).select(
+    # backend pinned: the analytic oracle depends on the pure decoder's
+    # exact IDCT rounding; libjpeg (PIL) is not bit-identical on JPEG
+    return decode_jpeg(payloads, backend="numpy").select(
         "id", "width", "height", "n_components",
         "mean_r", "mean_g", "mean_b",
     ).orderBy("id")
@@ -1077,7 +1079,10 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["id", "content"])
 
     payloads = emb.mapInPandas(synth, "id long, content binary")
-    hashed = image_phash(payloads)
+    # backend pinned: phash bits flip with sub-LSB decode differences
+    # (PNG decode is lossless on both backends, but pin anyway so the
+    # graded row cannot depend on the worker's site-packages)
+    hashed = image_phash(payloads, backend="numpy")
     a = hashed.select(F.col("id").alias("id_a"), F.col("phash").alias("ha"))
     b = hashed.select(F.col("id").alias("id_b"), F.col("phash").alias("hb"))
     return (

@@ -89,6 +89,98 @@ def test_decode_image_pixels_sniffs_png(monkeypatch):
         decode_image_pixels(b"\x00\x01rubbish")
 
 
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + cid
+        + body
+        + struct.pack(">I", zlib.crc32(cid + body))
+    )
+
+
+def test_decode_matches_hand_built_spec_png(monkeypatch):
+    """Golden fixture independent of our own encoder: the PNG bytes are
+    assembled BY HAND from the spec (chunk layout, IHDR fields, filter
+    bytes, stdlib-zlib IDAT), with Sub/Up filters whose unfiltered
+    pixels are computed on paper — so the numpy decoder is checked
+    against the PNG specification, not against encode_png (which would
+    be circular)."""
+    import struct
+    import zlib
+
+    monkeypatch.setenv("SDC_CODEC_BACKEND", "numpy")
+    # 2x3 RGB, bit depth 8: row 0 filter=1 (Sub), row 1 filter=2 (Up).
+    # Row 0 raw: first pixel (10,20,30) literal (no left neighbor),
+    # second/third pixels stored as deltas of +5 per channel.
+    # Row 1 stored as deltas of +100 over row 0 (mod 256).
+    row0 = bytes([1, 10, 20, 30, 5, 5, 5, 5, 5, 5])
+    row1 = bytes([2] + [100] * 9)
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)  # w=3 h=2 rgb
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(row0 + row1))
+        + _chunk(b"IEND", b"")
+    )
+    expect = np.array(
+        [
+            [[10, 20, 30], [15, 25, 35], [20, 30, 40]],
+            [[110, 120, 130], [115, 125, 135], [120, 130, 140]],
+        ],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(decode_image_pixels(png), expect)
+
+
+def test_force_numpy_overrides_env(monkeypatch):
+    """force='numpy' must bypass the env entirely — even SDC_CODEC_BACKEND
+    =pil on a PIL-less worker must not raise when a graded query pinned
+    numpy (this is exactly the deployment the pin exists for, inverted)."""
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    buf = encode_png(px)
+    monkeypatch.setenv("SDC_CODEC_BACKEND", "pil")
+    got = decode_image_pixels(buf, force="numpy")
+    assert np.array_equal(got, px)
+    got2 = resize_pixels(px, 3, 2, force="numpy")
+    assert got2.shape == (2, 3, 3)
+
+
+def test_plans_pin_backend_on_backend_routed_calls():
+    """Lint: every call in sdc_spark/plans/ to a codec-backend-routed
+    operator must pin backend= explicitly — an oracled query whose
+    result depends on the worker's site-packages would grade differently
+    on a PIL-equipped cluster. AST-based so renames/formatting can't
+    dodge it."""
+    import ast
+    import pathlib
+
+    always_pin = {"decode_jpeg", "image_phash"}
+    pin_when_real = {"decode_and_featurize", "resize_images"}
+    bad = []
+    for path in pathlib.Path("sdc_spark/plans").glob("*.py"):
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call):
+                continue
+            name = getattr(node.func, "id", getattr(node.func, "attr", ""))
+            kw = {k.arg for k in node.keywords}
+            if name in always_pin and "backend" not in kw:
+                bad.append(f"{path}:{node.lineno} {name} without backend=")
+            if name in pin_when_real and "backend" not in kw:
+                stub_false = any(
+                    k.arg == "stub"
+                    and isinstance(k.value, ast.Constant)
+                    and k.value.value is False
+                    for k in node.keywords
+                )
+                if stub_false:
+                    bad.append(f"{path}:{node.lineno} {name} stub=False without backend=")
+    assert not bad, "\n".join(bad)
+
+
 @pytest.mark.skipif(_pil() is None, reason="PIL not installed in container")
 def test_pil_and_numpy_backends_agree_on_lossless_decode(monkeypatch):
     # PNG decode is lossless in both backends -> identical pixels.

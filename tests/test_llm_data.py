@@ -101,6 +101,18 @@ def test_sample_frames_real_path_y4m(spark):
     assert [bytes(r.frame)[0] for r in rows] == [0, 20, 40]
     assert all(len(r.frame) == 24 for r in rows)
 
+    # clips SHORTER than n_frames emit every frame, including the last
+    # (regression: the old n_frames-1 denominator collapsed a 2-frame
+    # clip at n_frames=3 to just frame 0)
+    y2 = np.stack([np.full((4, 6), 10 + 30 * k, np.uint8) for k in range(2)])
+    df2 = spark.createDataFrame([(7, smm.encode_y4m(y2))], "id long, content binary")
+    short = sorted(
+        smm.sample_frames(df2, n_frames=3, frame_bytes=24, stub=False).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in short] == [0, 1]
+    assert [bytes(r.frame)[0] for r in short] == [10, 40]
+
     bad = spark.createDataFrame([(1, b"\x00\x00\x01mp4junk")], "id long, content binary")
     with pytest.raises(Exception, match="NotImplementedError|compressed video"):
         smm.sample_frames(bad, n_frames=2, stub=False).collect()
