@@ -42,11 +42,23 @@ DIR_KEY = "spark.sdc.checkpoint.dir"
 _VALID = ("localCheckpoint", "persist", "checkpoint")
 
 
-def materialize(df: DataFrame) -> DataFrame:
+def materialize(df: DataFrame, truncate: bool = False) -> DataFrame:
     """Eagerly compute ``df`` once and return a frame whose every consumer
     reads that single computation (see module docstring for the mode
     semantics). Drop-in replacement for ``df.localCheckpoint(eager=True)``.
-    """
+
+    ``truncate=True`` is REQUIRED by unbounded iterative loops (connected
+    components and friends): round N's frame is built from round N-1's,
+    so under plain ``persist`` (which keeps lineage) the logical plan —
+    and Catalyst's per-round analysis cost — doubles every iteration;
+    measured on a 16-node chain, round 2 already costs ~90s vs <1s
+    truncated, and deeper rounds never finish. When the mode is
+    ``persist`` and ``truncate`` is set, this escalates to a reliable
+    checkpoint if a checkpoint dir is configured (durable AND truncated
+    — the same discipline GraphX's Pregel applies), else to
+    localCheckpoint (truncated; executor loss requires a restart — the
+    trade the loop cannot avoid, since lineage-kept persist is unusable
+    for it). Single-pass DAG-reuse sites keep the default."""
     spark = df.sparkSession
     mode = spark.conf.get(MODE_KEY, "localCheckpoint")
     if mode not in _VALID:
@@ -54,17 +66,17 @@ def materialize(df: DataFrame) -> DataFrame:
     if mode == "localCheckpoint":
         return df.localCheckpoint(eager=True)
     if mode == "persist":
+        if truncate:
+            if _checkpoint_dir(spark) is not None:
+                return df.checkpoint(eager=True)
+            return df.localCheckpoint(eager=True)
         from pyspark import StorageLevel
 
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
         out.count()  # eager: all branches must see one computation
         return out
     # mode == "checkpoint"
-    sc = spark.sparkContext
-    ckdir = spark.conf.get(DIR_KEY, None)
-    if ckdir is not None and sc.getCheckpointDir() != ckdir:
-        sc.setCheckpointDir(ckdir)
-    if sc.getCheckpointDir() is None:
+    if _checkpoint_dir(df.sparkSession) is None:
         raise ValueError(
             f"materialize mode 'checkpoint' needs {DIR_KEY} or "
             "sparkContext.setCheckpointDir()"
@@ -72,11 +84,36 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.checkpoint(eager=True)
 
 
+def _checkpoint_dir(spark) -> str | None:
+    """Resolve (and lazily apply) the configured reliable-checkpoint dir."""
+    sc = spark.sparkContext
+    ckdir = spark.conf.get(DIR_KEY, None)
+    if ckdir is not None and sc.getCheckpointDir() != ckdir:
+        sc.setCheckpointDir(ckdir)
+    return sc.getCheckpointDir()
+
+
 def unmaterialize(df: DataFrame) -> None:
-    """Release cached blocks for a frame produced by ``materialize`` in
-    ``persist`` mode (no-op for the checkpoint modes, whose blocks are
-    owned by the context / checkpoint dir)."""
+    """Release cached blocks for a SUPERSEDED frame produced by
+    ``materialize``. Callers guarantee the frame is never read again
+    (iterative loops release round N-1 after round N is materialized).
+
+    Two storage owners to cover: ``persist``-mode frames live in the SQL
+    CacheManager (``df.unpersist()``); localCheckpoint frames (default
+    mode, and the persist-mode ``truncate`` fallback) persist their
+    blocks on the underlying checkpointed RDD, which ``df.unpersist()``
+    does not touch — those are released through the analyzed LogicalRDD.
+    A released localCheckpoint frame CANNOT be recomputed (lineage is
+    truncated); re-reading one fails loudly, which is the correct
+    behavior for a frame the caller declared dead. Reliable-checkpoint
+    frames are untouched (their files belong to the checkpoint dir)."""
     try:
         df.unpersist()
+    except Exception:
+        pass
+    try:  # classic mode only; Spark Connect has no _jdf -> silently skip
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
     except Exception:
         pass

@@ -29,6 +29,15 @@ from sdc_spark.materialize import materialize as _materialize
 from sdc_spark.materialize import unmaterialize as _unmaterialize
 
 
+def _materialize_iter(df):
+    """Per-round materialization for the iterative loops below: lineage
+    MUST be truncated every round (round N's plan embeds round N-1's, so
+    kept lineage doubles Catalyst's analysis cost per iteration — under
+    persist mode this escalates to checkpoint/localCheckpoint; see
+    sdc_spark.materialize)."""
+    return _materialize(df, truncate=True)
+
+
 def normalized_text(col) -> Column:
     """Canonical text form for hashing: lowercase, collapsed whitespace."""
     c = F.col(col) if isinstance(col, str) else col
@@ -443,7 +452,7 @@ def dedup_components(
                 ),
                 "lbl",
             )
-            .transform(_materialize)
+            .transform(_materialize_iter)
         )
         changed = snap.filter(F.col("new_lbl") != F.col("lbl")).count()
         labels = snap.select("u", F.col("new_lbl").alias("lbl"))
@@ -512,7 +521,7 @@ def components_star(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .transform(_materialize)
+            .transform(_materialize_iter)
         )
         # small-star: center u over its (all strictly smaller) neighbors N;
         # m = min(N); re-hang N \ {m} and u itself onto m
@@ -525,7 +534,7 @@ def components_star(
             .filter(F.col("n") != F.col("m"))
             .distinct()
             .select(F.col("n").alias("u"), F.col("m").alias("v"))
-            .transform(_materialize)
+            .transform(_materialize_iter)
         )
         # persist-mode hygiene: this round's edge set is computed, so the
         # superseded half-round frames' blocks are never read again
