@@ -120,13 +120,32 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in QUERIES]
     names += [n for n in QUERIES if n not in names]
+    # SPARK_GRAFT_QUERIES=headline (or a comma list) restricts the run —
+    # used for drift attribution (re-measuring just the headline set on a
+    # known-idle host) and quick local iteration; the driver's full run
+    # leaves it unset.
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    if only == "headline":
+        names = [n for n in HEADLINE if n in QUERIES]
+    elif only:
+        names = [n for n in only.split(",") if n in QUERIES]
 
     timings: dict[str, float] = {}
+    # Drift forensics (round-7 lesson: an unattributed +13% headline drift
+    # is indistinguishable from a real single-query regression): record
+    # every raw run — not just the median — plus a 1-minute loadavg sample
+    # per query, so post-hoc analysis can separate host contention (high
+    # load, all runs uniformly slow) from a plan regression (low load,
+    # one query's every run slow).
+    raw_runs: dict[str, list[float]] = {}
+    load1: dict[str, float] = {}
+    load_start = os.getloadavg()[0]
     for i, name in enumerate(names):
         if i and i % RESTART_EVERY == 0:
             spark.stop()
             spark = get_spark("sdc_spark_bench")
         fn = QUERIES[name]
+        load1[name] = round(os.getloadavg()[0], 2)
         try:
             _run_with_watchdog(spark, fn, sf_dir, f"warm-{name}")  # warm
             runs = []
@@ -140,6 +159,7 @@ def main() -> None:
                     # regression): repeating it only burns the benchmark
                     # budget and starves every later query. Record it once.
                     break
+            raw_runs[name] = [round(r, 4) for r in runs]
             timings[name] = round(sorted(runs)[(len(runs) - 1) // 2], 4)
         except Exception as e:  # noqa: BLE001
             print(f"bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
@@ -153,7 +173,11 @@ def main() -> None:
     # (headline subset only) so the driver's capture never truncates.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
         json.dump({"total_sec": total, "n_queries": len(timings), "errors": n_err,
-                   "queries": timings, "sf": sf}, f)
+                   "queries": timings, "sf": sf,
+                   "runs": raw_runs, "loadavg1": load1,
+                   "host": {"cpus": os.cpu_count(),
+                            "loadavg_start": round(load_start, 2),
+                            "loadavg_end": round(os.getloadavg()[0], 2)}}, f)
 
     headline = {n: round(timings[n], 3) for n in HEADLINE if n in timings}
     print(

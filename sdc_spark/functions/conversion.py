@@ -14,6 +14,8 @@ fully lazy.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from sdc_spark.frame.series import IDX, VAL, SparkSeries
@@ -25,6 +27,13 @@ from sdc_spark.materialize import materialize
 _EXPENSIVE_PLAN_NODES = (
     "Join", "Aggregate", "Window", "Generate", "Sort", "Expand",
     "FlatMapGroupsInPandas", "MapInPandas", "ArrowEvalPython",
+)
+
+# Node names only count at a tree position (line head after the `+- :-`
+# prefix art), NOT as substrings — `Project [Join#12]` is a column named
+# Join inside a cheap projection, not a join.
+_EXPENSIVE_PLAN_RE = re.compile(
+    r"^[\s:+-]*(?:%s)\b" % "|".join(_EXPENSIVE_PLAN_NODES), re.MULTILINE
 )
 
 
@@ -43,7 +52,7 @@ def _single_execution(s: SparkSeries) -> SparkSeries:
         plan = s._df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:  # noqa: BLE001 — connect-mode etc.: be safe, copy
         return SparkSeries(materialize(s._df), name=s.name)
-    if any(n in plan for n in _EXPENSIVE_PLAN_NODES):
+    if _EXPENSIVE_PLAN_RE.search(plan):
         return SparkSeries(materialize(s._df), name=s.name)
     return s
 

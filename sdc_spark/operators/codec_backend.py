@@ -22,6 +22,17 @@ equality wherever both exist (skipped in this container).
 Resize is PIL's bilinear vs the vectorized half-pixel-center bilinear
 below; the numpy implementation is the reference semantics (OpenCV
 INTER_LINEAR convention: src = (dst + 0.5) * scale - 0.5, edge clamp).
+
+Audio and video get the same treatment with their own probes:
+``SDC_AUDIO_BACKEND=auto|numpy|soundfile`` routes
+``decode_audio_samples`` through libsndfile (WAV/FLAC/OGG/...) when
+importable, with the pure-numpy 16-bit-PCM-WAV parser as the floor;
+``SDC_VIDEO_BACKEND=auto|numpy|pyav`` routes ``iter_video_luma``
+through ffmpeg (any container/codec) when importable, with the
+pure-numpy Y4M parser as the floor and a LOUD NotImplementedError for
+compressed payloads without pyav. Graded queries pin ``numpy``
+explicitly (their oracles depend on exact decoder semantics); the
+``force`` parameter bypasses the env without touching the probes.
 """
 
 from __future__ import annotations
@@ -31,6 +42,8 @@ import os
 import numpy as np
 
 _ENV = "SDC_CODEC_BACKEND"
+_AUDIO_ENV = "SDC_AUDIO_BACKEND"  # auto|numpy|soundfile
+_VIDEO_ENV = "SDC_VIDEO_BACKEND"  # auto|numpy|pyav
 
 
 def _pil():
@@ -39,6 +52,24 @@ def _pil():
 
         return Image
     except Exception:  # noqa: BLE001 — any import failure means "absent"
+        return None
+
+
+def _soundfile():
+    try:
+        import soundfile  # noqa: PLC0415
+
+        return soundfile
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _pyav():
+    try:
+        import av  # noqa: PLC0415
+
+        return av
+    except Exception:  # noqa: BLE001
         return None
 
 
@@ -56,6 +87,100 @@ def backend() -> str:
     if mode != "auto":
         raise ValueError(f"{_ENV}={mode!r}; expected auto|numpy|pil")
     return "pil" if _pil() is not None else "numpy"
+
+
+def _resolve_media_backend(env: str, native: str, probe) -> str:
+    """Shared auto/numpy/<native> resolution for the audio/video probes —
+    same contract as ``backend()``: auto prefers the native decoder when
+    importable, explicit native raises loudly when it is not."""
+    mode = os.environ.get(env, "auto")
+    if mode == "numpy":
+        return "numpy"
+    if mode == native:
+        if probe() is None:
+            raise RuntimeError(f"{env}={native} but {native} is not importable on this worker")
+        return native
+    if mode != "auto":
+        raise ValueError(f"{env}={mode!r}; expected auto|numpy|{native}")
+    return native if probe() is not None else "numpy"
+
+
+def audio_backend() -> str:
+    """'soundfile' (libsndfile — WAV/FLAC/OGG and friends) when importable,
+    else the pure-numpy 16-bit-PCM-WAV floor."""
+    return _resolve_media_backend(_AUDIO_ENV, "soundfile", _soundfile)
+
+
+def video_backend() -> str:
+    """'pyav' (ffmpeg — MP4/H.264/VP9/...) when importable, else the
+    pure-numpy Y4M floor."""
+    return _resolve_media_backend(_VIDEO_ENV, "pyav", _pyav)
+
+
+def decode_audio_samples(
+    buf: bytes, force: str | None = None
+) -> tuple[np.ndarray, int]:
+    """Decode an audio payload to ((n, channels) float64 samples in the
+    int16 raw scale, sample_rate). The numpy floor parses 16-bit PCM WAV
+    (the reference semantics every feature query is graded against);
+    the soundfile path reads any libsndfile format and is rescaled by
+    32768 so both backends agree on WAV input. Raises on undecodable
+    payloads (callers apply poison-pill discipline)."""
+    buf = bytes(buf)
+    if (force or audio_backend()) == "soundfile":
+        import io
+
+        data, rate = _soundfile().read(io.BytesIO(buf), dtype="float64", always_2d=True)
+        return data * 32768.0, int(rate)
+    a = np.frombuffer(buf, dtype=np.uint8)
+    if a.size < 44 or a[:4].tobytes() != b"RIFF" or a[8:12].tobytes() != b"WAVE":
+        raise ValueError("not WAV (and no soundfile backend for other formats)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= a.size:
+        cid = a[pos : pos + 4].tobytes()
+        sz = int(np.frombuffer(a[pos + 4 : pos + 8].tobytes(), "<u4")[0])
+        body = a[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing WAV chunks")
+    ch = int(np.frombuffer(fmt[2:4].tobytes(), "<u2")[0])
+    rate = int(np.frombuffer(fmt[4:8].tobytes(), "<u4")[0])
+    depth = int(np.frombuffer(fmt[14:16].tobytes(), "<u2")[0])
+    if depth != 16:
+        raise ValueError("only 16-bit PCM supported by the numpy floor")
+    x = np.frombuffer(data.tobytes(), "<i2").astype(np.float64)
+    return x.reshape(-1, ch), rate
+
+
+def iter_video_luma(buf: bytes, force: str | None = None):
+    """Yield (h, w) uint8 luma planes, one per frame. The numpy floor
+    parses Y4M (raw-plane container — no entropy coding, so a
+    library-free path exists); the pyav path decodes ANY ffmpeg
+    container/codec (MP4/H.264/VP9/...) and reformats each frame to
+    gray8, which for YUV sources is the Y plane unchanged. Compressed
+    payloads without pyav raise NotImplementedError — failing loudly
+    beats emitting garbage."""
+    buf = bytes(buf)
+    if (force or video_backend()) == "pyav":
+        import io
+
+        with _pyav().open(io.BytesIO(buf)) as container:
+            for frame in container.decode(video=0):
+                yield frame.reformat(format="gray").to_ndarray()
+        return
+    if not buf.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "compressed video needs ffmpeg (install pyav for the native "
+            "backend) — only Y4M has a library-free decode path"
+        )
+    from sdc_spark.operators.multimodal import _y4m_iter_frames
+
+    for _w, _h, _m, y, _u, _v in _y4m_iter_frames(buf):
+        yield y
 
 
 def decode_image_pixels(buf: bytes, force: str | None = None) -> np.ndarray:

@@ -1,11 +1,14 @@
-"""Baseline JPEG (JFIF) codec in pure numpy + stdlib — no PIL/libjpeg.
+"""Baseline + progressive JPEG (JFIF) codec in pure numpy + stdlib — no
+PIL/libjpeg.
 
 Retires the last compressed-image stub in operators/multimodal.py: PNG
 went real in round 6 via zlib+numpy; baseline JPEG needs only huffman
 coding and an 8x8 DCT, both expressible in numpy. Supported: baseline
-sequential DCT (SOF0), 8-bit, grayscale or YCbCr with 4:4:4 / 4:2:2 /
-4:2:0 sampling, restart intervals. Progressive (SOF2) and arithmetic
-coding raise (poison-pill null rows in the Spark stage).
+sequential DCT (SOF0) and progressive DCT (SOF2 — spectral selection +
+successive approximation per T.81 G.1/G.2, the layout ~6-8% of crawled
+web JPEGs use), 8-bit, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0
+sampling, restart intervals. Arithmetic coding and lossless/hierarchical
+modes raise (poison-pill null rows in the Spark stage).
 
 The encoder (tests + payload synthesis) writes 4:4:4 with the Annex-K
 example huffman tables and a quality-scaled Annex-K quantization matrix.

@@ -881,7 +881,10 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["id", "content"])
 
     payloads = ev.mapInPandas(synth, "id long, content binary")
-    feats = audio_features(payloads)
+    # backend pinned: the analytic oracle is graded against the numpy
+    # WAV floor's int16 raw scale; soundfile must not be auto-picked on
+    # deployments that ship it
+    feats = audio_features(payloads, backend="numpy")
     return feats.select(
         "id",
         "sample_rate",

@@ -13,12 +13,18 @@ import pytest
 
 from sdc_spark.operators.codec_backend import (
     _pil,
+    _pyav,
+    _soundfile,
+    audio_backend,
     backend,
     bilinear_resize,
+    decode_audio_samples,
     decode_image_pixels,
+    iter_video_luma,
     resize_pixels,
+    video_backend,
 )
-from sdc_spark.operators.multimodal import encode_png
+from sdc_spark.operators.multimodal import encode_png, encode_y4m
 
 
 def test_backend_resolves_numpy_without_pil(monkeypatch):
@@ -157,8 +163,8 @@ def test_plans_pin_backend_on_backend_routed_calls():
     import ast
     import pathlib
 
-    always_pin = {"decode_jpeg", "image_phash"}
-    pin_when_real = {"decode_and_featurize", "resize_images"}
+    always_pin = {"decode_jpeg", "image_phash", "audio_features"}
+    pin_when_real = {"decode_and_featurize", "resize_images", "sample_frames"}
     bad = []
     for path in pathlib.Path("sdc_spark/plans").glob("*.py"):
         tree = ast.parse(path.read_text())
@@ -192,3 +198,86 @@ def test_pil_and_numpy_backends_agree_on_lossless_decode(monkeypatch):
     monkeypatch.setenv("SDC_CODEC_BACKEND", "pil")
     b = decode_image_pixels(buf)
     assert np.array_equal(a, b)
+
+
+# -- audio / video backend probes (mirror the image ones) --------------------
+
+
+def test_audio_video_backend_env_resolution(monkeypatch):
+    monkeypatch.setenv("SDC_AUDIO_BACKEND", "numpy")
+    assert audio_backend() == "numpy"
+    monkeypatch.setenv("SDC_VIDEO_BACKEND", "numpy")
+    assert video_backend() == "numpy"
+    monkeypatch.setenv("SDC_AUDIO_BACKEND", "bogus")
+    with pytest.raises(ValueError):
+        audio_backend()
+    monkeypatch.setenv("SDC_AUDIO_BACKEND", "soundfile")
+    if _soundfile() is None:
+        with pytest.raises(RuntimeError):
+            audio_backend()
+    monkeypatch.setenv("SDC_VIDEO_BACKEND", "pyav")
+    if _pyav() is None:
+        with pytest.raises(RuntimeError):
+            video_backend()
+
+
+def _wav_bytes(samples, rate=8000, ch=1):
+    import struct
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * 2 * ch, 2 * ch, 16)
+    riff = 4 + (8 + len(fmt)) + (8 + len(data))
+    return (
+        b"RIFF" + struct.pack("<I", riff) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_decode_audio_samples_numpy_floor(monkeypatch):
+    monkeypatch.setenv("SDC_AUDIO_BACKEND", "numpy")
+    vals = [0, 1000, -1000, 32767, -32768, 5]
+    samples, rate = decode_audio_samples(_wav_bytes(vals))
+    assert rate == 8000 and samples.shape == (6, 1)
+    assert samples[:, 0].tolist() == [float(v) for v in vals]
+    # stereo de-interleave
+    s2, _ = decode_audio_samples(_wav_bytes([1, 2, 3, 4], ch=2))
+    assert s2.shape == (2, 2) and s2[:, 0].tolist() == [1.0, 3.0]
+    with pytest.raises(ValueError):
+        decode_audio_samples(b"ID3\x03mp3junk" * 8)
+
+
+def test_iter_video_luma_numpy_floor(monkeypatch):
+    monkeypatch.setenv("SDC_VIDEO_BACKEND", "numpy")
+    y = np.stack([np.full((4, 6), 13 * k, np.uint8) for k in range(3)])
+    planes = list(iter_video_luma(encode_y4m(y)))
+    assert len(planes) == 3
+    assert all(p.shape == (4, 6) for p in planes)
+    assert [int(p[0, 0]) for p in planes] == [0, 13, 26]
+    with pytest.raises(NotImplementedError, match="pyav"):
+        list(iter_video_luma(b"\x00\x00\x01\xb3mpegjunk"))
+
+
+@pytest.mark.skipif(_soundfile() is None, reason="soundfile not installed in container")
+def test_soundfile_and_numpy_agree_on_wav(monkeypatch):
+    # WAV decode is lossless in both backends; soundfile floats are
+    # rescaled to the int16 raw scale, so samples match exactly.
+    vals = [0, 1000, -1000, 32767, 5, -7]
+    buf = _wav_bytes(vals)
+    a, ra = decode_audio_samples(buf, force="numpy")
+    b, rb = decode_audio_samples(buf, force="soundfile")
+    assert ra == rb
+    assert np.allclose(a, b)
+
+
+@pytest.mark.skipif(_pyav() is None, reason="pyav not installed in container")
+def test_pyav_and_numpy_agree_on_y4m(monkeypatch):
+    # Y4M is raw planes; pyav's gray8 reformat of a mono stream is the Y
+    # plane unchanged, so both backends emit identical rasters.
+    y = np.stack([np.full((4, 6), 20 * k, np.uint8) for k in range(3)])
+    buf = encode_y4m(y)
+    a = list(iter_video_luma(buf, force="numpy"))
+    b = list(iter_video_luma(buf, force="pyav"))
+    assert len(a) == len(b)
+    for pa, pb in zip(a, b):
+        assert np.array_equal(pa, pb)

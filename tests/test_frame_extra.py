@@ -1709,3 +1709,26 @@ def test_strftime_literal_percent():
         strftime_to_java("%Y%")
     with _pytest.raises(ValueError, match="unsupported"):
         strftime_to_java("%Q")
+
+
+def test_expensive_plan_regex_matches_nodes_not_identifiers(spark):
+    """_single_execution's expensive-node check must key on tree positions,
+    not substrings: a cheap projection whose COLUMN is named 'Join' or
+    'Window' must not force a materialize, while a real join/aggregate
+    must."""
+    from pyspark.sql import functions as F
+
+    from sdc_spark.functions.conversion import _EXPENSIVE_PLAN_RE
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    cheap = spark.range(5).select(
+        F.col("id").alias("Join"), (F.col("id") * 2).alias("Window")
+    )
+    assert not _EXPENSIVE_PLAN_RE.search(plan(cheap))
+    joined = cheap.join(
+        spark.range(5).select(F.col("id").alias("k")), F.col("Join") == F.col("k")
+    )
+    assert _EXPENSIVE_PLAN_RE.search(plan(joined))
+    assert _EXPENSIVE_PLAN_RE.search(plan(cheap.groupBy("Join").count()))
