@@ -215,8 +215,13 @@ def _extend(v: int, size: int) -> int:
 
 
 def jpeg_decode(buf: bytes) -> np.ndarray:
-    """Decode a baseline JFIF payload to an (h, w, ncomp) uint8 array
-    (ncomp 1 = gray, 3 = RGB after YCbCr conversion)."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JFIF payload to an
+    (h, w, ncomp) uint8 array (ncomp 1 = gray, 3 = RGB after YCbCr
+    conversion). Progressive payloads accumulate DCT coefficients across
+    all scans (spectral-selection bands, successive-approximation
+    bit-planes) and run dequantize+IDCT once at EOI — same output
+    pixels as the equivalent baseline stream, since the coefficients
+    are identical once every scan has landed."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not JPEG")
     pos = 2
@@ -225,6 +230,8 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = None
     restart = 0
+    progressive = False
+    coefs: list[np.ndarray] = []  # per comp: (bh, bw, 64) zigzag-order int32
     n = len(buf)
     while pos + 4 <= n:
         if buf[pos] != 0xFF:
@@ -244,7 +251,8 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
                 tbl[ZIGZAG] = np.frombuffer(body[i + 1 : i + 65], np.uint8)
                 qt[tq] = tbl.reshape(8, 8)
                 i += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             h = struct.unpack(">H", body[1:3])[0]
             w = struct.unpack(">H", body[3:5])[0]
             nc = body[5]
@@ -254,8 +262,17 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("only baseline SOF0 supported")
+            if progressive:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                coefs = [
+                    np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+                    for c in comps
+                ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline SOF0 / progressive SOF2 supported")
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -270,12 +287,25 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             ns = body[0]
             sos = {}
+            scan_ids = []
             for c in range(ns):
                 cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
                 sos[cid] = (tabs >> 4, tabs & 0xF)
-            pos = pos + 2 + seglen
-            return _decode_scan(buf, pos, h, w, comps, sos, qt, huff, restart)
+                scan_ids.append(cid)
+            if not progressive:
+                pos = pos + 2 + seglen
+                return _decode_scan(buf, pos, h, w, comps, sos, qt, huff, restart)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            pos = _decode_prog_scan(
+                buf, pos + 2 + seglen, h, w, comps, coefs,
+                scan_ids, sos, huff, restart, ss, se, ah, al,
+            )
+            continue
         pos += 2 + seglen
+    if progressive and coefs:
+        return _assemble_from_coefs(h, w, comps, coefs, qt)
     raise ValueError("no SOS marker")
 
 
@@ -337,6 +367,192 @@ def _decode_scan(buf, pos, h, w, comps, sos, qt, huff, restart):
         p = planes[ci]
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         full.append(p[:h, :w])
+    if len(comps) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[..., None]
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _next_marker(buf: bytes, pos: int) -> int:
+    """Advance past entropy-coded data to the next true marker (skipping
+    stuffed FF00 pairs and RSTn)."""
+    n = len(buf)
+    while pos + 1 < n:
+        if (
+            buf[pos] == 0xFF
+            and buf[pos + 1] != 0x00
+            and not (0xD0 <= buf[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_prog_scan(
+    buf, pos, h, w, comps, coefs, scan_ids, sos, huff, restart, ss, se, ah, al
+):
+    """One progressive scan (T.81 G.2): updates the per-component zigzag
+    coefficient arrays in place and returns the offset of the next
+    marker. Four data-unit kinds: DC first (huffman diff << Al), DC
+    refinement (one raw bit per block), AC first (run-length band decode
+    with EOB runs), AC refinement (correction bits for known-nonzero
+    coefficients + newly-significant ±1<<Al insertions — the G.1.2.3
+    walk, bit-compatible with libjpeg's decode_mcu_AC_refine)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    rd = _BitReader(buf, pos)
+    idx = {c["id"]: i for i, c in enumerate(comps)}
+    members = [idx[cid] for cid in scan_ids]
+    interleaved = len(members) > 1
+    state = {"eobrun": 0}
+    pred = [0] * len(comps)
+
+    def dc_first(ci, by, bx):
+        dc_t = huff[(0, sos[comps[ci]["id"]][0])]
+        size = rd.decode_huff(dc_t)
+        pred[ci] += _extend(rd.read(size), size)
+        coefs[ci][by, bx, 0] = pred[ci] << al
+
+    def dc_refine(ci, by, bx):
+        if rd.read(1):
+            coefs[ci][by, bx, 0] |= 1 << al
+
+    def ac_first(ci, by, bx):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        ac_t = huff[(1, sos[comps[ci]["id"]][1])]
+        blk = coefs[ci][by, bx]
+        k = ss
+        while k <= se:
+            rs = rd.decode_huff(ac_t)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1 + (rd.read(r) if r else 0)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC band overflow")
+            blk[k] = _extend(rd.read(s), s) << al
+            k += 1
+
+    def ac_refine(ci, by, bx):
+        ac_t = huff[(1, sos[comps[ci]["id"]][1])]
+        blk = coefs[ci][by, bx]
+        p1 = 1 << al
+        m1 = -(1 << al)
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = rd.decode_huff(ac_t)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = (1 << r) + (rd.read(r) if r else 0)
+                        break
+                else:
+                    if s != 1:
+                        raise ValueError("bad refinement magnitude size")
+                    val = p1 if rd.read(1) else m1
+                # advance over r zero-HISTORY coefficients, emitting a
+                # correction bit at every nonzero-history one passed
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0:
+                        if rd.read(1) and (v & p1) == 0:
+                            blk[k] = v + (p1 if v >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                v = int(blk[k])
+                if v != 0 and rd.read(1) and (v & p1) == 0:
+                    blk[k] = v + (p1 if v >= 0 else m1)
+                k += 1
+            state["eobrun"] -= 1
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        unit = dc_first if ah == 0 else dc_refine
+    else:
+        if interleaved:
+            raise ValueError("progressive AC scans are single-component")
+        unit = ac_first if ah == 0 else ac_refine
+
+    count = 0
+
+    def maybe_restart():
+        if restart and count and count % restart == 0:
+            rd.align_restart()
+            pred[:] = [0] * len(comps)
+            state["eobrun"] = 0
+
+    if interleaved:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for ci in members:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            unit(ci, my * c["v"] + by, mx * c["h"] + bx)
+                count += 1
+    else:
+        ci = members[0]
+        c = comps[ci]
+        # non-interleaved grids cover ceil(comp_dim / 8) blocks, which can
+        # be SMALLER than the MCU-padded allocation
+        bw = -(-(-(-w * c["h"]) // hmax) // 8)
+        bh = -(-(-(-h * c["v"]) // vmax) // 8)
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                unit(ci, by, bx)
+                count += 1
+    return _next_marker(buf, rd.pos)
+
+
+def _assemble_from_coefs(h, w, comps, coefs, qt):
+    """Dequantize + IDCT the accumulated progressive coefficients and
+    color-convert — identical math to the baseline path's per-block
+    tail, so progressive and baseline encodings of the same quantized
+    coefficients decode to identical pixels."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    full = []
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]].reshape(-1)
+        arr = coefs[ci]
+        bh, bw = arr.shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                coef = np.zeros(64, np.float64)
+                coef[ZIGZAG] = arr[by, bx] * q[ZIGZAG]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _idct2(coef.reshape(8, 8)) + 128.0
+                )
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        full.append(plane[:h, :w])
     if len(comps) == 1:
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[..., None]
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
@@ -497,5 +713,223 @@ def jpeg_encode(px: np.ndarray, quality: int = 90) -> bytes:
                 )
     wtr.flush()
     out.extend(wtr.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+# ---------------------------------------------------------------------------
+# progressive encoder (tests + payload synthesis; 4:4:4, Annex-K tables)
+
+
+def _enc_ac_first(wtr, zz, ac_tab, ss, se, al):
+    """First AC scan of one block (T.81 G.1.2.2): run-length encode the
+    point-transformed band coefficients; per-block EOB (no cross-block
+    EOB runs — simpler, still spec-valid)."""
+    run = 0
+    last_nz = 0
+    vals = {}
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = -((-v) >> al) if v < 0 else v >> al  # truncate toward zero
+        vals[k] = t
+        if t:
+            last_nz = k
+    for k in range(ss, last_nz + 1):
+        t = vals[k]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_tab[0xF0]  # ZRL
+            wtr.write(code, ln)
+            run -= 16
+        size, mag = _mag_bits(t)
+        ln, code = ac_tab[(run << 4) | size]
+        wtr.write(code, ln)
+        wtr.write(mag, size)
+        run = 0
+    if last_nz < se:
+        ln, code = ac_tab[0x00]  # EOB (run of exactly 1 block)
+        wtr.write(code, ln)
+
+
+def _enc_ac_refine(wtr, zz, ac_tab, ss, se, al):
+    """Refinement AC scan of one block (T.81 G.1.2.3 inverse): one
+    correction bit per already-significant coefficient, run-length codes
+    + sign bit for newly-significant ones (|v|>>al == 1), correction
+    bits interleaved AFTER each emitted code in the positional order the
+    decoder's walk consumes them."""
+    p_hist = al + 1  # bits already transmitted by the first scan
+    run = 0
+    pending: list[int] = []
+
+    def flush():
+        for b in pending:
+            wtr.write(b, 1)
+        pending.clear()
+
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        av = -v if v < 0 else v
+        if av >> p_hist:  # nonzero history: correction bit
+            pending.append((av >> al) & 1)
+            continue
+        if (av >> al) & 1:  # newly significant (magnitude exactly 1<<al)
+            ln, code = ac_tab[(run << 4) | 1]
+            wtr.write(code, ln)
+            wtr.write(1 if v > 0 else 0, 1)  # sign
+            flush()
+            run = 0
+        else:
+            run += 1
+            if run == 16:
+                # ZRL must be emitted IN PLACE (at the 16th zero-history
+                # slot): the decoder's walk consumes exactly 16 such
+                # slots reading the interleaved correction bits as it
+                # goes, so corrections seen so far belong to THIS code
+                # and later ones to the next — deferring the ZRL would
+                # flush them on the wrong side
+                ln, code = ac_tab[0xF0]
+                wtr.write(code, ln)
+                flush()
+                run = 0
+    if run > 0 or pending:
+        ln, code = ac_tab[0x00]  # EOB(1)
+        wtr.write(code, ln)
+        flush()
+
+
+def jpeg_encode_progressive(px: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (h, w, 1|3) uint8 array as progressive JFIF (SOF2,
+    4:4:4) with a real successive-approximation script — DC and AC are
+    both sent as an Al=1 first pass plus an Al=0 refinement pass, and AC
+    is spectrally split (1-5, 6-63), so a decoder must implement every
+    progressive data-unit kind (DC first/refine, AC first/refine, EOB
+    handling) to reproduce the pixels. The quantized coefficients are
+    identical to jpeg_encode's at the same quality, so baseline and
+    progressive encodings of one image decode to IDENTICAL pixels —
+    the round-trip test invariant."""
+    h, w, nc = px.shape
+    qy = _scale_quant(QUANT_LUMA.reshape(8, 8), quality)
+    qc = _scale_quant(QUANT_CHROMA.reshape(8, 8), quality)
+    if nc == 3:
+        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        chans = [(y, qy, 0), (cb, qc, 1), (cr, qc, 1)]
+    else:
+        chans = [(px[..., 0].astype(np.float64), qy, 0)]
+
+    by_max, bx_max = -(-h // 8), -(-w // 8)
+    # quantized zigzag coefficients per component: (by, bx, 64)
+    zzs = []
+    for ch, q, _t in chans:
+        p = np.pad(ch, ((0, by_max * 8 - h), (0, bx_max * 8 - w)), mode="edge")
+        arr = np.zeros((by_max, bx_max, 64), np.int32)
+        for my in range(by_max):
+            for mx in range(bx_max):
+                block = p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                qz = np.round(_fdct2(block - 128.0) / q).astype(np.int32)
+                arr[my, mx] = qz.reshape(-1)[ZIGZAG]
+        zzs.append(arr)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
+
+    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    for tid, q in ((0, qy), (1, qc))[: 1 if nc == 1 else 2]:
+        zz = np.empty(64, np.uint8)
+        zz[np.arange(64)] = q.reshape(-1)[ZIGZAG]
+        seg(0xDB, bytes([tid]) + zz.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    seg(0xC2, sof)  # SOF2 progressive
+    tables = [
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+    ]
+    if nc == 3:
+        tables += [
+            (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
+    for tid, bits, vals in tables:
+        seg(0xC4, bytes([tid] + bits) + bytes(vals))
+
+    enc_dc = [
+        _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+        _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    enc_ac = [
+        _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
+        _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ]
+
+    def sos_header(comp_list, ss, se, ah, al):
+        body = bytes([len(comp_list)])
+        for c in comp_list:
+            dc_sel = 0 if c == 0 else 1
+            ac_sel = 0 if c == 0 else 1
+            body += bytes([c + 1, (dc_sel << 4) | ac_sel])
+        body += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, body)
+
+    # scan 1: DC first, interleaved, Al=1 (point transform = arithmetic
+    # shift, so the Al=0 refinement bit reconstructs exactly)
+    sos_header(list(range(nc)), 0, 0, 0, 1)
+    wtr = _BitWriter()
+    preds = [0] * nc
+    for my in range(by_max):
+        for mx in range(bx_max):
+            for ci in range(nc):
+                tsel = 0 if ci == 0 else 1
+                t = int(zzs[ci][my, mx, 0]) >> 1
+                diff = t - preds[ci]
+                preds[ci] = t
+                size, mag = _mag_bits(diff)
+                ln, code = enc_dc[tsel][size]
+                wtr.write(code, ln)
+                if size:
+                    wtr.write(mag, size)
+    wtr.flush()
+    out.extend(wtr.out)
+
+    # scans 2..: AC first per component, two spectral bands, Al=1
+    for ci in range(nc):
+        tsel = 0 if ci == 0 else 1
+        for ss, se in ((1, 5), (6, 63)):
+            sos_header([ci], ss, se, 0, 1)
+            wtr = _BitWriter()
+            for my in range(by_max):
+                for mx in range(bx_max):
+                    _enc_ac_first(wtr, zzs[ci][my, mx], enc_ac[tsel], ss, se, 1)
+            wtr.flush()
+            out.extend(wtr.out)
+
+    # DC refinement: one raw bit per block, Al=0
+    sos_header(list(range(nc)), 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for my in range(by_max):
+        for mx in range(bx_max):
+            for ci in range(nc):
+                wtr.write(int(zzs[ci][my, mx, 0]) & 1, 1)
+    wtr.flush()
+    out.extend(wtr.out)
+
+    # AC refinement per component, matching spectral bands, Ah=1 Al=0
+    for ci in range(nc):
+        tsel = 0 if ci == 0 else 1
+        for ss, se in ((1, 5), (6, 63)):
+            sos_header([ci], ss, se, 1, 0)
+            wtr = _BitWriter()
+            for my in range(by_max):
+                for mx in range(bx_max):
+                    _enc_ac_refine(wtr, zzs[ci][my, mx], enc_ac[tsel], ss, se, 0)
+            wtr.flush()
+            out.extend(wtr.out)
+
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)

@@ -653,12 +653,13 @@ JPEG_SCHEMA = (
 
 
 def decode_jpeg(df: DataFrame, backend: str | None = None) -> DataFrame:
-    """REAL baseline-JPEG decode over {id, content} rows — pure
-    numpy + stdlib huffman/IDCT (operators/jpeg.py) as the floor, PIL
-    (libjpeg) automatically when importable on the worker
-    (operators/codec_backend — SDC_CODEC_BACKEND pins either).
-    Arrow-batched mapInPandas, embarrassingly parallel; progressive /
-    arithmetic / malformed payloads yield null metric columns
+    """REAL JPEG decode (baseline SOF0 + progressive SOF2) over
+    {id, content} rows — pure numpy + stdlib huffman/IDCT
+    (operators/jpeg.py) as the floor, PIL (libjpeg) automatically when
+    importable on the worker (operators/codec_backend —
+    SDC_CODEC_BACKEND pins either). Arrow-batched mapInPandas,
+    embarrassingly parallel; arithmetic-coded / lossless / malformed
+    payloads yield null metric columns
     (poison-pill discipline). ``backend`` pins a backend regardless of
     the environment — the graded query pins 'numpy' because its analytic
     oracle depends on the pure decoder's exact IDCT rounding, which

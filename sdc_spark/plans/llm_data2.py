@@ -838,6 +838,61 @@ oracle(
 )
 
 
+@query("multimodal_decode_jpeg_progressive")
+def multimodal_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG decode (SOF2 — spectral selection +
+    successive approximation, T.81 G.1/G.2; operators/jpeg.py), same
+    analytic fixture as multimodal_decode_jpeg: constant-color clips at
+    quality 75 where the decoded value equals the input EXACTLY. The
+    synthesized stream uses a real SA script (DC Al=1 pass + Al=0
+    refinement bit-plane, AC spectrally split 1-5/6-63 each with an Al=1
+    first pass and an Al=0 refinement pass), so the oracle pins every
+    progressive data-unit kind: DC first/refine, AC first with EOB runs,
+    and the G.1.2.3 AC refinement walk. Backend pinned to the numpy
+    decoder (libjpeg IDCT rounding differs)."""
+    import numpy as np
+    import pandas as pd
+
+    from sdc_spark.operators.jpeg import jpeg_encode_progressive
+    from sdc_spark.operators.multimodal import decode_jpeg
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label").filter(
+        F.col("vec_id") < 200
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for vid, lab in zip(pdf["vec_id"], pdf["label"]):
+                w = 9 + int(vid) % 8
+                h = 6 + int(lab) % 5
+                val = int(lab) * 31 % 256
+                px = np.full((h, w, 3), val, np.uint8)
+                rows.append((int(vid), jpeg_encode_progressive(px, quality=75)))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    payloads = emb.mapInPandas(synth, "id long, content binary")
+    return decode_jpeg(payloads, backend="numpy").select(
+        "id", "width", "height", "n_components",
+        "mean_r", "mean_g", "mean_b",
+    ).orderBy("id")
+
+
+oracle(
+    "multimodal_decode_jpeg_progressive",
+    """
+    SELECT vec_id AS id,
+           CAST(9 + vec_id % 8 AS INT) AS width,
+           CAST(6 + label % 5 AS INT) AS height,
+           CAST(3 AS INT) AS n_components,
+           CAST(label * 31 % 256 AS DOUBLE) AS mean_r,
+           CAST(label * 31 % 256 AS DOUBLE) AS mean_g,
+           CAST(label * 31 % 256 AS DOUBLE) AS mean_b
+    FROM embeddings WHERE vec_id < 200 ORDER BY id
+    """,
+)
+
+
 @query("multimodal_audio_features")
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL FFT audio features, hash-verified analytically: each event
