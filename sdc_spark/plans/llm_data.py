@@ -448,12 +448,17 @@ oracle(
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary modality plumbing: attach binary payload + typed metadata,
     decode/featurize, resize, and frame-sample via Arrow mapInPandas
-    (deterministic stubs — real codecs absent in container;
-    schema/batching/fan-out are production-shaped). The three stages join
-    back on id: features ⋈ resize ⋈ per-id frame count. Rows-only check
-    (pseudo-features aren't SQL-expressible). Output is scalar-only —
-    the driver's canonicalizer can't sort array<float> columns, so the
-    feature vector is projected to first element / sum / L2 norm."""
+    (deterministic stubs — real codecs exercised by the
+    multimodal_decode_* queries; schema/batching/fan-out are
+    production-shaped). The three stages join back on id:
+    features ⋈ resize ⋈ per-id frame count. FULLY oracled: the stub
+    features are pure functions of the utf-8 bytes (all-ASCII in this
+    corpus), so DuckDB reproduces them exactly — byte mean/std from the
+    character codes, the 8-chunk pseudo-embedding via np.array_split's
+    chunk-boundary arithmetic with the float32 quantization replicated
+    by CAST(... AS REAL), and the stub resize/frame-sample shapes
+    (16*16 bytes, n_frames rows) in closed form. Output is scalar-only —
+    the feature vector is projected to first element / sum."""
     doc = _t(spark, sf_dir, "documents")
     binm = smm.attach_binary(doc, "text", "doc_id")
     acc = lambda a, x: a + x.cast("double")  # noqa: E731
@@ -474,6 +479,52 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_frames"))
     )
     return feats.join(sizes, "id").join(nframes, "id")
+
+
+oracle(
+    "multimodal_features",
+    """
+    WITH base AS (
+        SELECT doc_id, text, length(text) AS n FROM documents
+    ),
+    codes AS (
+        SELECT doc_id, n, i - 1 AS p, ascii(substring(text, i, 1)) AS c
+        FROM base, UNNEST(generate_series(1, n)) AS s(i)
+    ),
+    chunked AS (
+        -- np.array_split(a, 8): (n % 8) leading chunks of size n//8+1,
+        -- the rest of size n//8
+        SELECT doc_id, c,
+               CASE WHEN p < (n % 8) * (n // 8 + 1)
+                    THEN p // (n // 8 + 1)
+                    ELSE (n % 8) + (p - (n % 8) * (n // 8 + 1)) // (n // 8)
+               END AS chunk
+        FROM codes
+    ),
+    cmeans AS (
+        -- the stub feature vector is float32: replicate the quantization
+        SELECT doc_id, chunk, CAST(CAST(avg(c) AS REAL) AS DOUBLE) AS m
+        FROM chunked GROUP BY doc_id, chunk
+    ),
+    feats AS (
+        SELECT doc_id,
+               round(max(CASE WHEN chunk = 0 THEN m END), 4) AS feat0,
+               round(sum(m), 4) AS feat_sum
+        FROM cmeans GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT doc_id, n AS n_bytes,
+               round(avg(c), 4) AS byte_mean,
+               round(stddev_pop(c), 4) AS byte_std
+        FROM codes GROUP BY doc_id, n
+    )
+    SELECT s.doc_id AS id, s.n_bytes, s.byte_mean, s.byte_std,
+           f.feat0, f.feat_sum,
+           CAST(256 AS INT) AS resized_bytes,
+           CAST(4 AS BIGINT) AS n_frames
+    FROM stats s JOIN feats f USING (doc_id)
+    """,
+)
 
 
 @query("dedup_components")

@@ -26,6 +26,7 @@ from sdc_spark.materialize import materialize as _materialize
 from sdc_spark.functions import text as stext
 from sdc_spark.operators.curation import resample_to_mix
 from sdc_spark.operators.dedup import normalized_text
+from sdc_spark.operators import similarity as ssim
 from sdc_spark.operators.similarity import semantic_dedup
 from sdc_spark.plans.registry import oracle, query
 from sdc_spark.sources.readers import read_table
@@ -239,15 +240,56 @@ oracle(
 @query("semantic_dedup")
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding-space dedup: IVF-cell blocking confines
-    the pairwise step; keep-lowest-id survivor rule. Engine-specific
-    clustering (xxhash64 seeds) → rows-only driver check; the semantic
-    guarantees are pinned by tests/test_llm_data2.py."""
+    the pairwise step; keep-lowest-id survivor rule. Cell boundaries are
+    engine-specific (xxhash64 seeds), so the GRADED surface is an audit
+    (the `agg_approx_sketch` pattern): every dropped row's cosine to its
+    recorded dup_of is RE-COMPUTED from the embeddings and must clear
+    the 0.4 threshold (precision), every dup_of must be a lower id
+    (survivor rule), survivors must carry a null dup_of, and at least
+    one dup must exist (21 / 18 measured at sf0.001 / sf0.01). All
+    booleans are deterministic under the fixed seeds → exact SQL
+    oracle; n_vecs anchors to an exactly-oracled count. Semantic
+    guarantees also pinned by tests/test_llm_data2.py."""
     emb = _t(spark, sf_dir, "embeddings")
-    return (
-        semantic_dedup(emb, "vec_id", "embedding", n_cells=16, threshold=0.4)
-        .select("vec_id", "cell", "is_dup", "dup_of")
-        .orderBy("vec_id")
+    out = semantic_dedup(emb, "vec_id", "embedding", n_cells=16, threshold=0.4)
+    e = emb.select(F.col("vec_id").alias("eid"), F.col("embedding").alias("evec"))
+    dups = (
+        out.filter(F.col("is_dup"))
+        .join(e.withColumnRenamed("eid", "vec_id").withColumnRenamed("evec", "va"), "vec_id")
+        .join(e.withColumnRenamed("eid", "dup_of").withColumnRenamed("evec", "vb"), "dup_of")
+        .select(
+            ssim.cosine(F.col("va"), F.col("vb")).alias("cos"),
+            (F.col("dup_of") < F.col("vec_id")).alias("lower_id"),
+        )
     )
+    d = dups.agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min(F.col("cos") >= 0.4 - 1e-12).alias("cos_ok"),
+        F.min("lower_id").alias("lower_ok"),
+    )
+    s = out.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.max(
+            F.when(~F.col("is_dup"), F.col("dup_of").isNotNull()).otherwise(F.lit(False))
+        ).alias("survivor_violation"),
+    )
+    return s.crossJoin(d).select(
+        "n_vecs",
+        (F.col("n_dups") >= 1).alias("dups_found"),
+        F.coalesce("cos_ok", F.lit(False)).alias("precision_ok"),
+        F.coalesce("lower_ok", F.lit(False)).alias("survivor_rule_ok"),
+        (~F.col("survivor_violation")).alias("survivors_clean"),
+    )
+
+
+oracle(
+    "semantic_dedup",
+    """
+    SELECT count(*) AS n_vecs, TRUE AS dups_found, TRUE AS precision_ok,
+           TRUE AS survivor_rule_ok, TRUE AS survivors_clean
+    FROM embeddings
+    """,
+)
 
 
 @query("split_train_val_test")
@@ -1468,15 +1510,50 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE subword tokenization (operators/bpe.py): vocabulary
     trained on the corpus word-frequency table (one scan + driver-side
     merge learning, deterministic), then applied per document in an
-    Arrow-batched map. Not SQL-expressible (iterative merge model) →
-    rows-only; reconstruction/determinism pinned in
-    tests/test_llm_data2.py."""
+    Arrow-batched map. The merge model isn't SQL-expressible, but its
+    CONTRACT is — the GRADED surface audits, per document: lossless
+    reconstruction (tokens concatenated with the </w> markers stripped
+    must equal the normalized words concatenated — BPE merges never
+    cross word boundaries, so this is deterministic-true), and the token
+    count must lie in [n_words, n_chars + n_words] (every word is >= 1
+    token; a word of length L starts as L+1 symbols and merges only
+    shrink it). Exact SQL oracle per doc. Reconstruction/determinism
+    also pinned in tests/test_llm_data2.py."""
     from sdc_spark.operators import bpe
 
     doc = _t(spark, sf_dir, "documents")
     merges = bpe.train_bpe(doc, "text", num_merges=200, max_words=20000)
     tok = bpe.bpe_tokenize(doc, "text", "doc_id", merges)
-    return tok.select("doc_id", "n_tokens").orderBy("doc_id")
+    words = F.filter(
+        F.split(normalized_text("text"), " "), lambda w: F.length(w) > 0
+    )
+    norm = doc.select(
+        "doc_id",
+        F.array_join(words, "").alias("joined_words"),
+        F.size(words).alias("n_words"),
+    ).withColumn("n_chars", F.length("joined_words"))
+    j = tok.join(norm, "doc_id")
+    rebuilt = F.replace(
+        F.array_join("tokens", ""), F.lit(bpe.EOW), F.lit("")
+    )
+    return j.select(
+        "doc_id",
+        (rebuilt == F.col("joined_words")).alias("roundtrip_ok"),
+        (F.col("n_tokens") >= F.col("n_words")).alias("tokens_ge_words"),
+        (F.col("n_tokens") <= F.col("n_chars") + F.col("n_words")).alias(
+            "tokens_le_chars"
+        ),
+    ).orderBy("doc_id")
+
+
+oracle(
+    "text_bpe_tokenize",
+    """
+    SELECT doc_id, TRUE AS roundtrip_ok, TRUE AS tokens_ge_words,
+           TRUE AS tokens_le_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
 
 
 @query("sample_temperature_mix")

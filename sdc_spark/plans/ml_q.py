@@ -178,19 +178,51 @@ oracle(
 @query("ml_kmeans")
 def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd k-means on (quantity, discount, tax):
-    xxhash64-seeded centers (engine-specific → rows-only check; property
-    tests pin convergence/determinism), broadcast-assign + hash-aggregate
-    recompute per round."""
+    xxhash64-seeded centers, broadcast-assign + hash-aggregate recompute
+    per round. Center coordinates are engine-specific (seed hash), so
+    the GRADED surface is a per-center audit (the `agg_approx_sketch`
+    pattern): every center must lie inside the data's per-dimension
+    bounding box — seeds are data points and every Lloyd update is a
+    mean of data points, so this is deterministic-true — with k rows
+    anchoring the exact center count. Convergence/determinism pinned by
+    the property tests."""
     li = _t(spark, sf_dir, "lineitem")
     centers = kmeans_fit(
         li, ["l_quantity", "l_discount", "l_tax"], k=4, iterations=5
     )
-    return centers.select(
-        "center_id",
-        F.round("c_l_quantity", 4).alias("c_quantity"),
-        F.round("c_l_discount", 4).alias("c_discount"),
-        F.round("c_l_tax", 4).alias("c_tax"),
-    ).orderBy("center_id")
+    bounds = li.agg(
+        F.min("l_quantity").alias("qlo"), F.max("l_quantity").alias("qhi"),
+        F.min("l_discount").alias("dlo"), F.max("l_discount").alias("dhi"),
+        F.min("l_tax").alias("tlo"), F.max("l_tax").alias("thi"),
+    )
+    return (
+        centers.crossJoin(bounds)
+        .select(
+            F.col("center_id").cast("int").alias("center_id"),
+            F.col("c_l_quantity").between(F.col("qlo"), F.col("qhi")).alias(
+                "quantity_in_bounds"
+            ),
+            F.col("c_l_discount").between(F.col("dlo"), F.col("dhi")).alias(
+                "discount_in_bounds"
+            ),
+            F.col("c_l_tax").between(F.col("tlo"), F.col("thi")).alias(
+                "tax_in_bounds"
+            ),
+        )
+        .orderBy("center_id")
+    )
+
+
+oracle(
+    "ml_kmeans",
+    """
+    SELECT CAST(range AS INT) AS center_id,
+           TRUE AS quantity_in_bounds,
+           TRUE AS discount_in_bounds,
+           TRUE AS tax_in_bounds
+    FROM range(4) ORDER BY center_id
+    """,
+)
 
 
 @query("embedding_covariance")
@@ -231,21 +263,42 @@ oracle(
 def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA projection: covariance via one Gram pass, driver
     eigh on the 64x64 matrix, JVM zip_with dot-product projection onto
-    the sign-fixed top-2 components. Rows-only (eigenvectors are not
-    SQL-expressible); pinned by tests/test_ml_pca.py against numpy PCA
-    on the full collected data."""
+    the sign-fixed top-2 components. Eigenvectors are not
+    SQL-expressible, so the GRADED surface audits PCA's defining
+    invariants over the full projection (the `agg_approx_sketch`
+    pattern, all deterministic-true): the sample variance captured by
+    pc1 must be >= pc2's (eigenvalue ordering realized in the projected
+    data), pc1 and pc2 must be uncorrelated (orthogonal components of a
+    symmetric eigendecomposition — |covar| bounded by float noise), and
+    the explained-variance ratios must be ordered, positive, and sum
+    <= 1. Exact numeric parity vs numpy PCA pinned by
+    tests/test_ml_pca.py."""
     from sdc_spark.operators.ml import pca_project
 
     emb = read_table(spark, sf_dir, "embeddings")
     proj, evr = pca_project(emb, "vec_id", "embedding", 64, k=2)
-    return (
-        proj.filter(F.col("vec_id") < 20)
-        .select(
-            "vec_id",
-            F.round("pc1", 4).alias("pc1"),
-            F.round("pc2", 4).alias("pc2"),
-            F.round(F.lit(evr[0]), 4).alias("evr1"),
-            F.round(F.lit(evr[1]), 4).alias("evr2"),
-        )
-        .orderBy("vec_id")
+    evr_ok = bool(evr[0] >= evr[1] > 0.0 and evr[0] + evr[1] <= 1.0 + 1e-9)
+    a = proj.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.var_samp("pc1").alias("v1"),
+        F.var_samp("pc2").alias("v2"),
+        F.covar_samp("pc1", "pc2").alias("cv"),
     )
+    return a.select(
+        "n_vecs",
+        (F.col("v1") >= F.col("v2") * (1.0 - 1e-9)).alias("variance_order_ok"),
+        (
+            F.abs(F.col("cv")) <= 1e-6 * F.sqrt(F.col("v1") * F.col("v2")) + 1e-9
+        ).alias("uncorrelated_ok"),
+        F.lit(evr_ok).alias("evr_ok"),
+    )
+
+
+oracle(
+    "ml_pca_project",
+    """
+    SELECT count(*) AS n_vecs, TRUE AS variance_order_ok,
+           TRUE AS uncorrelated_ok, TRUE AS evr_ok
+    FROM embeddings
+    """,
+)
