@@ -517,10 +517,12 @@ def _decode_prog_scan(
     else:
         ci = members[0]
         c = comps[ci]
-        # non-interleaved grids cover ceil(comp_dim / 8) blocks, which can
-        # be SMALLER than the MCU-padded allocation
-        bw = -(-(-(-w * c["h"]) // hmax) // 8)
-        bh = -(-(-(-h * c["v"]) // vmax) // 8)
+        # non-interleaved grids cover ceil(ceil(dim * sampling) / 8)
+        # blocks, which can be SMALLER than the MCU-padded allocation
+        cw = -((-w * c["h"]) // hmax)
+        ch = -((-h * c["v"]) // vmax)
+        bw = -(-cw // 8)
+        bh = -(-ch // 8)
         for by in range(bh):
             for bx in range(bw):
                 maybe_restart()
@@ -637,9 +639,56 @@ def _encode_block(wtr, coef_zz, pred, dc_tab, ac_tab):
     return int(coef_zz[0])
 
 
-def jpeg_encode(px: np.ndarray, quality: int = 90) -> bytes:
-    """Encode an (h, w, 1|3) uint8 array as baseline JFIF (4:4:4)."""
+def _quantized_blocks(plane: np.ndarray, q: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """(bh, bw, 64) zigzag-order quantized coefficients of an edge-padded
+    plane — the shared front half of both encoders, so baseline and
+    progressive streams of one image carry IDENTICAL coefficients."""
+    p = np.pad(
+        plane,
+        ((0, bh * 8 - plane.shape[0]), (0, bw * 8 - plane.shape[1])),
+        mode="edge",
+    )
+    out = np.zeros((bh, bw, 64), np.int32)
+    for my in range(bh):
+        for mx in range(bw):
+            block = p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            qz = np.round(_fdct2(block - 128.0) / q).astype(np.int32)
+            out[my, mx] = qz.reshape(-1)[ZIGZAG]
+    return out
+
+
+def _ycbcr_planes(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def _box_half(plane: np.ndarray) -> np.ndarray:
+    """2x2 box-mean downsample (edge-padded to even dims) — the chroma
+    subsampler for the 4:2:0 encoders."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, h & 1), (0, w & 1)), mode="edge")
+    return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+
+
+def _420_geometry(h: int, w: int, quality: int):
+    """Component table for the 4:2:0 encoders: (plane-getter args, hv,
+    quant, table-selector, MCU-padded block grid) per component."""
+    qy = _scale_quant(QUANT_LUMA.reshape(8, 8), quality)
+    qc = _scale_quant(QUANT_CHROMA.reshape(8, 8), quality)
+    mcuy, mcux = -(-h // 16), -(-w // 16)
+    return qy, qc, mcuy, mcux
+
+
+def jpeg_encode(px: np.ndarray, quality: int = 90, subsample: bool = False) -> bytes:
+    """Encode an (h, w, 1|3) uint8 array as baseline JFIF — 4:4:4 by
+    default, 4:2:0 (luma 2x2 per MCU, box-mean chroma) with
+    ``subsample=True``."""
     h, w, nc = px.shape
+    if subsample and nc == 3:
+        return _jpeg_encode_420(px, quality)
     qy = _scale_quant(QUANT_LUMA.reshape(8, 8), quality)
     qc = _scale_quant(QUANT_CHROMA.reshape(8, 8), quality)
     if nc == 3:
@@ -715,6 +764,66 @@ def jpeg_encode(px: np.ndarray, quality: int = 90) -> bytes:
     out.extend(wtr.out)
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)
+
+def _jpeg_encode_420(px: np.ndarray, quality: int) -> bytes:
+    """Baseline 4:2:0: luma at full resolution (2x2 blocks per MCU),
+    box-mean chroma at half resolution — the layout virtually every web
+    photo uses, so the decoder's subsampled-MCU walk gets a same-repo
+    round-trip twin instead of relying on external files."""
+    h, w, _ = px.shape
+    qy, qc, mcuy, mcux = _420_geometry(h, w, quality)
+    y, cb, cr = _ycbcr_planes(px)
+    zz_y = _quantized_blocks(y, qy, mcuy * 2, mcux * 2)
+    zz_cb = _quantized_blocks(_box_half(cb), qc, mcuy, mcux)
+    zz_cr = _quantized_blocks(_box_half(cr), qc, mcuy, mcux)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
+
+    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in ((0, qy), (1, qc)):
+        zz = np.empty(64, np.uint8)
+        zz[np.arange(64)] = q.reshape(-1)[ZIGZAG]
+        seg(0xDB, bytes([tid]) + zz.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    seg(0xC0, sof)
+    for tid, bits, vals in (
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+        (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ):
+        seg(0xC4, bytes([tid] + bits) + bytes(vals))
+    seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
+
+    enc_dc = [
+        _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+        _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    enc_ac = [
+        _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
+        _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ]
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(2):
+                for bx in range(2):
+                    preds[0] = _encode_block(
+                        wtr, zz_y[my * 2 + by, mx * 2 + bx], preds[0],
+                        enc_dc[0], enc_ac[0],
+                    )
+            preds[1] = _encode_block(wtr, zz_cb[my, mx], preds[1], enc_dc[1], enc_ac[1])
+            preds[2] = _encode_block(wtr, zz_cr[my, mx], preds[2], enc_dc[1], enc_ac[1])
+    wtr.flush()
+    out.extend(wtr.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
 
 # ---------------------------------------------------------------------------
 # progressive encoder (tests + payload synthesis; 4:4:4, Annex-K tables)
@@ -798,40 +907,50 @@ def _enc_ac_refine(wtr, zz, ac_tab, ss, se, al):
         flush()
 
 
-def jpeg_encode_progressive(px: np.ndarray, quality: int = 90) -> bytes:
-    """Encode an (h, w, 1|3) uint8 array as progressive JFIF (SOF2,
-    4:4:4) with a real successive-approximation script — DC and AC are
-    both sent as an Al=1 first pass plus an Al=0 refinement pass, and AC
-    is spectrally split (1-5, 6-63), so a decoder must implement every
+def jpeg_encode_progressive(
+    px: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """Encode an (h, w, 1|3) uint8 array as progressive JFIF (SOF2) with
+    a real successive-approximation script — DC and AC are both sent as
+    an Al=1 first pass plus an Al=0 refinement pass, and AC is
+    spectrally split (1-5, 6-63), so a decoder must implement every
     progressive data-unit kind (DC first/refine, AC first/refine, EOB
-    handling) to reproduce the pixels. The quantized coefficients are
-    identical to jpeg_encode's at the same quality, so baseline and
-    progressive encodings of one image decode to IDENTICAL pixels —
-    the round-trip test invariant."""
+    handling) to reproduce the pixels. ``subsample=True`` emits 4:2:0
+    (the layout most progressive web photos use), which additionally
+    exercises subsampled interleaved DC MCUs and non-interleaved AC
+    block grids SMALLER than the MCU-padded allocation. The quantized
+    coefficients are identical to jpeg_encode's at the same
+    quality/subsampling, so baseline and progressive encodings of one
+    image decode to IDENTICAL pixels — the round-trip test invariant."""
     h, w, nc = px.shape
     qy = _scale_quant(QUANT_LUMA.reshape(8, 8), quality)
     qc = _scale_quant(QUANT_CHROMA.reshape(8, 8), quality)
-    if nc == 3:
-        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        chans = [(y, qy, 0), (cb, qc, 1), (cr, qc, 1)]
+    if nc == 3 and subsample:
+        mcuy, mcux = -(-h // 16), -(-w // 16)
+        y, cb, cr = _ycbcr_planes(px)
+        comps = [
+            dict(zz=_quantized_blocks(y, qy, mcuy * 2, mcux * 2), tsel=0,
+                 hv=0x22, mcu=(2, 2), acg=(-(-h // 8), -(-w // 8))),
+            dict(zz=_quantized_blocks(_box_half(cb), qc, mcuy, mcux), tsel=1,
+                 hv=0x11, mcu=(1, 1), acg=(mcuy, mcux)),
+            dict(zz=_quantized_blocks(_box_half(cr), qc, mcuy, mcux), tsel=1,
+                 hv=0x11, mcu=(1, 1), acg=(mcuy, mcux)),
+        ]
     else:
-        chans = [(px[..., 0].astype(np.float64), qy, 0)]
-
-    by_max, bx_max = -(-h // 8), -(-w // 8)
-    # quantized zigzag coefficients per component: (by, bx, 64)
-    zzs = []
-    for ch, q, _t in chans:
-        p = np.pad(ch, ((0, by_max * 8 - h), (0, bx_max * 8 - w)), mode="edge")
-        arr = np.zeros((by_max, bx_max, 64), np.int32)
-        for my in range(by_max):
-            for mx in range(bx_max):
-                block = p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
-                qz = np.round(_fdct2(block - 128.0) / q).astype(np.int32)
-                arr[my, mx] = qz.reshape(-1)[ZIGZAG]
-        zzs.append(arr)
+        mcuy, mcux = -(-h // 8), -(-w // 8)
+        if nc == 3:
+            planes = _ycbcr_planes(px)
+            quants = (qy, qc, qc)
+            tsels = (0, 1, 1)
+        else:
+            planes = (px[..., 0].astype(np.float64),)
+            quants = (qy,)
+            tsels = (0,)
+        comps = [
+            dict(zz=_quantized_blocks(p, q, mcuy, mcux), tsel=t, hv=0x11,
+                 mcu=(1, 1), acg=(mcuy, mcux))
+            for p, q, t in zip(planes, quants, tsels)
+        ]
 
     out = bytearray(b"\xff\xd8")  # SOI
 
@@ -844,8 +963,8 @@ def jpeg_encode_progressive(px: np.ndarray, quality: int = 90) -> bytes:
         zz[np.arange(64)] = q.reshape(-1)[ZIGZAG]
         seg(0xDB, bytes([tid]) + zz.tobytes())
     sof = struct.pack(">BHHB", 8, h, w, nc)
-    for c in range(nc):
-        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    for ci, c in enumerate(comps):
+        sof += bytes([ci + 1, c["hv"], 0 if ci == 0 else 1])
     seg(0xC2, sof)  # SOF2 progressive
     tables = [
         (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -871,9 +990,8 @@ def jpeg_encode_progressive(px: np.ndarray, quality: int = 90) -> bytes:
     def sos_header(comp_list, ss, se, ah, al):
         body = bytes([len(comp_list)])
         for c in comp_list:
-            dc_sel = 0 if c == 0 else 1
-            ac_sel = 0 if c == 0 else 1
-            body += bytes([c + 1, (dc_sel << 4) | ac_sel])
+            sel = 0 if c == 0 else 1
+            body += bytes([c + 1, (sel << 4) | sel])
         body += bytes([ss, se, (ah << 4) | al])
         seg(0xDA, body)
 
@@ -882,52 +1000,59 @@ def jpeg_encode_progressive(px: np.ndarray, quality: int = 90) -> bytes:
     sos_header(list(range(nc)), 0, 0, 0, 1)
     wtr = _BitWriter()
     preds = [0] * nc
-    for my in range(by_max):
-        for mx in range(bx_max):
-            for ci in range(nc):
-                tsel = 0 if ci == 0 else 1
-                t = int(zzs[ci][my, mx, 0]) >> 1
-                diff = t - preds[ci]
-                preds[ci] = t
-                size, mag = _mag_bits(diff)
-                ln, code = enc_dc[tsel][size]
-                wtr.write(code, ln)
-                if size:
-                    wtr.write(mag, size)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, c in enumerate(comps):
+                v_, h_ = c["mcu"]
+                for by in range(v_):
+                    for bx in range(h_):
+                        t = int(c["zz"][my * v_ + by, mx * h_ + bx, 0]) >> 1
+                        diff = t - preds[ci]
+                        preds[ci] = t
+                        size, mag = _mag_bits(diff)
+                        ln, code = enc_dc[c["tsel"]][size]
+                        wtr.write(code, ln)
+                        if size:
+                            wtr.write(mag, size)
     wtr.flush()
     out.extend(wtr.out)
 
     # scans 2..: AC first per component, two spectral bands, Al=1
-    for ci in range(nc):
-        tsel = 0 if ci == 0 else 1
+    # (non-interleaved: the block grid is ceil(comp_dim/8), which for
+    # subsampled luma is SMALLER than the MCU-padded zz allocation)
+    for ci, c in enumerate(comps):
+        bh, bw = c["acg"]
         for ss, se in ((1, 5), (6, 63)):
             sos_header([ci], ss, se, 0, 1)
             wtr = _BitWriter()
-            for my in range(by_max):
-                for mx in range(bx_max):
-                    _enc_ac_first(wtr, zzs[ci][my, mx], enc_ac[tsel], ss, se, 1)
+            for my in range(bh):
+                for mx in range(bw):
+                    _enc_ac_first(wtr, c["zz"][my, mx], enc_ac[c["tsel"]], ss, se, 1)
             wtr.flush()
             out.extend(wtr.out)
 
     # DC refinement: one raw bit per block, Al=0
     sos_header(list(range(nc)), 0, 0, 1, 0)
     wtr = _BitWriter()
-    for my in range(by_max):
-        for mx in range(bx_max):
-            for ci in range(nc):
-                wtr.write(int(zzs[ci][my, mx, 0]) & 1, 1)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in comps:
+                v_, h_ = c["mcu"]
+                for by in range(v_):
+                    for bx in range(h_):
+                        wtr.write(int(c["zz"][my * v_ + by, mx * h_ + bx, 0]) & 1, 1)
     wtr.flush()
     out.extend(wtr.out)
 
     # AC refinement per component, matching spectral bands, Ah=1 Al=0
-    for ci in range(nc):
-        tsel = 0 if ci == 0 else 1
+    for ci, c in enumerate(comps):
+        bh, bw = c["acg"]
         for ss, se in ((1, 5), (6, 63)):
             sos_header([ci], ss, se, 1, 0)
             wtr = _BitWriter()
-            for my in range(by_max):
-                for mx in range(bx_max):
-                    _enc_ac_refine(wtr, zzs[ci][my, mx], enc_ac[tsel], ss, se, 0)
+            for my in range(bh):
+                for mx in range(bw):
+                    _enc_ac_refine(wtr, c["zz"][my, mx], enc_ac[c["tsel"]], ss, se, 0)
             wtr.flush()
             out.extend(wtr.out)
 

@@ -140,3 +140,41 @@ def test_progressive_constant_color_lossless_at_q75():
         px = np.full((10, 13, 3), val, np.uint8)
         out = jpeg_decode(jpeg_encode_progressive(px, quality=75))
         assert np.array_equal(out, px)
+
+
+def test_420_baseline_roundtrip():
+    """4:2:0 (the layout virtually every web photo uses): constant color
+    survives chroma box-averaging exactly; a smooth image stays within
+    tight tolerance; odd dims exercise the padded-MCU walk."""
+    from sdc_spark.operators.jpeg import jpeg_encode
+
+    px = np.full((20, 28, 3), 99, np.uint8)
+    assert np.array_equal(jpeg_decode(jpeg_encode(px, quality=75, subsample=True)), px)
+    yy, xx = np.mgrid[0:17, 0:23]
+    smooth = np.clip(
+        np.stack([128 + 50 * np.sin(yy / 10.0),
+                  128 + 40 * np.cos(xx / 12.0),
+                  np.full_like(yy, 100, dtype=float)], -1),
+        0, 255,
+    ).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(smooth, quality=90, subsample=True))
+    assert out.shape == smooth.shape
+    assert np.abs(out.astype(int) - smooth.astype(int)).mean() < 3.0
+
+
+def test_420_progressive_identical_to_baseline():
+    """Progressive 4:2:0 vs baseline 4:2:0 bit-identity — exercises the
+    subsampled interleaved DC MCU walk AND non-interleaved AC block
+    grids smaller than the MCU-padded allocation (odd dims make the
+    luma grid 3 blocks wide inside a 4-block allocation; regression for
+    the floor-vs-ceil grid bug that dropped the last chroma block row
+    on odd heights)."""
+    from sdc_spark.operators.jpeg import jpeg_encode_progressive
+
+    rng = np.random.default_rng(23)
+    for shape in ((16, 16, 3), (17, 23, 3), (33, 18, 3), (9, 50, 3)):
+        px = np.clip(rng.normal(128, 40, shape), 0, 255).astype(np.uint8)
+        for q in (75, 90):
+            base = jpeg_decode(jpeg_encode(px, quality=q, subsample=True))
+            prog = jpeg_decode(jpeg_encode_progressive(px, quality=q, subsample=True))
+            assert np.array_equal(base, prog), (shape, q)
