@@ -114,3 +114,22 @@ def test_mad_anomaly_broadcasts_group_stats(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_anomaly_mad")
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_approx_sketch_no_expand(spark, sf_dir):
+    """agg_approx_sketch mixes distinct and sketch aggregates; fused into
+    one Aggregate, Catalyst rewrites via Expand (every input row
+    duplicated per agg group — measured 4.6x slower at sf0.1). The query
+    splits them into two cross-joined one-row aggregates; pin that no
+    Expand node ever reappears."""
+    plan = plan_of(spark, sf_dir, "agg_approx_sketch")
+    assert "Expand" not in plan, plan
+
+
+def test_ann_audit_broadcasts_queries(spark, sf_dir):
+    """The ANN recall audits must keep the brute-force twin's broadcast
+    shape (queries broadcast against one corpus scan) — a lost hint
+    turns the exact side into a corpus x corpus sort-merge join."""
+    plan = plan_of(spark, sf_dir, "ann_lsh_topk")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
