@@ -590,6 +590,12 @@ class _BitWriter:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1s
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-padded, stuffed) and emit RSTn — marker bytes are
+        appended raw, outside the stuffer, per T.81."""
+        self.flush()
+        self.out.extend(bytes([0xFF, 0xD0 + (n & 7)]))
+
 
 def _scale_quant(base: np.ndarray, quality: int) -> np.ndarray:
     quality = min(max(quality, 1), 100)
@@ -682,10 +688,17 @@ def _420_geometry(h: int, w: int, quality: int):
     return qy, qc, mcuy, mcux
 
 
-def jpeg_encode(px: np.ndarray, quality: int = 90, subsample: bool = False) -> bytes:
+def jpeg_encode(
+    px: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
     """Encode an (h, w, 1|3) uint8 array as baseline JFIF — 4:4:4 by
     default, 4:2:0 (luma 2x2 per MCU, box-mean chroma) with
-    ``subsample=True``."""
+    ``subsample=True``. ``restart_interval`` emits DRI + RSTn markers
+    every N MCUs (resilience markers every real camera/web encoder
+    writes; exercises the decoder's align_restart path)."""
     h, w, nc = px.shape
     if subsample and nc == 3:
         return _jpeg_encode_420(px, quality)
@@ -725,6 +738,8 @@ def jpeg_encode(px: np.ndarray, quality: int = 90, subsample: bool = False) -> b
         ]
     for tid, bits, vals in tables:
         seg(0xC4, bytes([tid] + bits) + bytes(vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc])
     for c in range(nc):
         sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
@@ -750,8 +765,15 @@ def jpeg_encode(px: np.ndarray, quality: int = 90, subsample: bool = False) -> b
             mode="edge",
         )
         padded.append(p)
+    mcu_i = 0
+    rst = 0
     for my in range(by_max):
         for mx in range(bx_max):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                wtr.restart(rst)
+                rst += 1
+                preds = [0] * nc
+            mcu_i += 1
             for ci, (_, q, tsel) in enumerate(chans):
                 block = padded[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
                 coef = _fdct2(block - 128.0)
@@ -908,7 +930,10 @@ def _enc_ac_refine(wtr, zz, ac_tab, ss, se, al):
 
 
 def jpeg_encode_progressive(
-    px: np.ndarray, quality: int = 90, subsample: bool = False
+    px: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w, 1|3) uint8 array as progressive JFIF (SOF2) with
     a real successive-approximation script — DC and AC are both sent as
@@ -977,6 +1002,8 @@ def jpeg_encode_progressive(
         ]
     for tid, bits, vals in tables:
         seg(0xC4, bytes([tid] + bits) + bytes(vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
 
     enc_dc = [
         _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
@@ -1000,8 +1027,15 @@ def jpeg_encode_progressive(
     sos_header(list(range(nc)), 0, 0, 0, 1)
     wtr = _BitWriter()
     preds = [0] * nc
+    unit_i = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and unit_i and unit_i % restart_interval == 0:
+                wtr.restart(rst)
+                rst += 1
+                preds = [0] * nc
+            unit_i += 1
             for ci, c in enumerate(comps):
                 v_, h_ = c["mcu"]
                 for by in range(v_):
@@ -1025,8 +1059,14 @@ def jpeg_encode_progressive(
         for ss, se in ((1, 5), (6, 63)):
             sos_header([ci], ss, se, 0, 1)
             wtr = _BitWriter()
+            unit_i = 0
+            rst = 0
             for my in range(bh):
                 for mx in range(bw):
+                    if restart_interval and unit_i and unit_i % restart_interval == 0:
+                        wtr.restart(rst)
+                        rst += 1
+                    unit_i += 1
                     _enc_ac_first(wtr, c["zz"][my, mx], enc_ac[c["tsel"]], ss, se, 1)
             wtr.flush()
             out.extend(wtr.out)
@@ -1034,8 +1074,14 @@ def jpeg_encode_progressive(
     # DC refinement: one raw bit per block, Al=0
     sos_header(list(range(nc)), 0, 0, 1, 0)
     wtr = _BitWriter()
+    unit_i = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and unit_i and unit_i % restart_interval == 0:
+                wtr.restart(rst)
+                rst += 1
+            unit_i += 1
             for c in comps:
                 v_, h_ = c["mcu"]
                 for by in range(v_):
@@ -1050,8 +1096,14 @@ def jpeg_encode_progressive(
         for ss, se in ((1, 5), (6, 63)):
             sos_header([ci], ss, se, 1, 0)
             wtr = _BitWriter()
+            unit_i = 0
+            rst = 0
             for my in range(bh):
                 for mx in range(bw):
+                    if restart_interval and unit_i and unit_i % restart_interval == 0:
+                        wtr.restart(rst)
+                        rst += 1
+                    unit_i += 1
                     _enc_ac_refine(wtr, c["zz"][my, mx], enc_ac[c["tsel"]], ss, se, 0)
             wtr.flush()
             out.extend(wtr.out)

@@ -178,3 +178,28 @@ def test_420_progressive_identical_to_baseline():
             base = jpeg_decode(jpeg_encode(px, quality=q, subsample=True))
             prog = jpeg_decode(jpeg_encode_progressive(px, quality=q, subsample=True))
             assert np.array_equal(base, prog), (shape, q)
+
+
+def test_restart_intervals_roundtrip():
+    """DRI/RSTn markers (resilience markers every camera/web encoder
+    writes): streams with restart intervals 1/2/5 must decode identical
+    to the marker-free stream — exercises byte re-alignment, RST
+    consumption, and DC-predictor/EOB-run resets in BOTH the baseline
+    MCU walk and every progressive scan kind."""
+    from sdc_spark.operators.jpeg import jpeg_encode_progressive
+
+    rng = np.random.default_rng(11)
+    for shape in ((17, 23, 3), (8, 8, 1)):
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        ref = jpeg_decode(jpeg_encode(px, quality=90))
+        for ri in (1, 2, 5):
+            rb = jpeg_encode(px, quality=90, restart_interval=ri)
+            assert b"\xff\xdd" in rb  # DRI present
+            assert np.array_equal(ref, jpeg_decode(rb))
+            pb = jpeg_encode_progressive(px, quality=90, restart_interval=ri)
+            assert np.array_equal(ref, jpeg_decode(pb))
+    # subsampled progressive with restarts
+    px = np.clip(rng.normal(128, 40, (33, 18, 3)), 0, 255).astype(np.uint8)
+    ref = jpeg_decode(jpeg_encode(px, quality=90, subsample=True))
+    pb = jpeg_encode_progressive(px, quality=90, subsample=True, restart_interval=3)
+    assert np.array_equal(ref, jpeg_decode(pb))
