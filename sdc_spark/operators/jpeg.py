@@ -671,27 +671,42 @@ def _ycbcr_planes(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return y, cb, cr
 
 
-def _box_half(plane: np.ndarray) -> np.ndarray:
-    """2x2 box-mean downsample (edge-padded to even dims) — the chroma
-    subsampler for the 4:2:0 encoders."""
+def _box_down(plane: np.ndarray, sh: int, sv: int) -> np.ndarray:
+    """sh x sv box-mean downsample (edge-padded to multiples) — the
+    chroma subsampler for the 4:2:0 (2x2) and 4:2:2 (2x1) encoders."""
     h, w = plane.shape
-    p = np.pad(plane, ((0, h & 1), (0, w & 1)), mode="edge")
-    return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+    ph, pw = -(-h // sv) * sv, -(-w // sh) * sh
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return p.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
 
 
-def _420_geometry(h: int, w: int, quality: int):
-    """Component table for the 4:2:0 encoders: (plane-getter args, hv,
-    quant, table-selector, MCU-padded block grid) per component."""
+def _box_half(plane: np.ndarray) -> np.ndarray:
+    """2x2 box-mean downsample (kept for the shared 4:2:0 path)."""
+    return _box_down(plane, 2, 2)
+
+
+def _sub_geometry(h: int, w: int, quality: int, sh: int, sv: int):
+    """Quant tables + MCU grid for the subsampled encoders (4:2:0 when
+    (sh, sv) = (2, 2); 4:2:2 when (2, 1))."""
     qy = _scale_quant(QUANT_LUMA.reshape(8, 8), quality)
     qc = _scale_quant(QUANT_CHROMA.reshape(8, 8), quality)
-    mcuy, mcux = -(-h // 16), -(-w // 16)
+    mcuy, mcux = -(-h // (8 * sv)), -(-w // (8 * sh))
     return qy, qc, mcuy, mcux
+
+
+def _sampling_factors(subsample) -> tuple[int, int]:
+    """True / '420' -> (2, 2); '422' -> (2, 1)."""
+    if subsample is True or subsample == "420":
+        return 2, 2
+    if subsample == "422":
+        return 2, 1
+    raise ValueError(f"subsample={subsample!r}; expected True|'420'|'422'")
 
 
 def jpeg_encode(
     px: np.ndarray,
     quality: int = 90,
-    subsample: bool = False,
+    subsample: "bool | str" = False,
     restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w, 1|3) uint8 array as baseline JFIF — 4:4:4 by
@@ -701,7 +716,8 @@ def jpeg_encode(
     writes; exercises the decoder's align_restart path)."""
     h, w, nc = px.shape
     if subsample and nc == 3:
-        return _jpeg_encode_420(px, quality)
+        sh, sv = _sampling_factors(subsample)
+        return _jpeg_encode_420(px, quality, sh, sv)
     qy = _scale_quant(QUANT_LUMA.reshape(8, 8), quality)
     qc = _scale_quant(QUANT_CHROMA.reshape(8, 8), quality)
     if nc == 3:
@@ -787,17 +803,18 @@ def jpeg_encode(
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)
 
-def _jpeg_encode_420(px: np.ndarray, quality: int) -> bytes:
-    """Baseline 4:2:0: luma at full resolution (2x2 blocks per MCU),
-    box-mean chroma at half resolution — the layout virtually every web
-    photo uses, so the decoder's subsampled-MCU walk gets a same-repo
-    round-trip twin instead of relying on external files."""
+def _jpeg_encode_420(px: np.ndarray, quality: int, sh: int = 2, sv: int = 2) -> bytes:
+    """Baseline subsampled encode — 4:2:0 ((sh, sv) = (2, 2): luma 2x2
+    blocks per MCU, the layout virtually every web photo uses) or 4:2:2
+    ((2, 1): horizontal-only chroma halving, the video-derived layout) —
+    so the decoder's subsampled-MCU walk gets same-repo round-trip twins
+    instead of relying on external files."""
     h, w, _ = px.shape
-    qy, qc, mcuy, mcux = _420_geometry(h, w, quality)
+    qy, qc, mcuy, mcux = _sub_geometry(h, w, quality, sh, sv)
     y, cb, cr = _ycbcr_planes(px)
-    zz_y = _quantized_blocks(y, qy, mcuy * 2, mcux * 2)
-    zz_cb = _quantized_blocks(_box_half(cb), qc, mcuy, mcux)
-    zz_cr = _quantized_blocks(_box_half(cr), qc, mcuy, mcux)
+    zz_y = _quantized_blocks(y, qy, mcuy * sv, mcux * sh)
+    zz_cb = _quantized_blocks(_box_down(cb, sh, sv), qc, mcuy, mcux)
+    zz_cr = _quantized_blocks(_box_down(cr, sh, sv), qc, mcuy, mcux)
 
     out = bytearray(b"\xff\xd8")
 
@@ -810,7 +827,7 @@ def _jpeg_encode_420(px: np.ndarray, quality: int) -> bytes:
         zz[np.arange(64)] = q.reshape(-1)[ZIGZAG]
         seg(0xDB, bytes([tid]) + zz.tobytes())
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    sof += bytes([1, (sh << 4) | sv, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
     seg(0xC0, sof)
     for tid, bits, vals in (
         (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -833,10 +850,10 @@ def _jpeg_encode_420(px: np.ndarray, quality: int) -> bytes:
     preds = [0, 0, 0]
     for my in range(mcuy):
         for mx in range(mcux):
-            for by in range(2):
-                for bx in range(2):
+            for by in range(sv):
+                for bx in range(sh):
                     preds[0] = _encode_block(
-                        wtr, zz_y[my * 2 + by, mx * 2 + bx], preds[0],
+                        wtr, zz_y[my * sv + by, mx * sh + bx], preds[0],
                         enc_dc[0], enc_ac[0],
                     )
             preds[1] = _encode_block(wtr, zz_cb[my, mx], preds[1], enc_dc[1], enc_ac[1])
@@ -932,7 +949,7 @@ def _enc_ac_refine(wtr, zz, ac_tab, ss, se, al):
 def jpeg_encode_progressive(
     px: np.ndarray,
     quality: int = 90,
-    subsample: bool = False,
+    subsample: "bool | str" = False,
     restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w, 1|3) uint8 array as progressive JFIF (SOF2) with
@@ -951,15 +968,21 @@ def jpeg_encode_progressive(
     qy = _scale_quant(QUANT_LUMA.reshape(8, 8), quality)
     qc = _scale_quant(QUANT_CHROMA.reshape(8, 8), quality)
     if nc == 3 and subsample:
-        mcuy, mcux = -(-h // 16), -(-w // 16)
+        sh, sv = _sampling_factors(subsample)
+        mcuy, mcux = -(-h // (8 * sv)), -(-w // (8 * sh))
+        ch_dim = -(-h // sv)  # ceil: chroma plane dims
+        cw_dim = -(-w // sh)
+        cbh = -(-ch_dim // 8)
+        cbw = -(-cw_dim // 8)
         y, cb, cr = _ycbcr_planes(px)
         comps = [
-            dict(zz=_quantized_blocks(y, qy, mcuy * 2, mcux * 2), tsel=0,
-                 hv=0x22, mcu=(2, 2), acg=(-(-h // 8), -(-w // 8))),
-            dict(zz=_quantized_blocks(_box_half(cb), qc, mcuy, mcux), tsel=1,
-                 hv=0x11, mcu=(1, 1), acg=(mcuy, mcux)),
-            dict(zz=_quantized_blocks(_box_half(cr), qc, mcuy, mcux), tsel=1,
-                 hv=0x11, mcu=(1, 1), acg=(mcuy, mcux)),
+            dict(zz=_quantized_blocks(y, qy, mcuy * sv, mcux * sh), tsel=0,
+                 hv=(sh << 4) | sv, mcu=(sv, sh),
+                 acg=(-(-h // 8), -(-w // 8))),
+            dict(zz=_quantized_blocks(_box_down(cb, sh, sv), qc, mcuy, mcux),
+                 tsel=1, hv=0x11, mcu=(1, 1), acg=(cbh, cbw)),
+            dict(zz=_quantized_blocks(_box_down(cr, sh, sv), qc, mcuy, mcux),
+                 tsel=1, hv=0x11, mcu=(1, 1), acg=(cbh, cbw)),
         ]
     else:
         mcuy, mcux = -(-h // 8), -(-w // 8)

@@ -203,3 +203,25 @@ def test_restart_intervals_roundtrip():
     ref = jpeg_decode(jpeg_encode(px, quality=90, subsample=True))
     pb = jpeg_encode_progressive(px, quality=90, subsample=True, restart_interval=3)
     assert np.array_equal(ref, jpeg_decode(pb))
+
+
+def test_422_baseline_and_progressive():
+    """4:2:2 (horizontal-only chroma halving, the video-derived layout):
+    exercises ASYMMETRIC sampling factors (hmax=2, vmax=1) in the MCU
+    walk, chroma upsample, and the progressive non-interleaved grids.
+    Constant color exact at q75; progressive bit-identical to baseline
+    on odd dims."""
+    from sdc_spark.operators.jpeg import jpeg_encode_progressive
+
+    c = np.full((13, 21, 3), 88, np.uint8)
+    assert np.array_equal(jpeg_decode(jpeg_encode(c, quality=75, subsample="422")), c)
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode_progressive(c, quality=75, subsample="422")), c
+    )
+    rng = np.random.default_rng(13)
+    for shape in ((17, 23, 3), (33, 18, 3), (8, 9, 3)):
+        px = np.clip(rng.normal(128, 40, shape), 0, 255).astype(np.uint8)
+        base = jpeg_decode(jpeg_encode(px, quality=90, subsample="422"))
+        prog = jpeg_decode(jpeg_encode_progressive(px, quality=90, subsample="422"))
+        assert base.shape == px.shape
+        assert np.array_equal(base, prog), shape
