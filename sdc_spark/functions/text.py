@@ -262,3 +262,31 @@ def repetition_signals(df, text_col: str, id_col: str):
         (F.count(F.lit(1)).cast("double") / F.sum("__n__")).alias("distinct_frac"),
         F.sum("__n__").alias("n_tokens"),
     )
+
+
+def html_to_text(x) -> Column:
+    """HTML → text extraction (the first stage of any crawl-derived
+    training pipeline): drop <script>/<style>/comment blocks wholesale,
+    turn block-level closers into separators, strip remaining tags,
+    decode the six common entities, collapse whitespace. Pure
+    regexp_replace/replace chain — JVM-side, whole-stage-codegen, no
+    UDF — and every step has an exact RE2 twin, so the DuckDB oracle
+    EXECUTES the same extraction rather than rubber-stamping booleans.
+    Entity decode order matters: &amp; must go LAST or '&amp;lt;' would
+    double-decode to '<'."""
+    c = _c(x)
+    c = F.regexp_replace(c, r"(?s)<script\b.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?s)<style\b.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/td)[^>]*>", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

@@ -330,6 +330,68 @@ oracle(
 )
 
 
+@query("text_html_extract")
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions/text.py:html_to_text — the
+    first stage of a crawl-derived training pipeline): each document is
+    wrapped in realistic page chrome (head/style/script blocks, nav
+    links, a multi-line comment, entities, a list), then the pure
+    regexp-chain extractor recovers the content. The oracle EXECUTES
+    the identical synthesis + extraction in DuckDB (RE2 twins of every
+    Java-regex step), so the comparison is exact string equality over
+    the full extracted text — not a rubber-stamp boolean. JVM-side,
+    whole-stage-codegen, zero UDFs; at 100 TB this is one narrow
+    projection per scan."""
+    doc = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><title>Doc</title><style>p{color:red}</style>'
+            '<script>if(1<2&&3>0){var x="</p>";}</script></head><body>'
+            '<div class="nav"><a href="/">Home</a>|<a href="/a">About</a></div>'
+            "<!-- boilerplate\n comment --><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>Rating: 4 &amp; 5 &lt;stars&gt;</p><p>"),
+        F.col("text"),
+        F.lit("</p><br><ul><li>tag one</li><li>tag&nbsp;two</li></ul></body></html>"),
+    )
+    return doc.select(
+        "doc_id", stext.html_to_text(html).alias("extracted")
+    ).orderBy("doc_id")
+
+
+oracle(
+    "text_html_extract",
+    r"""
+    WITH synth AS (
+        SELECT doc_id,
+               '<html><head><title>Doc</title><style>p{color:red}</style>'
+               || '<script>if(1<2&&3>0){var x="</p>";}</script></head><body>'
+               || '<div class="nav"><a href="/">Home</a>|<a href="/a">About</a></div>'
+               || '<!-- boilerplate' || chr(10) || ' comment --><h1>Doc '
+               || CAST(doc_id AS VARCHAR)
+               || '</h1><p>Rating: 4 &amp; 5 &lt;stars&gt;</p><p>'
+               || text
+               || '</p><br><ul><li>tag one</li><li>tag&nbsp;two</li></ul></body></html>'
+               AS html
+        FROM documents
+    ),
+    s1 AS (SELECT doc_id, regexp_replace(html, '(?s)<script\b.*?</script>', ' ', 'g') AS t FROM synth),
+    s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<style\b.*?</style>', ' ', 'g') AS t FROM s1),
+    s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+    s4 AS (SELECT doc_id, regexp_replace(t, '(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/td)[^>]*>', ' ', 'g') AS t FROM s3),
+    s5 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]+>', ' ', 'g') AS t FROM s4),
+    s6 AS (SELECT doc_id,
+                  replace(replace(replace(replace(replace(replace(t,
+                      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                      '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+           FROM s5)
+    SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted
+    FROM s6 ORDER BY doc_id
+    """,
+)
+
+
 @query("text_lang_id")
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-stopword language ID (argmax over per-language hit counts;

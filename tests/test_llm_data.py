@@ -556,3 +556,29 @@ def test_video_frame_features_real(spark):
     assert len(mono) == 1 and mono[0].frame_idx == 0 and mono[0].mean_u is None
     junk = [r for r in rows if r.id == 2]
     assert len(junk) == 1 and junk[0].mean_y is None
+
+
+def test_html_to_text_extraction(spark):
+    """Pins the tricky extraction rules: script bodies containing markup
+    ('</p>' inside a JS string must not leak), multi-line comments,
+    entity decode ordering (&amp;lt; must become '&lt;' not '<'), and
+    whitespace collapse."""
+    from sdc_spark.functions.text import html_to_text
+
+    cases = [
+        (
+            '<p>a</p><script>var s="</p>hidden";</script><p>b</p>',
+            "a b",
+        ),
+        ("<!-- multi\nline\ncomment -->visible", "visible"),
+        ("x &amp;lt; y", "x &lt; y"),  # decode &amp; LAST
+        ("a&nbsp;&nbsp;b   c", "a b c"),
+        ("<ul><li>one</li><li>two</li></ul>", "one two"),
+        ("<H1 class='t'>Title</H1>body", "Title body"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "id long, html string"
+    )
+    got = {r.id: r.out for r in df.select("id", html_to_text("html").alias("out")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
