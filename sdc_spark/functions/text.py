@@ -290,3 +290,41 @@ def html_to_text(x) -> Column:
     ):
         c = F.replace(c, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def canonical_url(x) -> Column:
+    """URL canonicalization (the crawl-dedup key: the same page is
+    fetched under utm-tagged / reordered-param / fragment / case
+    variants, and a 100-TB crawl dedups on the CANONICAL form before
+    any content hashing): lowercase scheme+host, strip default :80/:443
+    ports, drop the fragment, remove tracking params (utm_*, fbclid,
+    gclid), sort the surviving query params, normalize the empty path
+    to '/', and strip a trailing slash from non-root paths. Pure JVM
+    expression chain (regexp + higher-order array functions), exact
+    RE2/list-function twins in DuckDB."""
+    c = _c(x)
+    c = F.regexp_replace(c, r"#.*$", "")  # fragment
+    head = F.lower(
+        F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
+    )
+    head = F.regexp_replace(head, r":(443|80)$", "")
+    rest = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
+    path = F.regexp_replace(rest, r"\?.*$", "")
+    query = F.when(
+        rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~p.startswith("utm_")
+        & ~p.startswith("fbclid")
+        & ~p.startswith("gclid"),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.regexp_replace(path, r"(.)/$", r"$1")
+    return F.concat(
+        head,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )

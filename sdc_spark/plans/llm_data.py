@@ -392,6 +392,81 @@ oracle(
 )
 
 
+@query("url_canonical_dedup")
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/text.py:canonical_url — the
+    crawl-dedup key): three synthetic fetch variants per document
+    (utm/fbclid-tagged + fragment + uppercase host, reordered params,
+    explicit :443 + trailing slash) must collapse to ONE canonical
+    form. The oracle EXECUTES the identical canonicalization in DuckDB
+    (RE2 + list-function twins of every step) on variant 1 and compares
+    the full canonical string exactly; `variants_collapse` pins the
+    dedup property itself."""
+    doc = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    v1 = F.concat(
+        F.lit("HTTPS://CDN.Example.COM/docs/"), did,
+        F.lit("/?utm_source=feed&ref="), F.col("source"), F.lit("&page=2#top"),
+    )
+    v2 = F.concat(
+        F.lit("https://cdn.example.com/docs/"), did,
+        F.lit("?page=2&ref="), F.col("source"),
+    )
+    v3 = F.concat(
+        F.lit("https://cdn.example.com:443/docs/"), did,
+        F.lit("/?ref="), F.col("source"), F.lit("&page=2&fbclid=abc"),
+    )
+    c1, c2, c3 = (stext.canonical_url(v) for v in (v1, v2, v3))
+    return doc.select(
+        "doc_id",
+        c1.alias("canonical"),
+        ((c1 == c2) & (c2 == c3)).alias("variants_collapse"),
+    ).orderBy("doc_id")
+
+
+oracle(
+    "url_canonical_dedup",
+    r"""
+    WITH synth AS (
+        SELECT doc_id,
+               'HTTPS://CDN.Example.COM/docs/' || CAST(doc_id AS VARCHAR)
+               || '/?utm_source=feed&ref=' || source || '&page=2#top' AS u
+        FROM documents
+    ),
+    s1 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM synth),
+    parts AS (
+        SELECT doc_id,
+               regexp_replace(lower(regexp_extract(u,
+                   '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)),
+                   ':(443|80)$', '') AS head,
+               regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '') AS rest
+        FROM s1
+    ),
+    pq AS (
+        SELECT doc_id, head,
+               regexp_replace(rest, '\?.*$', '') AS path,
+               CASE WHEN contains(rest, '?')
+                    THEN regexp_replace(rest, '^[^?]*\?', '') ELSE '' END AS q
+        FROM parts
+    ),
+    canon AS (
+        SELECT doc_id, head,
+               regexp_replace(CASE WHEN path = '' THEN '/' ELSE path END,
+                              '(.)/$', '\1') AS path,
+               array_to_string(list_sort(list_filter(string_split(q, '&'),
+                   p -> len(p) > 0 AND NOT starts_with(p, 'utm_')
+                        AND NOT starts_with(p, 'fbclid')
+                        AND NOT starts_with(p, 'gclid'))), '&') AS qs
+        FROM pq
+    )
+    SELECT doc_id,
+           head || path || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical,
+           TRUE AS variants_collapse
+    FROM canon ORDER BY doc_id
+    """,
+)
+
+
 @query("text_lang_id")
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-stopword language ID (argmax over per-language hit counts;

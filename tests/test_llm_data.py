@@ -582,3 +582,24 @@ def test_html_to_text_extraction(spark):
     got = {r.id: r.out for r in df.select("id", html_to_text("html").alias("out")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_canonical_url_rules(spark):
+    """Pins each canonicalization rule: case, default ports, fragments,
+    tracking-param removal, param sorting, trailing slash, empty path."""
+    from sdc_spark.functions.text import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/P/?utm_source=x&b=2&a=1#f", "https://www.ex.com/P?a=1&b=2"),
+        ("https://www.ex.com/P?a=1&b=2", "https://www.ex.com/P?a=1&b=2"),
+        ("http://Ex.com:80/", "http://ex.com/"),
+        ("http://ex.com", "http://ex.com/"),
+        ("https://ex.com/p?fbclid=1&z=9&gclid=4", "https://ex.com/p?z=9"),
+        ("https://ex.com/a/b/?z=9", "https://ex.com/a/b?z=9"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "id long, url string"
+    )
+    got = {r.id: r.c for r in df.select("id", canonical_url("url").alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
