@@ -728,3 +728,88 @@ def incremental_near_dups(
         .filter(F.col("jac") >= threshold)
         .select("corpus_doc", "new_doc", "jac")
     )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 4,
+    mask: int = 0x3F,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC idea applied to
+    token streams — the chunk-level dedup primitive modern corpus
+    pipelines use for LONG documents): a rolling hash over the last
+    ``window`` tokens decides chunk boundaries, so an insertion early in
+    a document shifts only the chunk it lands in — every downstream
+    chunk re-synchronizes and its hash is UNCHANGED, which fixed-size
+    chunking cannot do. Expected chunk length = mask+1 tokens.
+
+    Engine-portable by construction (this is also the correctness
+    oracle's job): token codes are md5-derived 20-bit ints (md5 exists
+    bit-identically in Spark and DuckDB; no xxhash on the DuckDB side),
+    the rolling hash is a base-2^7 polynomial over the window computed
+    with lag() — max value < 2^43, exact in BIGINT on both engines —
+    and the chunk index is a prefix sum of boundary flags. One shuffle
+    (window partition by doc) + one per-doc aggregation; nothing wider
+    than (doc, pos, 8-byte code) shuffles, so a 100-TB corpus streams
+    through at scan speed.
+
+    Output: (doc, chunk_idx, n_tokens, chunk_hash) — chunk_hash is the
+    md5 of the space-joined chunk tokens, the key a cross-doc chunk
+    dedup joins on."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.filter(
+                F.split(normalized_text(text_col), " "),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("pos", "tok"),
+    )
+    # 20-bit md5-derived token code (conv(hex, 16, 10) == DuckDB's
+    # ('0x' || hex)::BIGINT — the established cross-engine hash device)
+    code = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % 1048576
+    )
+    w = W.partitionBy("doc").orderBy("pos")
+    coded = toks.withColumn("c", code)
+    B = 1 << 7
+    h = (
+        F.coalesce(F.lag("c", 3).over(w), F.lit(0)) * (B**3)
+        + F.coalesce(F.lag("c", 2).over(w), F.lit(0)) * (B**2)
+        + F.coalesce(F.lag("c", 1).over(w), F.lit(0)) * B
+        + F.col("c")
+    )
+    flagged = coded.withColumn(
+        "boundary",
+        ((F.col("pos") >= window - 1) & (h % (mask + 1) == 0)).cast("int"),
+    )
+    # chunk index = boundaries strictly BEFORE this token (a boundary
+    # token STARTS the next chunk's predecessor's end: the boundary token
+    # is the last token of its chunk)
+    prev = W.partitionBy("doc").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    chunked = flagged.withColumn(
+        "chunk_idx", F.coalesce(F.sum("boundary").over(prev), F.lit(0))
+    )
+    return (
+        chunked.groupBy("doc", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+    )

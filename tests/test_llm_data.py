@@ -603,3 +603,34 @@ def test_canonical_url_rules(spark):
     got = {r.id: r.c for r in df.select("id", canonical_url("url").alias("c")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_cdc_chunks_resynchronize_after_edit(spark):
+    """The property content-defined chunking exists for: inserting a
+    token near the front of a document must change ONLY the chunk(s) up
+    to the next rolling-hash boundary — every later chunk hash is
+    unchanged (fixed-size chunking would shift them all). Also pins
+    per-doc invariants: chunk indexes contiguous from 0, token counts
+    sum to the doc's token count."""
+    from sdc_spark.operators.dedup import content_defined_chunks
+
+    words = " ".join(f"w{i % 97}x{i % 13}" for i in range(400))
+    two = spark.createDataFrame(
+        [(0, words), (1, "inserted " + words)], "doc_id long, text string"
+    )
+    ch = content_defined_chunks(two, "text", "doc_id").collect()
+    by_doc = {0: [], 1: []}
+    for r in ch:
+        by_doc[r.doc].append(r)
+    for d, rows in by_doc.items():
+        idxs = sorted(r.chunk_idx for r in rows)
+        assert idxs == list(range(len(rows))), (d, idxs)
+    assert sum(r.n_tokens for r in by_doc[0]) == 400
+    assert sum(r.n_tokens for r in by_doc[1]) == 401
+    h0 = [r.chunk_hash for r in sorted(by_doc[0], key=lambda r: r.chunk_idx)]
+    h1 = [r.chunk_hash for r in sorted(by_doc[1], key=lambda r: r.chunk_idx)]
+    assert len(h0) >= 3, "fixture too short to show resynchronization"
+    # the SUFFIX of chunk hashes must match: only the head chunk differs
+    shared = set(h0) & set(h1)
+    assert len(shared) >= len(h0) - 2, (h0, h1)
+    assert h0[-1] == h1[-1]
