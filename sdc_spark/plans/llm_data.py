@@ -455,6 +455,89 @@ oracle(
 )
 
 
+# Shared DuckDB CTE chain producing (doc, chunk_idx, tok, pos) — the SQL
+# twin of content_defined_chunks' pre-aggregation stages (kept in one
+# constant so text_cdc_chunks and the cross-doc dedup reuse it verbatim).
+_CDC_SQL = r"""
+    toks AS (
+        SELECT doc, i - 1 AS pos, t[i] AS tok
+        FROM (SELECT doc_id AS doc,
+                     list_filter(string_split(regexp_replace(trim(lower(text)),
+                                 '\s+', ' ', 'g'), ' '),
+                                 w -> len(w) > 0) AS t
+              FROM documents),
+             UNNEST(generate_series(1, len(t))) AS s(i)
+    ),
+    coded AS (
+        SELECT doc, pos, tok,
+               ('0x' || substring(md5(tok), 1, 8))::BIGINT % 1048576 AS c
+        FROM toks
+    ),
+    hashed AS (
+        SELECT doc, pos, tok,
+               coalesce(lag(c, 3) OVER w, 0) * 2097152
+             + coalesce(lag(c, 2) OVER w, 0) * 16384
+             + coalesce(lag(c, 1) OVER w, 0) * 128
+             + c AS h
+        FROM coded WINDOW w AS (PARTITION BY doc ORDER BY pos)
+    ),
+    flagged AS (
+        SELECT doc, pos, tok,
+               CASE WHEN pos >= 3 AND h % 64 = 0 THEN 1 ELSE 0 END AS b
+        FROM hashed
+    ),
+    chunked AS (
+        SELECT doc, pos, tok,
+               coalesce(sum(b) OVER (PARTITION BY doc ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS chunk_idx
+        FROM flagged
+    ),
+    chunks AS (
+        SELECT doc, chunk_idx, count(*) AS n_tokens,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+        FROM chunked GROUP BY doc, chunk_idx
+    )
+"""
+
+
+@query("dedup_cdc_cross_doc")
+def dedup_cdc_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk-level dedup — the POINT of content-defined
+    chunking: chunk hashes shared by more than one document are the
+    duplicated spans a pipeline drops or downweights (boilerplate
+    passages survive document-level dedup; CDC catches them without the
+    quadratic all-pairs step — it is ONE hash aggregation over chunk
+    hashes, scale-shape identical to exact dedup). Emits every
+    duplicated chunk with its document frequency and occurrence count;
+    the oracle executes the identical chunking + aggregation in
+    DuckDB."""
+    doc = _t(spark, sf_dir, "documents")
+    chunks = sdedup.content_defined_chunks(doc, "text", "doc_id")
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count_distinct("doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("chunk_hash")
+    )
+
+
+oracle(
+    "dedup_cdc_cross_doc",
+    f"""
+    WITH {_CDC_SQL}
+    SELECT chunk_hash, count(DISTINCT doc) AS n_docs,
+           count(*) AS n_occurrences, min(n_tokens) AS n_tokens
+    FROM chunks GROUP BY chunk_hash HAVING count(DISTINCT doc) >= 2
+    ORDER BY chunk_hash
+    """,
+)
+
+
 @query("url_canonical_dedup")
 def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (functions/text.py:canonical_url — the
