@@ -392,69 +392,6 @@ oracle(
 )
 
 
-@query("text_cdc_chunks")
-def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-defined chunking (operators/dedup.py:
-    content_defined_chunks — the rsync/FastCDC idea on token streams,
-    the chunk-level dedup primitive for LONG documents: an early edit
-    re-synchronizes at the next rolling-hash boundary, so downstream
-    chunk hashes are unchanged where fixed-size chunking would shift
-    them all). The oracle EXECUTES the identical pipeline in DuckDB —
-    same md5-derived 20-bit token codes, same base-2^7 window-4
-    polynomial via lag(), same boundary mask and prefix-sum chunk
-    index — and compares every (doc, chunk_idx, n_tokens, chunk_hash)
-    row exactly."""
-    doc = _t(spark, sf_dir, "documents")
-    return (
-        sdedup.content_defined_chunks(doc, "text", "doc_id")
-        .orderBy("doc", "chunk_idx")
-    )
-
-
-oracle(
-    "text_cdc_chunks",
-    r"""
-    WITH toks AS (
-        SELECT doc, i - 1 AS pos, t[i] AS tok
-        FROM (SELECT doc_id AS doc,
-                     list_filter(string_split(regexp_replace(trim(lower(text)),
-                                 '\s+', ' ', 'g'), ' '),
-                                 w -> len(w) > 0) AS t
-              FROM documents),
-             UNNEST(generate_series(1, len(t))) AS s(i)
-    ),
-    coded AS (
-        SELECT doc, pos, tok,
-               ('0x' || substring(md5(tok), 1, 8))::BIGINT % 1048576 AS c
-        FROM toks
-    ),
-    hashed AS (
-        SELECT doc, pos, tok,
-               coalesce(lag(c, 3) OVER w, 0) * 2097152
-             + coalesce(lag(c, 2) OVER w, 0) * 16384
-             + coalesce(lag(c, 1) OVER w, 0) * 128
-             + c AS h
-        FROM coded WINDOW w AS (PARTITION BY doc ORDER BY pos)
-    ),
-    flagged AS (
-        SELECT doc, pos, tok,
-               CASE WHEN pos >= 3 AND h % 64 = 0 THEN 1 ELSE 0 END AS b
-        FROM hashed
-    ),
-    chunked AS (
-        SELECT doc, pos, tok,
-               coalesce(sum(b) OVER (PARTITION BY doc ORDER BY pos
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                        0) AS chunk_idx
-        FROM flagged
-    )
-    SELECT doc, CAST(chunk_idx AS BIGINT) AS chunk_idx, count(*) AS n_tokens,
-           md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
-    FROM chunked GROUP BY doc, chunk_idx ORDER BY doc, chunk_idx
-    """,
-)
-
-
 # Shared DuckDB CTE chain producing (doc, chunk_idx, tok, pos) — the SQL
 # twin of content_defined_chunks' pre-aggregation stages (kept in one
 # constant so text_cdc_chunks and the cross-doc dedup reuse it verbatim).
@@ -499,6 +436,37 @@ _CDC_SQL = r"""
         FROM chunked GROUP BY doc, chunk_idx
     )
 """
+
+
+@query("text_cdc_chunks")
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/dedup.py:
+    content_defined_chunks — the rsync/FastCDC idea on token streams,
+    the chunk-level dedup primitive for LONG documents: an early edit
+    re-synchronizes at the next rolling-hash boundary, so downstream
+    chunk hashes are unchanged where fixed-size chunking would shift
+    them all). The oracle EXECUTES the identical pipeline in DuckDB —
+    same md5-derived 20-bit token codes, same base-2^7 window-4
+    polynomial via lag(), same boundary mask and prefix-sum chunk
+    index — and compares every (doc, chunk_idx, n_tokens, chunk_hash)
+    row exactly."""
+    doc = _t(spark, sf_dir, "documents")
+    return (
+        sdedup.content_defined_chunks(doc, "text", "doc_id")
+        .orderBy("doc", "chunk_idx")
+    )
+
+
+oracle(
+    "text_cdc_chunks",
+    f"""
+    WITH {_CDC_SQL}
+    SELECT doc, CAST(chunk_idx AS BIGINT) AS chunk_idx, n_tokens, chunk_hash
+    FROM chunks ORDER BY doc, chunk_idx
+    """,
+)
+
+
 
 
 @query("dedup_cdc_cross_doc")
