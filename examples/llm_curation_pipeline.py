@@ -40,6 +40,16 @@ def main() -> None:
     print("near-dup pairs:", pairs.count(), "clusters:",
           comps.select("component").distinct().count())
 
+    # chunk-level dedup: content-defined boundaries re-synchronize after
+    # edits, so shared passages surface even when whole docs differ
+    chunks = dedup.content_defined_chunks(docs, "text", "doc_id")
+    cross = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.count_distinct("doc").alias("n_docs"))
+        .filter("n_docs >= 2")
+    )
+    print("chunks:", chunks.count(), "duplicated across docs:", cross.count())
+
     toks = docs.select(
         "doc_id",
         F.size(F.split(dedup.normalized_text(F.col("text")), " ")).alias("n_tok"),
