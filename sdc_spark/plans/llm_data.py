@@ -506,6 +506,66 @@ oracle(
 )
 
 
+@query("corpus_report_card")
+def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card — the rollup a data team publishes
+    with every dump release: document and token counts, mean quality
+    score, distinct-content count and intra-source exact-dup count, all
+    in ONE aggregation pass over the corpus (each metric is an
+    expression over the same scan; nothing but (source, partial states)
+    shuffles, so this is a report you can afford to run on every 100-TB
+    snapshot). Composes the already-oracled quality/token/content-hash
+    kernels; the oracle recomputes each from their established SQL
+    twins."""
+    doc = _t(spark, sf_dir, "documents")
+    content_hash = F.md5(sdedup.normalized_text("text").cast("binary"))
+    agg = doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(stext.ws_token_count("text")).alias("total_tokens"),
+        F.round(F.avg(stext.quality_score("text")), 4).alias("avg_quality"),
+        F.count_distinct(content_hash).alias("distinct_contents"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "avg_quality",
+        "distinct_contents",
+        (F.col("n_docs") - F.col("distinct_contents")).alias("dup_docs"),
+    ).orderBy("source")
+
+
+oracle(
+    "corpus_report_card",
+    r"""
+    WITH q AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+               (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                    / length(text)) * 0.4
+             + (1.0 - CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                    / length(text)) * 0.2
+             + least(CAST(len(regexp_extract_all(
+                       regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                       '(^| )(the|and|of|to|is|with)( |$)')) AS DOUBLE)
+                    / (CASE WHEN length(trim(text)) = 0 THEN 1
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+                    * 4.0, 1.0) * 0.4 AS quality,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           round(avg(quality), 4) AS avg_quality,
+           count(DISTINCT h) AS distinct_contents,
+           count(*) - count(DISTINCT h) AS dup_docs
+    FROM q GROUP BY source ORDER BY source
+    """,
+)
+
+
 @query("url_canonical_dedup")
 def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (functions/text.py:canonical_url — the
