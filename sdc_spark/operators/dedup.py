@@ -757,7 +757,13 @@ def content_defined_chunks(
 
     Output: (doc, chunk_idx, n_tokens, chunk_hash) — chunk_hash is the
     md5 of the space-joined chunk tokens, the key a cross-doc chunk
-    dedup joins on."""
+    dedup joins on.
+
+    Skew note: the per-doc window needs only O(window)=4 rows of lag
+    state plus a running sum (Spark's WindowExec streams unbounded-
+    preceding frames), so a pathological 10M-token document costs
+    wall-clock serialization through one task, never executor memory —
+    the same skew profile as any per-doc aggregation."""
     from pyspark.sql import Window as W
 
     toks = df.select(

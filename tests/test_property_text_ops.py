@@ -105,3 +105,31 @@ def test_cdc_chunks_conserve_tokens(spark, words):
     assert sorted((r.chunk_idx, r.chunk_hash) for r in rows) == sorted(
         (r.chunk_idx, r.chunk_hash) for r in again
     )
+
+
+def test_operators_utf8_safe(spark):
+    """The ORACLES pin the all-ASCII corpus, but the operators themselves
+    must be multibyte-safe (real crawls aren't ASCII): html_to_text
+    keeps non-ASCII content characters, canonical_url passes multibyte
+    path segments through, and CDC chunking conserves multibyte
+    tokens."""
+    from sdc_spark.functions.text import canonical_url, html_to_text
+    from sdc_spark.operators.dedup import content_defined_chunks
+
+    text = "naïve café über 日本語 emoji🙂 mixed"
+    df = spark.createDataFrame([(0, f"<p>{text}</p>")], "id long, t string")
+    assert df.select(html_to_text("t").alias("o")).collect()[0].o == text
+
+    url = "https://Ex.com/ünï/päth?utm_source=x&k=väl#frag"
+    got = spark.createDataFrame([(0, url)], "id long, u string").select(
+        canonical_url("u").alias("c")
+    ).collect()[0].c
+    assert got == "https://ex.com/ünï/päth?k=väl"
+
+    words = ["日本語", "naïve", "café"] * 20
+    rows = content_defined_chunks(
+        spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string"),
+        "text",
+        "doc_id",
+    ).collect()
+    assert sum(r.n_tokens for r in rows) == len(words)
