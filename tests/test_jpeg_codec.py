@@ -225,3 +225,28 @@ def test_422_baseline_and_progressive():
         prog = jpeg_decode(jpeg_encode_progressive(px, quality=90, subsample="422"))
         assert base.shape == px.shape
         assert np.array_equal(base, prog), shape
+
+
+def test_progressive_truncation_and_corruption_never_hang():
+    """Poison-pill precondition: truncated or bit-flipped progressive
+    streams must raise (or decode partially) promptly — never loop — so
+    the Spark decode stage's try/except yields null rows instead of a
+    wedged executor. Sweeps ~40 truncation points and ~30 single-byte
+    corruptions."""
+    from sdc_spark.operators.jpeg import jpeg_encode_progressive
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    buf = jpeg_encode_progressive(px, quality=90)
+    for cut in range(50, len(buf), max(1, len(buf) // 40)):
+        try:
+            jpeg_decode(buf[:cut])
+        except Exception:
+            pass  # raising is fine; hanging is the failure mode
+    for i in range(600, len(buf), max(1, len(buf) // 30)):
+        b2 = bytearray(buf)
+        b2[i] ^= 0xFF
+        try:
+            jpeg_decode(bytes(b2))
+        except Exception:
+            pass
