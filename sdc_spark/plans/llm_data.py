@@ -557,7 +557,7 @@ oracle(
     )
     SELECT source,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(avg(quality), 4) AS avg_quality,
            count(DISTINCT h) AS distinct_contents,
            count(*) - count(DISTINCT h) AS dup_docs
