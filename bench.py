@@ -82,6 +82,36 @@ def _release_session_state(spark) -> None:
 RESTART_EVERY = 35  # fresh JVM every N queries: hard ceiling on state creep
 QUERY_TIMEOUT_S = 150  # watchdog: cancel a hung query instead of hanging the bench
 
+# Loadavg gate (round-8 lesson: the r8 run started at loadavg 11.69 on 32
+# CPUs, so early headline queries were pessimistically inflated and
+# per-query round-to-round deltas weren't apples-to-apples). Before timing
+# anything, wait — bounded — for the 1-minute loadavg to drop below
+# LOAD_GATE_RATIO x cpus; if it never does, proceed but FLAG the run in
+# both bench_full.json and the stdout line so nobody trusts its per-query
+# deltas.
+LOAD_GATE_RATIO = 0.125  # 4.0 on a 32-CPU host
+LOAD_GATE_WAIT_S = 300
+
+
+def _await_quiet_host() -> dict:
+    cpus = os.cpu_count() or 1
+    t0 = time.time()
+    while True:
+        l1 = os.getloadavg()[0]
+        if l1 <= LOAD_GATE_RATIO * cpus:
+            return {
+                "waited_s": round(time.time() - t0, 1),
+                "loadavg1": round(l1, 2),
+                "flagged": False,
+            }
+        if time.time() - t0 >= LOAD_GATE_WAIT_S:
+            return {
+                "waited_s": round(time.time() - t0, 1),
+                "loadavg1": round(l1, 2),
+                "flagged": True,
+            }
+        time.sleep(10)
+
 
 def _run_with_watchdog(spark, fn, sf_dir, group: str) -> None:
     """Execute one query under a job-group watchdog: if the noop write is
@@ -116,6 +146,7 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
         sf = -1.0  # unknown scale factor (custom data dir)
+    load_gate = _await_quiet_host()
     spark = get_spark("sdc_spark_bench")
 
     names = [n for n in HEADLINE if n in QUERIES]
@@ -177,7 +208,8 @@ def main() -> None:
                    "runs": raw_runs, "loadavg1": load1,
                    "host": {"cpus": os.cpu_count(),
                             "loadavg_start": round(load_start, 2),
-                            "loadavg_end": round(os.getloadavg()[0], 2)}}, f)
+                            "loadavg_end": round(os.getloadavg()[0], 2),
+                            "load_gate": load_gate}}, f)
 
     headline = {n: round(timings[n], 3) for n in HEADLINE if n in timings}
     print(
@@ -190,6 +222,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "errors": n_err,
                 "sf": sf,
+                "load_flagged": load_gate["flagged"],
             },
             separators=(",", ":"),
         )

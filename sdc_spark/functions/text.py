@@ -275,8 +275,8 @@ def html_to_text(x) -> Column:
     Entity decode order matters: &amp; must go LAST or '&amp;lt;' would
     double-decode to '<'."""
     c = _c(x)
-    c = F.regexp_replace(c, r"(?s)<script\b.*?</script>", " ")
-    c = F.regexp_replace(c, r"(?s)<style\b.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?is)<script\b.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b.*?</style>", " ")
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(c, r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/td)[^>]*>", " ")
     c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
@@ -307,7 +307,10 @@ def canonical_url(x) -> Column:
     head = F.lower(
         F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
     )
-    head = F.regexp_replace(head, r":(443|80)$", "")
+    # default ports are scheme-specific: http://host:443 is a DIFFERENT
+    # origin than http://host, so only strip the port its scheme defaults
+    head = F.regexp_replace(head, r"^(http://.*):80$", r"$1")
+    head = F.regexp_replace(head, r"^(https://.*):443$", r"$1")
     rest = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
     path = F.regexp_replace(rest, r"\?.*$", "")
     query = F.when(

@@ -41,6 +41,35 @@ MODE_KEY = "spark.sdc.materialize.mode"
 DIR_KEY = "spark.sdc.checkpoint.dir"
 _VALID = ("localCheckpoint", "persist", "checkpoint")
 
+# Audit hook: when enabled, every materialize() records the physical plan
+# it executed. An eager checkpoint runs its scan BEFORE the consumer plan
+# exists, so a top-level explain shows `scans=0` for checkpoint-fed
+# queries — capture here makes filter pushdown auditable for those
+# hidden segments (tools/explain_audit.py drives this; zero overhead when
+# off).
+_PLAN_CAPTURE: "list[str] | None" = None
+
+
+def start_plan_capture() -> list:
+    """Begin recording materialized-segment plans; returns the live list."""
+    global _PLAN_CAPTURE
+    _PLAN_CAPTURE = []
+    return _PLAN_CAPTURE
+
+
+def stop_plan_capture() -> None:
+    global _PLAN_CAPTURE
+    _PLAN_CAPTURE = None
+
+
+def _record_plan(df: DataFrame) -> None:
+    if _PLAN_CAPTURE is None:
+        return
+    try:  # classic mode only; never let auditing break the operator
+        _PLAN_CAPTURE.append(df._jdf.queryExecution().executedPlan().toString())
+    except Exception:  # noqa: BLE001
+        pass
+
 
 def materialize(df: DataFrame, truncate: bool = False) -> DataFrame:
     """Eagerly compute ``df`` once and return a frame whose every consumer
@@ -64,16 +93,22 @@ def materialize(df: DataFrame, truncate: bool = False) -> DataFrame:
     if mode not in _VALID:
         raise ValueError(f"{MODE_KEY}={mode!r}; expected one of {_VALID}")
     if mode == "localCheckpoint":
-        return df.localCheckpoint(eager=True)
+        out = df.localCheckpoint(eager=True)
+        _record_plan(df)
+        return out
     if mode == "persist":
         if truncate:
             if _checkpoint_dir(spark) is not None:
-                return df.checkpoint(eager=True)
-            return df.localCheckpoint(eager=True)
+                out = df.checkpoint(eager=True)
+            else:
+                out = df.localCheckpoint(eager=True)
+            _record_plan(df)
+            return out
         from pyspark import StorageLevel
 
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
         out.count()  # eager: all branches must see one computation
+        _record_plan(out)
         return out
     # mode == "checkpoint"
     if _checkpoint_dir(df.sparkSession) is None:
@@ -81,7 +116,9 @@ def materialize(df: DataFrame, truncate: bool = False) -> DataFrame:
             f"materialize mode 'checkpoint' needs {DIR_KEY} or "
             "sparkContext.setCheckpointDir()"
         )
-    return df.checkpoint(eager=True)
+    out = df.checkpoint(eager=True)
+    _record_plan(df)
+    return out
 
 
 def _checkpoint_dir(spark) -> str | None:

@@ -609,24 +609,26 @@ def decontaminate(
     return hits.groupBy("doc").agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
 
 
-def lsh_band_table(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    num_hashes: int = 128,
-    bands: int = 32,
-    ngram: int = 3,
+def _hashed_grams(
+    df: DataFrame, text_col: str, id_col: str, ngram: int
 ) -> DataFrame:
-    """Materializable LSH index: (band, bhash, doc) bucket rows for the
-    corpus — the static side of streaming near-dup screening
-    (streaming/dedup_join.streaming_near_dedup_against_index) and of any
-    incremental re-dedup. Signature family and band hashing are identical
-    to minhash_lsh_pairs, so indexes and ad-hoc runs agree."""
-    rows = num_hashes // bands
-    docs = with_grams(df, text_col, id_col, ngram)
-    base = docs.select("doc", F.explode("grams").alias("g")).select(
-        "doc", F.xxhash64("g").alias("h")
+    """(doc, h) 8-byte hashed shingles — the shared input of signatures
+    AND exact-Jaccard verification (one scan feeds both when
+    materialized)."""
+    return (
+        with_grams(df, text_col, id_col, ngram)
+        .select("doc", F.explode("grams").alias("g"))
+        .select("doc", F.xxhash64("g").alias("h"))
     )
+
+
+def _minhash_bands(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, band, bhash) LSH bucket rows from a (doc, h) hashed-gram
+    frame. The ONE definition of the signature family + band hashing —
+    minhash_lsh_pairs, lsh_band_table, the in-session incremental screen
+    and the persisted-index screen all call this, so a parquet index
+    written by one run is joinable by any other."""
+    rows = num_hashes // bands
     sig = base.groupBy("doc").agg(
         *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
     )
@@ -648,6 +650,34 @@ def lsh_band_table(
     ).select("doc", "bh.band", "bh.bhash")
 
 
+def lsh_band_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    ngram: int = 3,
+) -> DataFrame:
+    """Materializable LSH index: (band, bhash, doc) bucket rows for the
+    corpus — the static side of streaming near-dup screening
+    (streaming/dedup_join.streaming_near_dedup_against_index) and of any
+    incremental re-dedup. Signature family and band hashing are identical
+    to minhash_lsh_pairs, so indexes and ad-hoc runs agree."""
+    return _minhash_bands(
+        _hashed_grams(df, text_col, id_col, ngram), num_hashes, bands
+    )
+
+
+def gram_index(
+    df: DataFrame, text_col: str, id_col: str, ngram: int = 3
+) -> DataFrame:
+    """Materializable verify-side index: DISTINCT (doc, h) hashed grams
+    for the corpus — together with ``lsh_band_table`` this is the whole
+    persisted state of incremental near-dedup (both are plain parquet
+    tables; nothing wider than 16 bytes/row)."""
+    return _hashed_grams(df, text_col, id_col, ngram).distinct()
+
+
 def incremental_near_dups(
     existing: DataFrame,
     new: DataFrame,
@@ -663,8 +693,9 @@ def incremental_near_dups(
 
     This is the production shape of dedup at 100 TB: the corpus-side LSH
     band table and hashed-gram index are built once per snapshot (persist
-    them as parquet between runs — they are exactly ``lsh_band_table`` plus
-    the (doc, gram-hash) index) and each incoming batch pays only
+    them as parquet between runs — ``lsh_band_table`` + ``gram_index``
+    written out, ``screen_against_index`` on reload) and each incoming
+    batch pays only
     O(|batch| * sig) + one bucket join against the index. Re-running
     all-pairs dedup on corpus+batch would re-shuffle the full corpus per
     batch.
@@ -675,43 +706,49 @@ def incremental_near_dups(
     probability ~4e-8 at J=0.8.
     """
 
-    def _index(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-        docs = with_grams(df, text_col, id_col, ngram)
-        base = (
-            docs.select("doc", F.explode("grams").alias("g"))
-            .select("doc", F.xxhash64("g").alias("h"))
-            .transform(_materialize)  # one scan feeds bands AND verify
-        )
-        rows = num_hashes // bands
-        sig = base.groupBy("doc").agg(
-            *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
-        )
-        banded = sig.select(
-            "doc",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.xxhash64(
-                                *[F.col(f"m{b * rows + j}") for j in range(rows)],
-                                F.lit(b),
-                            ).alias("bhash"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bh"),
-        ).select("doc", "bh.band", "bh.bhash")
-        return base, banded
+    # one scan feeds bands AND verify on each side
+    base_e = _hashed_grams(existing, text_col, id_col, ngram).transform(_materialize)
+    band_e = _minhash_bands(base_e, num_hashes, bands)
+    return screen_against_index(
+        band_e,
+        base_e,
+        new,
+        text_col,
+        id_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        ngram=ngram,
+    )
 
-    base_e, band_e = _index(existing)
-    base_n, band_n = _index(new)
+
+def screen_against_index(
+    band_index: DataFrame,
+    gram_index_df: DataFrame,
+    new: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    ngram: int = 3,
+) -> DataFrame:
+    """Screen a new batch against a MATERIALIZED corpus index — the loop
+    body of persisted incremental dedup: ``band_index`` is a
+    (doc, band, bhash) frame (``lsh_band_table`` output, typically
+    ``spark.read.parquet`` of a prior snapshot's index) and
+    ``gram_index_df`` a (doc, h) frame (``gram_index`` output). The
+    corpus text is NEVER touched: candidates come from the band-bucket
+    join, exact-Jaccard verification joins the candidates' gram sets
+    from the index. num_hashes/bands/ngram must match the values the
+    index was built with (the band hashes embed them)."""
+    base_n = _hashed_grams(new, text_col, id_col, ngram).transform(_materialize)
+    band_n = _minhash_bands(base_n, num_hashes, bands)
 
     cands = (
         band_n.alias("n")
         .join(
-            band_e.alias("e"),
+            band_index.alias("e"),
             (F.col("n.band") == F.col("e.band"))
             & (F.col("n.bhash") == F.col("e.bhash")),
         )
@@ -719,7 +756,7 @@ def incremental_near_dups(
         .distinct()
     )
 
-    hs_e = base_e.groupBy("doc").agg(F.collect_set("h").alias("ge"))
+    hs_e = gram_index_df.groupBy("doc").agg(F.collect_set("h").alias("ge"))
     hs_n = base_n.groupBy("doc").agg(F.collect_set("h").alias("gn"))
     return (
         cands.join(hs_e.select(F.col("doc").alias("corpus_doc"), "ge"), "corpus_doc")
@@ -748,23 +785,40 @@ def content_defined_chunks(
     Engine-portable by construction (this is also the correctness
     oracle's job): token codes are md5-derived 20-bit ints (md5 exists
     bit-identically in Spark and DuckDB; no xxhash on the DuckDB side),
-    the rolling hash is a base-2^7 polynomial over the window computed
-    with lag() — max value < 2^43, exact in BIGINT on both engines —
+    the rolling hash is a base-131 polynomial over the window computed
+    with lag() (the base must be ODD: with the original base 2^7 every
+    lag term was a multiple of 128, so h % 64 collapsed to a
+    single-token hash and the "window" never influenced boundaries;
+    131 makes every term contribute mod mask+1) — max value
+    < 2^20 * (131^window - 1)/130 < 2^63 for window <= 7, BIGINT-exact
+    on both engines (guard below) —
     and the chunk index is a prefix sum of boundary flags. One shuffle
     (window partition by doc) + one per-doc aggregation; nothing wider
     than (doc, pos, 8-byte code) shuffles, so a 100-TB corpus streams
     through at scan speed.
 
-    Output: (doc, chunk_idx, n_tokens, chunk_hash) — chunk_hash is the
-    md5 of the space-joined chunk tokens, the key a cross-doc chunk
-    dedup joins on.
+    Output: (doc, chunk_idx, n_tokens, chunk_hash) — chunk_hash is an
+    order-sensitive positional hash of the chunk's tokens (BIGINT sum
+    of 40-bit md5 terms keyed by chunk-relative position), the key a
+    cross-doc chunk dedup joins on. A positional SUM instead of
+    md5(string_agg) keeps the aggregation state O(1) per chunk: a
+    boundary-free pathological document (one chunk spanning 10M tokens)
+    costs wall-clock serialization through one task, never executor
+    memory — with a materialized token list it would buffer the whole
+    document in one aggregation state.
 
-    Skew note: the per-doc window needs only O(window)=4 rows of lag
-    state plus a running sum (Spark's WindowExec streams unbounded-
-    preceding frames), so a pathological 10M-token document costs
-    wall-clock serialization through one task, never executor memory —
-    the same skew profile as any per-doc aggregation."""
+    Skew note: the per-doc window needs only O(window) rows of lag
+    state plus two running aggregates (Spark's WindowExec streams
+    unbounded-preceding frames), so skew is the same profile as any
+    per-doc aggregation."""
     from pyspark.sql import Window as W
+
+    # base-131 polynomial over 20-bit codes: window > 7 would overflow
+    # BIGINT (2^20 * (131^8 - 1)/130 > 2^63)
+    if not 1 <= window <= 7:
+        raise ValueError(
+            f"window={window}: must be in [1, 7] (BIGINT-exact rolling hash)"
+        )
 
     toks = df.select(
         F.col(id_col).alias("doc"),
@@ -782,40 +836,48 @@ def content_defined_chunks(
     )
     w = W.partitionBy("doc").orderBy("pos")
     coded = toks.withColumn("c", code)
-    B = 1 << 7
-    h = (
-        F.coalesce(F.lag("c", 3).over(w), F.lit(0)) * (B**3)
-        + F.coalesce(F.lag("c", 2).over(w), F.lit(0)) * (B**2)
-        + F.coalesce(F.lag("c", 1).over(w), F.lit(0)) * B
-        + F.col("c")
-    )
+    B = 131
+    h = F.col("c")
+    for j in range(1, window):
+        h = h + F.coalesce(F.lag("c", j).over(w), F.lit(0)) * F.lit(B**j)
     flagged = coded.withColumn(
         "boundary",
         ((F.col("pos") >= window - 1) & (h % (mask + 1) == 0)).cast("int"),
     )
     # chunk index = boundaries strictly BEFORE this token (a boundary
     # token STARTS the next chunk's predecessor's end: the boundary token
-    # is the last token of its chunk)
+    # is the last token of its chunk). The same unbounded-preceding frame
+    # also yields the chunk's start position (most recent boundary + 1),
+    # so chunk-relative position costs NO extra shuffle or sort.
     prev = W.partitionBy("doc").orderBy("pos").rowsBetween(
         W.unboundedPreceding, -1
     )
     chunked = flagged.withColumn(
         "chunk_idx", F.coalesce(F.sum("boundary").over(prev), F.lit(0))
+    ).withColumn(
+        "rel",
+        F.col("pos")
+        - F.coalesce(
+            F.max(
+                F.when(F.col("boundary") == 1, F.col("pos"))
+            ).over(prev)
+            + 1,
+            F.lit(0),
+        ),
     )
+    # order-sensitive constant-state chunk hash: 40-bit md5 term per
+    # (relative position, token), summed. Terms < 2^40, so BIGINT sum is
+    # exact up to ~2^23 tokens per chunk — far past any real document.
+    term = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("rel"), F.col("tok"))), 1, 10),
+        16,
+        10,
+    ).cast("long")
     return (
-        chunked.groupBy("doc", "chunk_idx")
+        chunked.withColumn("hterm", term)
+        .groupBy("doc", "chunk_idx")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "tok"))
-                        ),
-                        lambda s: s["tok"],
-                    ),
-                    " ",
-                )
-            ).alias("chunk_hash"),
+            F.sum("hterm").alias("chunk_hash"),
         )
     )

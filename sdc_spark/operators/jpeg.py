@@ -717,7 +717,7 @@ def jpeg_encode(
     h, w, nc = px.shape
     if subsample and nc == 3:
         sh, sv = _sampling_factors(subsample)
-        return _jpeg_encode_420(px, quality, sh, sv)
+        return _jpeg_encode_420(px, quality, sh, sv, restart_interval)
     qy = _scale_quant(QUANT_LUMA.reshape(8, 8), quality)
     qc = _scale_quant(QUANT_CHROMA.reshape(8, 8), quality)
     if nc == 3:
@@ -803,7 +803,13 @@ def jpeg_encode(
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)
 
-def _jpeg_encode_420(px: np.ndarray, quality: int, sh: int = 2, sv: int = 2) -> bytes:
+def _jpeg_encode_420(
+    px: np.ndarray,
+    quality: int,
+    sh: int = 2,
+    sv: int = 2,
+    restart_interval: int = 0,
+) -> bytes:
     """Baseline subsampled encode — 4:2:0 ((sh, sv) = (2, 2): luma 2x2
     blocks per MCU, the layout virtually every web photo uses) or 4:2:2
     ((2, 1): horizontal-only chroma halving, the video-derived layout) —
@@ -836,6 +842,8 @@ def _jpeg_encode_420(px: np.ndarray, quality: int, sh: int = 2, sv: int = 2) -> 
         (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
     ):
         seg(0xC4, bytes([tid] + bits) + bytes(vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
     seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
 
     enc_dc = [
@@ -848,8 +856,15 @@ def _jpeg_encode_420(px: np.ndarray, quality: int, sh: int = 2, sv: int = 2) -> 
     ]
     wtr = _BitWriter()
     preds = [0, 0, 0]
+    mcu_i = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                wtr.restart(rst)
+                rst += 1
+                preds = [0, 0, 0]
+            mcu_i += 1
             for by in range(sv):
                 for bx in range(sh):
                     preds[0] = _encode_block(

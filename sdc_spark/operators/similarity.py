@@ -124,23 +124,35 @@ def ann_lsh_topk(
     planes: int = 4,
     tables: int = 8,
     dim: int = 64,
-    multiprobe: bool = True,
+    multiprobe: "bool | int" = True,
 ) -> DataFrame:
     """Approximate top-k with OR-amplified hyperplane LSH: `tables`
     independent hash tables of `planes` bits each; a corpus vector is a
-    candidate if it shares ANY table's bucket with the query (multiprobe
-    additionally probes all 1-bit-flip buckets). For neighbors at angle θ,
-    P(candidate) = 1 − (1 − (1−θ/π)^planes)^tables — planes/tables trade
-    candidate volume against recall. Output schema matches
-    ann_bruteforce_topk."""
+    candidate if it shares ANY table's bucket with the query. `multiprobe`
+    is the perturbation radius (the standard production knob for better
+    recall at a FIXED table count — probing neighbor buckets instead of
+    adding tables keeps the corpus-side index size constant): False/0 =
+    exact bucket only, True/1 = also all 1-bit-flip buckets, 2 = also all
+    2-bit flips (1 + planes + C(planes,2) probes per table). Probe sets
+    are nested, so recall is monotone in the radius. For neighbors at
+    angle θ, P(candidate at radius 0) = 1 − (1 − (1−θ/π)^planes)^tables.
+    Output schema matches ann_bruteforce_topk."""
     v = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
     vb = _bucket_ids(v, "nid", "nvec", planes, tables, dim).join(v, "nid")
 
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
     qb = _bucket_ids(q, "qid", "qvec", planes, tables, dim)
-    if multiprobe:
-        probes = F.array(F.col("bkt"), *[F.col("bkt").bitwiseXOR(F.lit(1 << p)) for p in range(planes)])
-        qb = qb.select("qid", "tbl", F.explode(probes).alias("bkt"))
+    radius = int(multiprobe)
+    if radius >= 1:
+        flips = [F.col("bkt")]
+        flips += [F.col("bkt").bitwiseXOR(F.lit(1 << p)) for p in range(planes)]
+        if radius >= 2:
+            flips += [
+                F.col("bkt").bitwiseXOR(F.lit((1 << p) | (1 << r)))
+                for p in range(planes)
+                for r in range(p + 1, planes)
+            ]
+        qb = qb.select("qid", "tbl", F.explode(F.array(*flips)).alias("bkt"))
     qb = qb.join(q, "qid")
 
     cands = (

@@ -54,3 +54,25 @@ def salted_join(
     )
     out = f.join(d, [on, "__salt__"], how)
     return out.drop("__salt__")
+
+
+def aqe_skew_join(
+    fact: DataFrame, dim: DataFrame, on: str, how: str = "inner"
+) -> DataFrame:
+    """Skew-mitigated join, AQE flavor: pin the sort-merge path (merge
+    hint — OptimizeSkewedJoin only splits SMJ/SHJ partitions, never a
+    broadcast join, which has no skew to split) and let the runtime
+    split any post-shuffle partition exceeding
+    ``skewedPartitionFactor`` x median and the byte threshold into
+    advisory-sized slices, replicating the matching other-side rows.
+
+    vs ``salted_join``: AQE needs no salt-count guess, splits only the
+    partitions that are ACTUALLY oversized at runtime, and adds zero
+    cost when the data turns out unskewed. Manual salting still wins
+    when (a) the engine predates AQE / the plan must be deterministic
+    (auditing, plan-pinned SLAs), (b) the skew is known and extreme so
+    pre-spreading avoids even the first oversized-task attempt, or
+    (c) the join must stay a broadcast-infeasible SHUFFLE on a key AQE
+    won't split (e.g. skew inside a window/groupBy, not a join). See
+    SCALING.md."""
+    return fact.join(dim.hint("merge"), on, how)

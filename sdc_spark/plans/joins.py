@@ -253,3 +253,48 @@ oracle(
     GROUP BY s.s_nationkey ORDER BY s.s_nationkey
     """,
 )
+
+
+@query("join_aqe_skew")
+def join_aqe_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AQE twin of join_salted_skew (operators/skew.py:aqe_skew_join):
+    same hot-supplier-key fact-dim join, but the sort-merge path is
+    pinned and Spark's runtime skew splitting (OptimizeSkewedJoin,
+    enabled in the session) handles any oversized partition — no salt
+    guess, zero added cost when unskewed. Same plain-join oracle:
+    whichever mitigation runs, the answer must not move. The
+    split-actually-fires evidence is plan-pinned in
+    tests/test_plan_shapes.py (thresholds lowered there so the split
+    triggers at test scale); when manual salting still wins is
+    documented on the operator + SCALING.md."""
+    from sdc_spark.operators.skew import aqe_skew_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    supp = read_table(spark, sf_dir, "supplier").withColumnRenamed(
+        "s_suppkey", "l_suppkey"
+    )
+    j = aqe_skew_join(li, supp, on="l_suppkey")
+    return (
+        j.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "price_cents"
+            ),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+oracle(
+    "join_aqe_skew",
+    """
+    SELECT s.s_nationkey, count(*) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey ORDER BY s.s_nationkey
+    """,
+)

@@ -1,10 +1,13 @@
 """Codec backend routing + bilinear resize reference semantics.
 
 The numpy bilinear here is the REFERENCE implementation (half-pixel
-centers, edge clamp); PIL is the opportunistic fast path. Where both
-backends exist their outputs are compared directly (skipped in this
-container, which ships no PIL — the try-import IS the point of the
-backend layer)."""
+centers, edge clamp); PIL is the opportunistic fast path. Backend
+parity is asserted against SPEC-FORCED goldens (hand-built lossless
+payloads whose decoded output any conformant decoder must reproduce):
+the numpy floor asserts in every container, and the PIL/soundfile/pyav
+paths assert against the same goldens wherever those libs import — so
+the parity tests run (never skip) here AND grade the fast path on a
+lib-equipped cluster."""
 
 from __future__ import annotations
 
@@ -187,17 +190,44 @@ def test_plans_pin_backend_on_backend_routed_calls():
     assert not bad, "\n".join(bad)
 
 
-@pytest.mark.skipif(_pil() is None, reason="PIL not installed in container")
-def test_pil_and_numpy_backends_agree_on_lossless_decode(monkeypatch):
-    # PNG decode is lossless in both backends -> identical pixels.
-    rng = np.random.default_rng(11)
-    px = rng.integers(0, 256, size=(8, 5, 3), dtype=np.uint8)
-    buf = encode_png(px)
-    monkeypatch.setenv("SDC_CODEC_BACKEND", "numpy")
-    a = decode_image_pixels(buf)
-    monkeypatch.setenv("SDC_CODEC_BACKEND", "pil")
-    b = decode_image_pixels(buf)
-    assert np.array_equal(a, b)
+def _spec_png_golden():
+    """Hand-assembled spec PNG + its paper-computed pixels (same fixture
+    family as test_decode_matches_hand_built_spec_png): PNG decode is
+    LOSSLESS, so the golden is spec-forced — every conformant decoder
+    (ours, PIL, anything) must emit exactly these pixels. That makes
+    backend parity assertable WITHOUT the other backend installed: each
+    backend is compared to the golden, not to each other."""
+    import struct
+    import zlib
+
+    row0 = bytes([1, 10, 20, 30, 5, 5, 5, 5, 5, 5])  # Sub filter
+    row1 = bytes([2] + [100] * 9)  # Up filter
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(row0 + row1))
+        + _chunk(b"IEND", b"")
+    )
+    expect = np.array(
+        [
+            [[10, 20, 30], [15, 25, 35], [20, 30, 40]],
+            [[110, 120, 130], [115, 125, 135], [120, 130, 140]],
+        ],
+        dtype=np.uint8,
+    )
+    return png, expect
+
+
+def test_every_image_backend_matches_spec_golden():
+    """Backend parity via spec-forced golden, never skipped: the numpy
+    floor asserts in every container; the PIL fast path asserts against
+    the SAME golden wherever PIL is importable (a PIL-equipped cluster
+    runs this test too — the parity claim is graded there, not assumed)."""
+    png, expect = _spec_png_golden()
+    assert np.array_equal(decode_image_pixels(png, force="numpy"), expect)
+    if _pil() is not None:
+        assert np.array_equal(decode_image_pixels(png, force="pil"), expect)
 
 
 # -- audio / video backend probes (mirror the image ones) --------------------
@@ -258,26 +288,40 @@ def test_iter_video_luma_numpy_floor(monkeypatch):
         list(iter_video_luma(b"\x00\x00\x01\xb3mpegjunk"))
 
 
-@pytest.mark.skipif(_soundfile() is None, reason="soundfile not installed in container")
-def test_soundfile_and_numpy_agree_on_wav(monkeypatch):
-    # WAV decode is lossless in both backends; soundfile floats are
-    # rescaled to the int16 raw scale, so samples match exactly.
-    vals = [0, 1000, -1000, 32767, 5, -7]
+def test_every_audio_backend_matches_spec_golden():
+    """WAV (PCM16) is lossless and its byte layout is spec-forced, so the
+    hand-built stream + its known samples are a golden EVERY conformant
+    decoder must reproduce (soundfile floats rescale to the int16 raw
+    scale). numpy floor asserts everywhere; the soundfile path asserts
+    against the same golden wherever soundfile is importable — no skip."""
+    vals = [0, 1000, -1000, 32767, -32768, 5]
     buf = _wav_bytes(vals)
+    golden = np.array([[float(v)] for v in vals])
     a, ra = decode_audio_samples(buf, force="numpy")
-    b, rb = decode_audio_samples(buf, force="soundfile")
-    assert ra == rb
-    assert np.allclose(a, b)
+    assert ra == 8000 and np.array_equal(a, golden)
+    if _soundfile() is not None:
+        b, rb = decode_audio_samples(buf, force="soundfile")
+        assert rb == 8000
+        assert np.allclose(b, golden)
 
 
-@pytest.mark.skipif(_pyav() is None, reason="pyav not installed in container")
-def test_pyav_and_numpy_agree_on_y4m(monkeypatch):
-    # Y4M is raw planes; pyav's gray8 reformat of a mono stream is the Y
-    # plane unchanged, so both backends emit identical rasters.
-    y = np.stack([np.full((4, 6), 20 * k, np.uint8) for k in range(3)])
-    buf = encode_y4m(y)
+def test_every_video_backend_matches_spec_golden():
+    """Y4M mono is raw luma planes behind a textual header — the golden
+    rasters are spec-forced (pyav's gray8 reformat of a mono stream is
+    the Y plane unchanged). The Y4M bytes are assembled BY HAND from the
+    public spec (not via encode_y4m, which would be circular with the
+    numpy decoder). numpy floor asserts everywhere; pyav asserts against
+    the same golden wherever importable — no skip."""
+    golden = [np.full((4, 6), 20 * k, np.uint8) for k in range(3)]
+    buf = b"YUV4MPEG2 W6 H4 F25:1 Ip A1:1 Cmono\n" + b"".join(
+        b"FRAME\n" + g.tobytes() for g in golden
+    )
     a = list(iter_video_luma(buf, force="numpy"))
-    b = list(iter_video_luma(buf, force="pyav"))
-    assert len(a) == len(b)
-    for pa, pb in zip(a, b):
-        assert np.array_equal(pa, pb)
+    assert len(a) == 3
+    for pa, g in zip(a, golden):
+        assert np.array_equal(pa, g)
+    if _pyav() is not None:
+        b = list(iter_video_luma(buf, force="pyav"))
+        assert len(b) == 3
+        for pb, g in zip(b, golden):
+            assert np.array_equal(pb, g)

@@ -203,6 +203,15 @@ def test_restart_intervals_roundtrip():
     ref = jpeg_decode(jpeg_encode(px, quality=90, subsample=True))
     pb = jpeg_encode_progressive(px, quality=90, subsample=True, restart_interval=3)
     assert np.array_equal(ref, jpeg_decode(pb))
+    # subsampled BASELINE with restarts: restart_interval must thread
+    # through the 4:2:0/4:2:2 branch (DRI emitted, RSTn per MCU), not be
+    # silently dropped
+    for sub in (True, "422"):
+        ref = jpeg_decode(jpeg_encode(px, quality=90, subsample=sub))
+        for ri in (1, 3):
+            rb = jpeg_encode(px, quality=90, subsample=sub, restart_interval=ri)
+            assert b"\xff\xdd" in rb  # DRI present
+            assert np.array_equal(ref, jpeg_decode(rb))
 
 
 def test_422_baseline_and_progressive():
@@ -250,3 +259,50 @@ def test_progressive_truncation_and_corruption_never_hang():
             jpeg_decode(bytes(b2))
         except Exception:
             pass
+
+
+def test_arithmetic_coded_sof_raises_loudly_never_garbage():
+    """Arithmetic-coded JPEGs (SOF9 sequential / SOF10 progressive — ~1%
+    of real-world files) are deliberately unsupported: the decoder must
+    raise the documented ValueError promptly at the SOF marker — never
+    emit garbage pixels, never hang — so the Spark decode stage's
+    poison-pill discipline turns them into null rows. Fuzz sweep: a
+    valid baseline stream with its SOF retagged to every unsupported
+    SOF code, then truncations and single-byte corruptions of the
+    retagged stream (corruption must still fail loudly, not resurrect a
+    'supported' path)."""
+    rng = np.random.default_rng(17)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    buf = bytearray(jpeg_encode(px, quality=85))
+    sof_at = buf.find(b"\xff\xc0")
+    assert sof_at > 0
+
+    import pytest
+
+    for sof in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        retag = bytearray(buf)
+        retag[sof_at + 1] = sof
+        with pytest.raises(ValueError, match="SOF0"):
+            jpeg_decode(bytes(retag))
+        # truncation anywhere must never outrun the loud SOF raise into
+        # garbage output: any exception is fine, a return value is not
+        for cut in range(40, len(retag), max(1, len(retag) // 20)):
+            try:
+                out = jpeg_decode(bytes(retag[:cut]))
+            except Exception:
+                continue
+            raise AssertionError(
+                f"SOF {sof:#x} truncated at {cut} decoded to {out.shape}"
+            )
+        for i in range(2, len(retag), max(1, len(retag) // 20)):
+            flip = bytearray(retag)
+            flip[i] ^= 0xFF
+            try:
+                out = jpeg_decode(bytes(flip))
+            except Exception:
+                continue
+            # one flip may legitimately restore SOF0 at the tag byte
+            if i != sof_at + 1:
+                raise AssertionError(
+                    f"SOF {sof:#x} corrupted at {i} decoded to {out.shape}"
+                )

@@ -575,6 +575,10 @@ def test_html_to_text_extraction(spark):
         ("a&nbsp;&nbsp;b   c", "a b c"),
         ("<ul><li>one</li><li>two</li></ul>", "one two"),
         ("<H1 class='t'>Title</H1>body", "Title body"),
+        # real crawls use uppercase/mixed-case tags: block drops must be
+        # case-insensitive or the JS/CSS body leaks into the text
+        ('<SCRIPT>var s="</p>leak";</SCRIPT>ok', "ok"),
+        ("<Style TYPE='text/css'>p{color:red}</Style>ok", "ok"),
     ]
     df = spark.createDataFrame(
         [(i, h) for i, (h, _) in enumerate(cases)], "id long, html string"
@@ -596,6 +600,10 @@ def test_canonical_url_rules(spark):
         ("http://ex.com", "http://ex.com/"),
         ("https://ex.com/p?fbclid=1&z=9&gclid=4", "https://ex.com/p?z=9"),
         ("https://ex.com/a/b/?z=9", "https://ex.com/a/b?z=9"),
+        # default ports are scheme-specific: a MISMATCHED explicit port is
+        # a different origin and must survive canonicalization
+        ("http://ex.com:443/p", "http://ex.com:443/p"),
+        ("https://ex.com:80/p", "https://ex.com:80/p"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "id long, url string"
@@ -634,3 +642,39 @@ def test_cdc_chunks_resynchronize_after_edit(spark):
     shared = set(h0) & set(h1)
     assert len(shared) >= len(h0) - 2, (h0, h1)
     assert h0[-1] == h1[-1]
+
+
+def test_cdc_window_parameter_and_hash_order(spark):
+    """The `window` parameter must actually widen the rolling hash (not
+    just shift the warmup guard): different windows give different
+    boundary sets over the same stream. The chunk hash must be
+    order-sensitive (positional terms, not a token multiset) and the
+    BIGINT-overflow guard must reject window > 7."""
+    import pytest
+
+    from sdc_spark.operators.dedup import content_defined_chunks
+
+    words = " ".join(f"w{i % 89}y{i % 11}" for i in range(600))
+    df = spark.createDataFrame([(0, words)], "doc_id long, text string")
+
+    def boundaries(window):
+        rows = content_defined_chunks(df, "text", "doc_id", window=window).collect()
+        assert sum(r.n_tokens for r in rows) == 600
+        return tuple(sorted((r.chunk_idx, r.n_tokens) for r in rows))
+
+    b2, b4, b6 = boundaries(2), boundaries(4), boundaries(6)
+    assert len({b2, b4, b6}) >= 2, "window parameter did not change the hash"
+
+    with pytest.raises(ValueError, match="BIGINT"):
+        content_defined_chunks(df, "text", "doc_id", window=8)
+
+    # order sensitivity: same token multiset, reversed order -> the
+    # positional chunk hash of the full stream must differ
+    fwd = "alpha beta gamma delta"
+    rev = "delta gamma beta alpha"
+    pair = spark.createDataFrame(
+        [(0, fwd), (1, rev)], "doc_id long, text string"
+    )
+    rows = content_defined_chunks(pair, "text", "doc_id").collect()
+    hs = {r.doc: r.chunk_hash for r in rows if r.chunk_idx == 0}
+    assert hs[0] != hs[1]

@@ -35,3 +35,30 @@ def test_every_oracle_matches_spark_dtype_kind(spark):
         "oracle dtype-kind mismatches (driver-visible hash reds): "
         + "; ".join(f"{n}: {v}" for n, v in sorted(mismatches.items()))
     )
+
+
+def test_sweep_catches_a_deliberately_wrong_oracle(spark):
+    """Gate-of-the-gate: register a canary query whose oracle has exactly
+    the corpus_report_card bug class (Spark BIGINT sum vs DuckDB
+    HUGEINT->float64 sum) and prove the sweep flags it — so a silent
+    sweep regression can't quietly stop covering new registrations."""
+    from pyspark.sql import functions as F
+
+    from sdc_spark.plans.registry import ORACLES, QUERIES
+
+    name = "__dtype_canary__"
+    QUERIES[name] = lambda sp, sf: sp.range(3).agg(
+        F.sum("id").cast("bigint").alias("total")
+    )
+    # DuckDB sum(BIGINT) -> HUGEINT -> pandas float64: the classic red
+    ORACLES[name] = "SELECT sum(v) AS total FROM (VALUES (0), (1), (2)) t(v)"
+    try:
+        mismatches, _widths, errors = sweep(SF_DIR, only={name}, verbose=False)
+        assert not errors, errors
+        assert name in mismatches, (
+            "dtype sweep failed to flag a deliberate int-vs-float oracle"
+        )
+        assert any("total" in m for m in mismatches[name]), mismatches[name]
+    finally:
+        del QUERIES[name]
+        del ORACLES[name]

@@ -133,3 +133,102 @@ def test_ann_audit_broadcasts_queries(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ann_lsh_topk")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_aqe_skew_split_fires(spark):
+    """AQE skew-join evidence: with the split thresholds lowered to test
+    scale, a hot-key sort-merge join must come back from execution with
+    the join node marked skew=true (OptimizeSkewedJoin split the
+    oversized partition and replicated the matching dim rows). This is
+    the runtime mitigation join_aqe_skew relies on at 100 TB; the
+    graded query keeps production thresholds and is correctness-checked
+    against the plain-join oracle either way.
+
+    Two subtleties this test guards in amber: (1) shuffle partition
+    sizes are COMPRESSED bytes, so the payload must be incompressible
+    (md5 strings — a constant hot-key column LZ4s to under any
+    threshold and the rule correctly sees no skew); (2) the payload
+    must survive column pruning into the shuffle (aggregate over it),
+    or the fact side shrinks to the constant key."""
+    from pyspark.sql import functions as F
+
+    from sdc_spark.operators.skew import aqe_skew_join
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        # one pathological key holding 90% of the fact side
+        fact = spark.range(0, 120_000).select(
+            F.when(F.col("id") < 108_000, F.lit(0))
+            .otherwise(F.col("id") % 7)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pay"),
+        )
+        dim = spark.range(7).select(
+            F.col("id").alias("k"), F.concat(F.lit("dim_"), F.col("id")).alias("d")
+        )
+        j = (
+            aqe_skew_join(fact, dim, on="k")
+            .groupBy("d")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("pay").alias("mp"))
+        )
+        rows = {r.d: r.n for r in j.collect()}
+        assert sum(rows.values()) == 120_000 and rows["dim_0"] > 100_000, rows
+        # collect() executed THIS DataFrame's queryExecution, so the
+        # final adaptive plan carries the runtime skew annotation
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_pushdown_reaches_scan_inside_materialized_segment(spark, sf_dir):
+    """Round-8 audit blind spot, closed: a query whose input hides behind
+    the order machinery's eager checkpoint audits as scans=0 at the top
+    level — the scan ran when materialize() computed the segment. The
+    capture hook (materialize.start_plan_capture) exposes those segment
+    plans; pin that a source predicate is pushed down to the parquet
+    scan INSIDE the materialized segment, where the top-level explain
+    can't see it."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sdc_spark.frame.series import IDX, SparkSeries
+    from sdc_spark.materialize import start_plan_capture, stop_plan_capture
+    from sdc_spark.sources.readers import read_table
+
+    cap = start_plan_capture()
+    try:
+        ev = (
+            read_table(spark, sf_dir, "events")
+            .filter(F.col("value") > 0)
+            .select(
+                F.col("event_id").alias(IDX),
+                F.when(F.col("event_id") % 7 != 0, F.round("value", 4)).alias(
+                    "v"
+                ),
+            )
+        )
+        s = SparkSeries.from_column(ev, "v", index_col=IDX)
+        assert s.ffill()._df.count() > 0
+        plans = list(cap)
+    finally:
+        stop_plan_capture()
+    assert plans, "order machinery did not materialize any segment"
+    seg = "\n".join(plans)
+    pushed = re.findall(r"PushedFilters: \[[^\]\n]*", seg)
+    assert any("GreaterThan" in p for p in pushed), seg[:4000]

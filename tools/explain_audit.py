@@ -42,24 +42,42 @@ def main() -> None:
     import sdc_spark.plans.all  # noqa: F401
     from sdc_spark.plans.registry import QUERIES
 
+    from sdc_spark.materialize import start_plan_capture, stop_plan_capture
+
     spark = get_spark("explain_audit")
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
         try:
+            # capture the plans materialize() executes too: an eager
+            # checkpoint runs its scan BEFORE the consumer plan exists, so
+            # without this the checkpoint-fed queries audit as scans=0 and
+            # their pushdown is unverifiable (round-8 verdict blind spot)
+            cap = start_plan_capture()
             df = fn(spark, sf_dir)
             # run the query so AQE finalizes stages — the pre-execution
             # adaptive plan hides codegen spans and runtime-replanned joins
             df.write.format("noop").mode("overwrite").save()
             plan = df._jdf.queryExecution().executedPlan().toString()
+            seg_plans = list(cap)
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ERROR {type(e).__name__}: {e}")
             continue
+        finally:
+            stop_plan_capture()
         if show:
             print(f"===== {name} =====")
             print(df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted"))
+            for i, sp in enumerate(seg_plans):
+                print(f"----- {name} materialized segment {i} -----")
+                print(sp)
         else:
             a = audit(plan)
+            # fold the materialized segments' scans/pushdown into the row:
+            # the segments ARE where checkpoint-fed queries read parquet
+            for sp in map(audit, seg_plans):
+                for k in a:
+                    a[k] += sp[k]
             flags = []
             if a["full_readschema"]:
                 flags.append("WIDE-SCAN")
@@ -68,7 +86,7 @@ def main() -> None:
             print(
                 f"{name:28s} scans={a['scans']} pushed={a['pushed_filters']} "
                 f"bcast={a['broadcast_joins']} smj={a['smj']} shuffles={a['shuffles']} "
-                f"wscg={a['wscg_spans']} {' '.join(flags)}"
+                f"wscg={a['wscg_spans']} mat={len(seg_plans)} {' '.join(flags)}"
             )
 
 
