@@ -33,7 +33,13 @@ VAL = "__value__"
 class LazyIndex:
     """Deferred index labels: holds the (ordered) one-column plan and only
     collects when the contents are observed. Keeps ``series.index`` cheap
-    as an attribute while preserving list-like reads."""
+    as an attribute while preserving list-like reads.
+
+    Scale warning: OBSERVING the contents (tolist/iter/len-triggered
+    paths) collects every index label to the driver — the pandas-parity
+    API boundary, correct for dim-sized frames, a driver OOM on a
+    100-TB fact table. Stay in the DataFrame API (the IDX column) for
+    anything fact-sized."""
 
     def __init__(self, df: DataFrame):
         self._plan = df
@@ -665,6 +671,11 @@ class SparkSeries:
         )
 
     def unique(self) -> list:
+        """pandas parity: returns a driver-side list (pandas returns an
+        ndarray). Scale warning: this collects every DISTINCT value to
+        the driver — fine for categorical/dim columns, a driver OOM on a
+        high-cardinality key at 100 TB; use ``._df.select(VAL).distinct()``
+        (stays distributed) when the result feeds another plan."""
         return [r[0] for r in self._df.select(VAL).distinct().collect()]
 
     def value_counts(
