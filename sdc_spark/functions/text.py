@@ -331,3 +331,44 @@ def canonical_url(x) -> Column:
         path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+
+
+def hashed_linear_score(x, n_buckets: int = 65536) -> Column:
+    """fasttext-style linear text classifier INFERENCE at scan speed —
+    the shape every production quality/toxicity/domain filter runs over
+    a 100-TB corpus: hash each token into one of ``n_buckets`` feature
+    buckets, sum the bucket weights, squash with a sigmoid. Here the
+    weight table is IMPLICIT (a deterministic hash of the bucket id,
+    uniform in [-1, 1]) so the oracle can recompute it exactly; a real
+    model replaces ``w`` with ``F.element_at(broadcast_weight_map,
+    bucket)`` — same plan, the weights ride the closure as a literal
+    map or a broadcast join against a (bucket, weight) dim.
+
+    Plan shape: ONE higher-order aggregate over the token array — no
+    explode, no shuffle, no UDF; inference is a row-local expression, so
+    it runs at parquet scan speed on any corpus size. Token order is
+    preserved by the list fold, so the double sum is bit-reproducible
+    across engines (DuckDB twin: list_sum over list_transform)."""
+    c = _c(x)
+    toks = F.filter(
+        F.split(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "), " "),
+        lambda t: F.length(t) > 0,
+    )
+    # bucket = md5-derived (portable); weight = md5 of the BUCKET id so a
+    # real weight table keyed by bucket reproduces the exact lookup shape
+    def w(t: Column) -> Column:
+        bucket = (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        )
+        return (
+            F.conv(F.substring(F.md5(bucket.cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 2001
+            - 1000
+        ).cast("double") / 1000.0
+
+    n = F.size(toks)
+    wsum = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + w(t))
+    mean = F.when(n > 0, wsum / n).otherwise(F.lit(0.0))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-mean * 4.0))

@@ -148,6 +148,71 @@ def resample_to_mix(
     )
 
 
+def recipe_mix_tokens(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    strata_col: str,
+    target_weights: dict[str, float],
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Token-budget data recipe ("data mixing" — the knob every training
+    run is actually tuned by): keep a deterministic sample of each source
+    so the KEPT corpus holds ~``budget_frac`` of the total tokens split
+    across sources per ``target_weights``. Unlike ``resample_to_mix``
+    (which targets DOCUMENT shares), the unit here is tokens — what the
+    training budget is denominated in — so the per-source keep rate is
+    ``p_s = min(1, w_s * B / tokens_s)`` with ``B = budget_frac * total
+    tokens`` (sources whose corpus can't fill their target share are
+    kept whole; this never upsamples).
+
+    Keep decision is the same engine-portable device as resample_to_mix:
+    a row is kept when the first 8 md5 hex digits of its id fall below
+    ``floor(p_s * 2^32)`` — reproducible across engines, partitionings
+    and retries, SQL-oracle-able. Scale shape: one map-side-combined
+    token aggregate (one row per source) broadcast back; the keep filter
+    is a row-local map — the corpus is scanned once, never shuffled."""
+    from sdc_spark.functions.text import ws_token_count
+
+    total_w = sum(target_weights.values())
+    tw = F.create_map(
+        *[
+            x
+            for k, v in sorted(target_weights.items())
+            for x in (F.lit(k), F.lit(v / total_w))
+        ]
+    )
+    toks = df.groupBy(strata_col).agg(
+        F.sum(ws_token_count(F.col(text_col))).alias("__tok_s__")
+    )
+    totals = toks.agg(F.sum("__tok_s__").alias("__tok__"))
+    rates = toks.join(F.broadcast(totals)).select(
+        strata_col,
+        F.least(
+            F.lit(1.0),
+            F.try_divide(
+                tw[F.col(strata_col)]
+                * F.col("__tok__").cast("double")
+                * F.lit(budget_frac),
+                F.col("__tok_s__").cast("double"),
+            ),
+        ).alias("__p__"),
+    )
+    thresh = F.lpad(
+        F.lower(F.hex(F.floor(F.col("__p__") * F.lit(4294967296.0)).cast("long"))),
+        9,
+        "0",
+    )
+    u = F.lpad(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8), 9, "0"
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(u < thresh)
+        .drop("__p__")
+    )
+
+
 def split_train_val_test(
     df: DataFrame,
     id_col: str,

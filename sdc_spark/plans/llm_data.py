@@ -1368,6 +1368,80 @@ oracle(
 )
 
 
+@query("dedup_index_ingest_loop")
+def dedup_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL persisted-index ingest loop — what a continuously-growing
+    corpus actually runs: batch N is screened against the index
+    (dedup.py:screen_against_index), then APPENDED to it (parquet
+    append of its band + gram rows — the corpus index is never
+    rewritten), so batch N+1 is screened against corpus ∪ batch N.
+    Two batches here: batch 1 = doc_id%5==0 vs the corpus
+    (doc_id%5>=2), batch 2 = doc_id%5==1 vs corpus ∪ batch 1. Batch 1's
+    screen is EAGERLY materialized before the append so its result
+    cannot observe the index growth (lazy parquet reads would otherwise
+    race the append). Oracle: exact cross-pairs per batch from the
+    shared grams CTE — the whole loop, including the append round-trip,
+    must hash-match exact Jaccard."""
+    import os
+    import shutil
+
+    from sdc_spark.materialize import materialize
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/sdc_spark_lshloop_{tag}"
+    bands_p, grams_p = f"{root}/bands", f"{root}/grams"
+    # the index MUTATES (append) — rebuild fresh per run, never resume
+    shutil.rmtree(root, ignore_errors=True)
+
+    doc = _t(spark, sf_dir, "documents")
+    corpus = doc.filter(F.col("doc_id") % 5 >= 2)
+    batch1 = doc.filter(F.col("doc_id") % 5 == 0)
+    batch2 = doc.filter(F.col("doc_id") % 5 == 1)
+
+    sdedup.lsh_band_table(corpus, "text", "doc_id").write.parquet(bands_p)
+    sdedup.gram_index(corpus, "text", "doc_id").write.parquet(grams_p)
+
+    def screen(batch: DataFrame, n: int) -> DataFrame:
+        pairs = sdedup.screen_against_index(
+            spark.read.parquet(bands_p),
+            spark.read.parquet(grams_p),
+            batch,
+            "text",
+            "doc_id",
+            threshold=0.8,
+        )
+        return materialize(pairs.select(F.lit(n).alias("batch"), "*"))
+
+    out1 = screen(batch1, 1)
+    sdedup.lsh_band_table(batch1, "text", "doc_id").write.mode("append").parquet(
+        bands_p
+    )
+    sdedup.gram_index(batch1, "text", "doc_id").write.mode("append").parquet(
+        grams_p
+    )
+    out2 = screen(batch2, 2)
+    return out1.unionByName(out2)
+
+
+oracle(
+    "dedup_index_ingest_loop",
+    f"""
+    WITH {_GRAMS_SQL}
+    SELECT 1 AS batch, doc_a AS corpus_doc, doc_b AS new_doc, jac FROM pairs
+    WHERE jac >= 0.8 AND doc_a % 5 >= 2 AND doc_b % 5 = 0
+    UNION ALL
+    SELECT 1, doc_b, doc_a, jac FROM pairs
+    WHERE jac >= 0.8 AND doc_b % 5 >= 2 AND doc_a % 5 = 0
+    UNION ALL
+    SELECT 2, doc_a, doc_b, jac FROM pairs
+    WHERE jac >= 0.8 AND doc_a % 5 <> 1 AND doc_b % 5 = 1
+    UNION ALL
+    SELECT 2, doc_b, doc_a, jac FROM pairs
+    WHERE jac >= 0.8 AND doc_b % 5 <> 1 AND doc_a % 5 = 1
+    """,
+)
+
+
 @query("split_leakage_safe")
 def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: near-dup clusters (connected

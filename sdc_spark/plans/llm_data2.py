@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from sdc_spark.materialize import materialize as _materialize
 
 from sdc_spark.functions import text as stext
-from sdc_spark.operators.curation import resample_to_mix
+from sdc_spark.operators.curation import recipe_mix_tokens, resample_to_mix
 from sdc_spark.operators.dedup import normalized_text
 from sdc_spark.operators import similarity as ssim
 from sdc_spark.operators.similarity import semantic_dedup
@@ -233,6 +233,112 @@ oracle(
     WHERE lpad(substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8), 9, '0')
           < lpad(lower(to_hex(CAST(floor(s.p * 4294967296.0) AS BIGINT))), 9, '0')
     GROUP BY d.source ORDER BY d.source
+    """,
+)
+
+
+@query("data_recipe_mix")
+def data_recipe_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data recipe (operators/curation.py:recipe_mix_tokens —
+    mixing denominated in TOKENS, what a training budget actually buys,
+    vs sample_source_mix's document shares): keep ~50% of corpus tokens
+    split across sources by the weight table, per-source keep rate
+    p_s = min(1, w_s·B/tokens_s), md5-threshold keep decision. One tiny
+    per-source token aggregate broadcast back; the corpus is scanned
+    once and never shuffled. The oracle recomputes the identical rates
+    and keep set in SQL; output is the per-source kept doc/token
+    rollup."""
+    doc = _t(spark, sf_dir, "documents")
+    weights = {f"src{i}": float(1 + i % 4) for i in range(20)}
+    kept = recipe_mix_tokens(
+        doc, "text", "doc_id", "source", weights, budget_frac=0.5
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum(stext.ws_token_count("text")).alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_RECIPE_ROWS = " UNION ALL ".join(
+    f"SELECT 'src{i}' AS m_source, {float(1 + i % 4) / 50.0!r} AS tshare"
+    for i in range(20)
+)
+
+oracle(
+    "data_recipe_mix",
+    rf"""
+    WITH mix AS ({_RECIPE_ROWS}),
+    tok AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+        FROM documents
+    ),
+    per AS (SELECT source, sum(nt) AS tok_s FROM tok GROUP BY source),
+    rates AS (
+        SELECT p.source,
+               least(1.0, m.tshare * (SELECT sum(tok_s) FROM per) * 0.5
+                            / CAST(p.tok_s AS DOUBLE)) AS p
+        FROM per p JOIN mix m ON p.source = m.m_source
+    )
+    SELECT t.source, count(*) AS n_docs_kept,
+           CAST(sum(t.nt) AS BIGINT) AS tokens_kept
+    FROM tok t JOIN rates r ON t.source = r.source
+    WHERE lpad(substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8), 9, '0')
+          < lpad(lower(to_hex(CAST(floor(r.p * 4294967296.0) AS BIGINT))), 9, '0')
+    GROUP BY t.source ORDER BY t.source
+    """,
+)
+
+
+@query("text_quality_classifier")
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text-classifier INFERENCE at scan speed
+    (functions/text.py:hashed_linear_score — the fasttext-filter shape
+    every production quality/toxicity gate runs at 100 TB): hashed
+    bag-of-words buckets, implicit hash-derived weight table (a real
+    model swaps in a broadcast weight map — same plan), sigmoid squash.
+    ONE higher-order fold over the token array — no explode, no
+    shuffle, no UDF. The oracle EXECUTES the identical featurize +
+    score in DuckDB (list_sum over list_transform; same fold order, so
+    the double sum matches bit-for-bit before the 4dp round)."""
+    doc = _t(spark, sf_dir, "documents")
+    score = stext.hashed_linear_score("text")
+    return doc.select(
+        "doc_id",
+        F.round(score, 4).alias("clf_score"),
+        (score >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
+oracle(
+    "text_quality_classifier",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(regexp_replace(trim(lower(text)),
+                           '\s+', ' ', 'g'), ' '), t -> len(t) > 0) AS ts
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, len(ts) AS n,
+               list_sum(list_transform(ts, t ->
+                   CAST((('0x' || substring(md5(CAST(
+                       ('0x' || substring(md5(t), 1, 8))::BIGINT % 65536
+                   AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) AS DOUBLE)
+                   / 1000.0)) AS wsum
+        FROM toks
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(CASE WHEN n > 0 THEN wsum / n ELSE 0 END)
+                                  * 4.0)), 4) AS clf_score,
+           (1.0 / (1.0 + exp(-(CASE WHEN n > 0 THEN wsum / n ELSE 0 END)
+                             * 4.0))) >= 0.5 AS keep
+    FROM scored ORDER BY doc_id
     """,
 )
 

@@ -18,7 +18,10 @@ from sdc_spark.session import get_spark  # noqa: E402
 
 def audit(plan: str) -> dict:
     return {
-        "scans": len(re.findall(r"FileScan parquet", plan)),
+        # any file-backed scan (parquet/csv/json/orc/text) plus DSv2
+        # BatchScan (the npbin custom DataSource) — counting only parquet
+        # made the non-parquet source queries look scanless
+        "scans": len(re.findall(r"FileScan |BatchScan ", plan)),
         "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]*(?:IsNotNull|LessThan|GreaterThan|EqualTo|In\()", plan)),
         "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
         "smj": len(re.findall(r"SortMergeJoin", plan)),
