@@ -77,3 +77,61 @@ def test_shuffle_shard_balanced(spark, sf_dir):
     # pathological or hugely overloaded (chi-square style loose bound)
     assert n >= 50
     assert sizes["n"].max() <= 6 * total / 64
+
+
+def test_recipe_mix_tokens_budget_and_determinism(spark, sf_dir):
+    """Token-budget recipe mixing: the kept corpus must hold roughly
+    budget_frac of total tokens, per-source keeps must follow the weight
+    ordering where sources are same-sized, never upsample, and the keep
+    set must be bit-identical across runs (md5 threshold, no RNG)."""
+    from sdc_spark.operators.curation import recipe_mix_tokens
+    from sdc_spark.functions.text import ws_token_count
+    from sdc_spark.sources.readers import read_table
+
+    doc = read_table(spark, sf_dir, "documents")
+    weights = {f"src{i}": float(1 + i % 4) for i in range(20)}
+    kept = recipe_mix_tokens(doc, "text", "doc_id", "source", weights, 0.5)
+
+    total = doc.agg(F.sum(ws_token_count("text"))).collect()[0][0]
+    got = kept.agg(F.sum(ws_token_count("text"))).collect()[0][0]
+    # Bernoulli keep at 500 docs: generous band around the 50% target
+    assert 0.30 * total <= got <= 0.70 * total, (got, total)
+
+    # never upsamples: kept is a subset of the corpus
+    assert kept.count() <= doc.count()
+    assert (
+        kept.join(doc.select("doc_id"), "doc_id", "left_anti").count() == 0
+    )
+
+    # deterministic: same keep set on a rebuilt plan
+    again = recipe_mix_tokens(doc, "text", "doc_id", "source", weights, 0.5)
+    ids = lambda df: sorted(r.doc_id for r in df.select("doc_id").collect())
+    assert ids(kept) == ids(again)
+
+    # budget monotonicity: a bigger budget keeps a superset
+    bigger = recipe_mix_tokens(doc, "text", "doc_id", "source", weights, 0.9)
+    assert set(ids(kept)) <= set(ids(bigger))
+
+
+def test_hashed_linear_score_bounded_and_deterministic(spark):
+    """Classifier inference: scores in (0,1), empty text scores exactly
+    sigmoid(0)=0.5, identical text scores identically, and the score
+    reacts to content (not constant)."""
+    from sdc_spark.functions.text import hashed_linear_score
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "zzz qqq jjj xxx www kkk vvv"),
+        (3, ""),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: r.s
+        for r in df.select("id", hashed_linear_score("text").alias("s")).collect()
+    }
+    assert all(0.0 < v < 1.0 for v in got.values()), got
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+    assert got[3] == got[4] == 0.5
