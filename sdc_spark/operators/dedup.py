@@ -118,6 +118,47 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))).cast("double")
 
 
+def lsh_candidate_probability(jaccard_sim: float, bands: int, rows: int) -> float:
+    """P(candidate | true Jaccard = j) for MinHash-LSH banding: a pair is
+    a candidate when ANY band's ``rows`` signature slots all collide, so
+    p = 1 - (1 - j^rows)^bands — the S-curve every banding choice trades
+    along (steeper = better separation around the threshold)."""
+    return 1.0 - (1.0 - jaccard_sim**rows) ** bands
+
+
+def lsh_params_for_threshold(
+    threshold: float, num_hashes: int = 128, max_miss: float = 1e-4
+) -> tuple[int, int]:
+    """Pick (bands, rows) for a target Jaccard threshold: among the
+    divisor splits of ``num_hashes``, choose the steepest S-curve
+    (largest ``rows``) whose miss probability AT the threshold stays
+    under ``max_miss`` — misses are silent corpus pollution, so they get
+    the hard bound, while false positives only cost verify-join work
+    (every candidate is exact-verified downstream anyway).
+
+    The registry default (128 hashes, 32x4 at t=0.8) is exactly what
+    this returns: miss = (1 - 0.8^4)^32 ≈ 4e-8. A user retuning for
+    t=0.5 gets a shallower split (more bands, fewer rows) instead of
+    silently reusing the 0.8-tuned banding."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold={threshold}: need 0 < t < 1")
+    best: tuple[int, int] | None = None
+    for rows in range(1, num_hashes + 1):
+        if num_hashes % rows:
+            continue
+        bands = num_hashes // rows
+        miss = (1.0 - threshold**rows) ** bands
+        if miss <= max_miss:
+            best = (bands, rows)  # divisors ascend in rows: keep steepest
+    if best is None:
+        raise ValueError(
+            f"no (bands, rows) split of {num_hashes} hashes reaches "
+            f"miss <= {max_miss} at threshold {threshold}; lower the "
+            "threshold guarantee or raise num_hashes"
+        )
+    return best
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,

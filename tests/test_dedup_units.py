@@ -102,3 +102,37 @@ def test_components_star_matches_ground_truth(spark):
     assert lp == truth
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_components(df, max_iter=5).collect()
+
+
+def test_lsh_params_for_threshold_properties():
+    """The banding tuner must return the registry default at t=0.8 / 128
+    hashes, keep miss under the bound, prefer steeper curves (more rows)
+    when the bound allows, and go shallower as the threshold drops."""
+    from sdc_spark.operators.dedup import (
+        lsh_candidate_probability,
+        lsh_params_for_threshold,
+    )
+
+    assert lsh_params_for_threshold(0.8, 128) == (32, 4)
+
+    for t in (0.3, 0.5, 0.7, 0.8, 0.9):
+        bands, rows = lsh_params_for_threshold(t, 128)
+        assert bands * rows == 128
+        miss = (1.0 - t**rows) ** bands
+        assert miss <= 1e-4, (t, bands, rows, miss)
+        # the S-curve at the threshold is the complement of the miss
+        assert abs(
+            lsh_candidate_probability(t, bands, rows) - (1.0 - miss)
+        ) < 1e-12
+
+    # lower threshold -> fewer rows per band (shallower split)
+    _, r_low = lsh_params_for_threshold(0.5, 128)
+    _, r_high = lsh_params_for_threshold(0.9, 128)
+    assert r_low < r_high
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_params_for_threshold(0.01, 8)
+    with pytest.raises(ValueError):
+        lsh_params_for_threshold(1.5, 128)
