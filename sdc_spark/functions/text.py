@@ -372,3 +372,41 @@ def hashed_linear_score(x, n_buckets: int = 65536) -> Column:
     wsum = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + w(t))
     mean = F.when(n > 0, wsum / n).otherwise(F.lit(0.0))
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-mean * 4.0))
+
+
+# -- encoding-artifact (mojibake) detection ----------------------------------
+
+# Literal-character patterns shared verbatim by Java regex and RE2 (no
+# escapes, no dialect-specific classes): the classic UTF-8-read-as-Latin-1
+# two-byte sequences (Ã© for é, Ã± for ñ, ...), the Windows-1252 smart-punct
+# triple (â€™ â€œ â€�), the NBSP artifact (Â before a space), and the
+# replacement character a lossy transcode leaves behind.
+MOJIBAKE_PATTERNS = {
+    "latin1_utf8": "Ã[©¨¡³ºñ¤¶¼«»]",
+    "win1252_punct": "â€",
+    "nbsp_artifact": "Â ",
+    "replacement_char": "�",
+}
+
+
+def encoding_artifact_counts(x) -> dict[str, Column]:
+    """Per-kind mojibake match counts — the cheap encoding-health signal a
+    crawl pipeline computes per document before spending anything else on
+    it (double-transcoded pages are unreadable to a tokenizer even though
+    every byte is valid UTF-8, so byte-level validation misses them).
+    Pure regexp_count expressions on literal patterns — codegen,
+    row-local, identical bytes in the DuckDB twin. Heuristic by design:
+    'Ã©' is also a legitimate sequence in rare texts — these are signals
+    feeding a threshold, not proof."""
+    c = _c(x)
+    return {k: F.regexp_count(c, F.lit(p)) for k, p in MOJIBAKE_PATTERNS.items()}
+
+
+def encoding_clean(x) -> Column:
+    """True when no artifact class fires — the keep flag a recipe applies
+    before tokenization."""
+    counts = encoding_artifact_counts(x)
+    total = None
+    for v in counts.values():
+        total = v if total is None else total + v
+    return total == 0

@@ -922,3 +922,59 @@ def content_defined_chunks(
             F.sum("hterm").alias("chunk_hash"),
         )
     )
+
+
+def remove_duplicated_lines(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """C4-style cross-document LINE dedup (the published C4 pipeline
+    discards every repeated occurrence of a line across the corpus —
+    boilerplate navigation, cookie banners, license headers survive
+    DOCUMENT-level dedup because the documents differ, but their shared
+    lines shouldn't reach training): keep each distinct non-blank line
+    only at its FIRST corpus occurrence (min (doc, position), ties by
+    doc id — deterministic, not encounter order), drop every other
+    occurrence, and reassemble each document from its surviving lines in
+    original order.
+
+    Plan shape at 100 TB: posexplode lines → ONE hash aggregation on the
+    8-byte line hash computing the global argmin occurrence → hash-join
+    the line stream back on the hash → filter + per-doc ordered
+    reassembly (array_sort over collect_list of (pos, line) structs —
+    state bounded by the document's own line count, the same profile as
+    any per-doc aggregation). Nothing wider than (doc, pos, 8-byte
+    hash) shuffles besides the surviving lines themselves.
+
+    Output: (doc, text, n_lines_kept, n_lines_dropped) — documents whose
+    every line was dropped keep an empty text rather than disappearing
+    (downstream length filters decide their fate, not the dedup)."""
+    lines = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).filter(F.trim("line") != "")
+    hashed = lines.withColumn("h", F.xxhash64(F.col("line")))
+    first = hashed.groupBy("h").agg(
+        F.min(F.struct("doc", "pos")).alias("first")
+    )
+    tagged = hashed.join(first, "h").withColumn(
+        "keep",
+        (F.col("doc") == F.col("first.doc")) & (F.col("pos") == F.col("first.pos")),
+    )
+    return (
+        tagged.groupBy("doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.sum(F.col("keep").cast("int")).alias("n_lines_kept"),
+            F.sum((~F.col("keep")).cast("int")).alias("n_lines_dropped"),
+        )
+    )

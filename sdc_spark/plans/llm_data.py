@@ -1525,3 +1525,121 @@ oracle(
     FROM embeddings WHERE vec_id < 10
     """,
 )
+
+
+@query("text_line_dedup")
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document LINE dedup (operators/dedup.py:
+    remove_duplicated_lines — the published C4 step that document-level
+    dedup cannot do: cookie banners / license footers shared by
+    otherwise-distinct pages). Each doc is synthesized as three lines —
+    a corpus-wide boilerplate header, its own text, a per-source
+    footer — so the operator must keep the header exactly once in the
+    whole corpus, each footer once per source, and reassemble every
+    page from its surviving lines in original order. The oracle
+    EXECUTES the identical pipeline in DuckDB (row_number over
+    (line) ordered by (doc, pos) = the argmin-first rule) and compares
+    the reassembled text exactly."""
+    doc = _t(spark, sf_dir, "documents")
+    synth = doc.select(
+        "doc_id",
+        F.concat(
+            F.lit("Accept cookies to continue\n"),
+            F.col("text"),
+            F.lit("\nCopyright Example Corp "),
+            F.col("source"),
+        ).alias("page"),
+    )
+    out = sdedup.remove_duplicated_lines(synth, "page", "doc_id")
+    return out.select(
+        F.col("doc").alias("doc_id"), "text", "n_lines_kept", "n_lines_dropped"
+    ).orderBy("doc_id")
+
+
+oracle(
+    "text_line_dedup",
+    r"""
+    WITH synth AS (
+        SELECT doc_id,
+               'Accept cookies to continue' || chr(10) || text || chr(10)
+               || 'Copyright Example Corp ' || source AS page
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id AS doc, i - 1 AS pos, l[i] AS line
+        FROM (SELECT doc_id, string_split(page, chr(10)) AS l FROM synth),
+             UNNEST(generate_series(1, len(l))) AS s(i)
+        WHERE trim(l[i]) <> ''
+    ),
+    tagged AS (
+        SELECT doc, pos, line,
+               row_number() OVER (PARTITION BY line ORDER BY doc, pos) AS rn
+        FROM lines
+    )
+    SELECT doc AS doc_id,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+                               ORDER BY pos), '') AS text,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lines_kept,
+           CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_lines_dropped
+    FROM tagged GROUP BY doc ORDER BY doc
+    """,
+)
+
+
+@query("text_encoding_artifacts")
+def text_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake / encoding-artifact detection (functions/text.py:
+    encoding_artifact_counts — the crawl-health gate byte-level UTF-8
+    validation misses: a double-transcoded page is valid UTF-8 and
+    useless). Every 3rd doc gets a Latin-1-mojibake'd vowel, every 5th a
+    Windows-1252 smart quote, every 7th a replacement char — the
+    detector must count each class and flag exactly the corrupted docs.
+    The oracle EXECUTES the identical corruption + literal-pattern
+    counts in DuckDB."""
+    doc = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    page = F.col("text")
+    page = F.when(did % 3 == 0, F.regexp_replace(page, "e", "Ã©")).otherwise(page)
+    page = F.when(did % 5 == 0, F.concat(page, F.lit(" itâ€™s here"))).otherwise(page)
+    page = F.when(did % 7 == 0, F.concat(page, F.lit(" broken�byte"))).otherwise(page)
+    synth = doc.select("doc_id", page.alias("page"))
+    counts = stext.encoding_artifact_counts("page")
+    return synth.select(
+        "doc_id",
+        *[v.alias(k) for k, v in counts.items()],
+        stext.encoding_clean("page").alias("clean"),
+    ).orderBy("doc_id")
+
+
+oracle(
+    "text_encoding_artifacts",
+    r"""
+    WITH synth AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN s2 || ' broken�byte' ELSE s2 END AS page
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN s1 || ' itâ€™s here' ELSE s1 END AS s2
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN regexp_replace(text, 'e', 'Ã©', 'g')
+                            ELSE text END AS s1
+                FROM documents
+            )
+        )
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(page, 'Ã[©¨¡³ºñ¤¶¼«»]')) AS latin1_utf8,
+           len(regexp_extract_all(page, 'â€')) AS win1252_punct,
+           len(regexp_extract_all(page, 'Â ')) AS nbsp_artifact,
+           len(regexp_extract_all(page, '�')) AS replacement_char,
+           (len(regexp_extract_all(page, 'Ã[©¨¡³ºñ¤¶¼«»]'))
+            + len(regexp_extract_all(page, 'â€'))
+            + len(regexp_extract_all(page, 'Â '))
+            + len(regexp_extract_all(page, '�'))) = 0 AS clean
+    FROM synth ORDER BY doc_id
+    """,
+)
