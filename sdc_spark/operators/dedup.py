@@ -223,6 +223,10 @@ def minhash_lsh_pairs(
 
     left = banded.alias("l")
     right = banded.alias("r")
+    # Candidate pairs are materialized so the verify side can PRUNE the
+    # gram index by candidate docs without re-running the banding join:
+    # the pair set is tiny (near-dup pairs, not the corpus), and both the
+    # semi-join filter below and the final verify join read it.
     cands = (
         left.join(
             right,
@@ -232,13 +236,32 @@ def minhash_lsh_pairs(
         )
         .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
         .distinct()
+        .transform(_materialize)
     )
 
     # exact verification on the hashed index: Jaccard over gram-hash sets
     # equals Jaccard over gram strings up to 64-bit collisions (≈ D²/2^65 —
     # immaterial), and the arrays shuffled to the verify join carry 8-byte
-    # elements instead of word strings
-    hsets = base.groupBy("doc").agg(F.collect_set("h").alias("hs"))
+    # elements instead of word strings.
+    #
+    # The gram index is semi-join-pruned to candidate docs BEFORE the
+    # collect_set aggregation: Catalyst cannot push the verify join below
+    # the aggregate on its own, so without this every run pays a
+    # full-corpus shuffle + collect_set even when banding yields few
+    # candidates. No forced broadcast: the pair set is usually tiny (AQE
+    # converts the semi join to broadcast at runtime) but a dup-heavy
+    # corpus can legitimately produce a large one, and a forced broadcast
+    # would OOM the driver exactly there.
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc"))
+        .union(cands.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    hsets = (
+        base.join(cand_docs, "doc", "left_semi")
+        .groupBy("doc")
+        .agg(F.collect_set("h").alias("hs"))
+    )
     ga = hsets.select(F.col("doc").alias("doc_a"), F.col("hs").alias("ga"))
     gb = hsets.select(F.col("doc").alias("doc_b"), F.col("hs").alias("gb"))
     verified = (
@@ -719,6 +742,107 @@ def gram_index(
     return _hashed_grams(df, text_col, id_col, ngram).distinct()
 
 
+_LSH_INDEX_BUCKETS = 16  # per-table bucket count; raise with corpus size
+
+
+def write_lsh_index(
+    spark,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    name: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    ngram: int = 3,
+    n_buckets: int = _LSH_INDEX_BUCKETS,
+    path_root: str = "/tmp/sdc_spark_lshidx",
+    overwrite: bool = False,
+) -> tuple[str, str]:
+    """Persist the corpus near-dedup index as BUCKETED tables and return
+    the (band_table, gram_table) names for ``spark.table``.
+
+    Layout is the whole point: the band table is bucketed+sorted on
+    (band, bhash) — exactly the band-join keys — and the gram table on
+    doc — the verify-aggregation key — so every subsequent
+    ``screen_against_index`` call reads the corpus side with NO Exchange:
+    only the incoming batch is shuffled, which is the property that makes
+    per-batch screening O(|batch|) at a 100-TB corpus (an unbucketed
+    index re-shuffles the full corpus index on every batch). Writes are
+    repartitioned onto the bucket columns first so each append lays down
+    ~one file per bucket instead of tasks x buckets small files.
+
+    Idempotent: existing tables are reused unless ``overwrite``. Appends
+    go through ``append_lsh_index`` (same bucket spec, so the layout —
+    and the zero-Exchange plan — survives index growth)."""
+    bands_t = f"lsh_bands_{name}"
+    grams_t = f"lsh_grams_{name}"
+    have = spark.catalog.tableExists(bands_t) and spark.catalog.tableExists(grams_t)
+    if have and not overwrite:
+        return bands_t, grams_t
+    (
+        lsh_band_table(df, text_col, id_col, num_hashes, bands, ngram)
+        .repartition(n_buckets, "band", "bhash")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "band", "bhash")
+        .sortBy("band", "bhash")
+        .option("path", f"{path_root}/{name}/bands")
+        .saveAsTable(bands_t)
+    )
+    (
+        gram_index(df, text_col, id_col, ngram)
+        .repartition(n_buckets, "doc")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "doc")
+        .sortBy("doc")
+        .option("path", f"{path_root}/{name}/grams")
+        .saveAsTable(grams_t)
+    )
+    return bands_t, grams_t
+
+
+def append_lsh_index(
+    spark,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    name: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    ngram: int = 3,
+    n_buckets: int = _LSH_INDEX_BUCKETS,
+) -> None:
+    """Append one ingested batch's band+gram rows to a persisted index
+    written by ``write_lsh_index`` — the index is never rewritten; the
+    bucket spec matches the original so co-location is preserved and the
+    append adds ~one file per bucket (repartition-first), not a
+    small-files blizzard."""
+    (
+        lsh_band_table(batch, text_col, id_col, num_hashes, bands, ngram)
+        .repartition(n_buckets, "band", "bhash")
+        .write.mode("append")
+        .bucketBy(n_buckets, "band", "bhash")
+        .sortBy("band", "bhash")
+        .saveAsTable(f"lsh_bands_{name}")
+    )
+    (
+        gram_index(batch, text_col, id_col, ngram)
+        .repartition(n_buckets, "doc")
+        .write.mode("append")
+        .bucketBy(n_buckets, "doc")
+        .sortBy("doc")
+        .saveAsTable(f"lsh_grams_{name}")
+    )
+
+
+def drop_lsh_index(spark, name: str, path_root: str = "/tmp/sdc_spark_lshidx") -> None:
+    """Drop a persisted index's tables and files (fresh-rebuild path)."""
+    import shutil
+
+    for t in (f"lsh_bands_{name}", f"lsh_grams_{name}"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.rmtree(f"{path_root}/{name}", ignore_errors=True)
+
+
 def incremental_near_dups(
     existing: DataFrame,
     new: DataFrame,
@@ -786,6 +910,8 @@ def screen_against_index(
     base_n = _hashed_grams(new, text_col, id_col, ngram).transform(_materialize)
     band_n = _minhash_bands(base_n, num_hashes, bands)
 
+    # Materialized so the verify-side semi-join prune below does not
+    # re-run the band-bucket join; the candidate set is batch-sized.
     cands = (
         band_n.alias("n")
         .join(
@@ -795,10 +921,33 @@ def screen_against_index(
         )
         .select(F.col("e.doc").alias("corpus_doc"), F.col("n.doc").alias("new_doc"))
         .distinct()
+        .transform(_materialize)
     )
 
-    hs_e = gram_index_df.groupBy("doc").agg(F.collect_set("h").alias("ge"))
-    hs_n = base_n.groupBy("doc").agg(F.collect_set("h").alias("gn"))
+    # Semi-join-prune the CORPUS gram index down to candidate docs BEFORE
+    # the collect_set aggregation. Catalyst cannot push the verify join
+    # below the aggregate, so the unpruned form re-aggregates the entire
+    # 100-TB-corpus index on EVERY incremental batch; pruned, the batch
+    # pays only O(|batch|·sig) + the bucket join + an aggregation over the
+    # candidates' grams — the contract this operator's callers rely on.
+    hs_e = (
+        gram_index_df.join(
+            cands.select(F.col("corpus_doc").alias("doc")).distinct(),
+            "doc",
+            "left_semi",
+        )
+        .groupBy("doc")
+        .agg(F.collect_set("h").alias("ge"))
+    )
+    hs_n = (
+        base_n.join(
+            cands.select(F.col("new_doc").alias("doc")).distinct(),
+            "doc",
+            "left_semi",
+        )
+        .groupBy("doc")
+        .agg(F.collect_set("h").alias("gn"))
+    )
     return (
         cands.join(hs_e.select(F.col("doc").alias("corpus_doc"), "ge"), "corpus_doc")
         .join(hs_n.select(F.col("doc").alias("new_doc"), "gn"), "new_doc")

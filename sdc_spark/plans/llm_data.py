@@ -19,6 +19,14 @@ from sdc_spark.operators import similarity as ssim
 from sdc_spark.plans.registry import oracle, query
 from sdc_spark.sources.readers import read_table
 
+
+def _sf_tag(sf_dir: str) -> str:
+    """Catalog-safe per-sf suffix (table names reject '.' and '/')."""
+    import os
+    import re
+
+    return re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
+
 # Shared DuckDB shingle CTE (word trigrams over normalized text) — the SQL
 # twin of operators.dedup.word_ngrams.
 _GRAMS_SQL = r"""
@@ -1320,34 +1328,26 @@ oracle(
 def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-index incremental dedup — the production loop at 100 TB:
     the corpus LSH band table (operators/dedup.py:lsh_band_table) and
-    hashed-gram index (gram_index) are WRITTEN TO PARQUET once per
-    snapshot, and each incoming batch is screened against the RELOADED
-    index (dedup.py:screen_against_index) — the corpus text is never
-    re-scanned or re-shuffled; only (band, bhash, doc) and (doc, h)
-    16-byte rows live between runs. Same 128/32x4 signature family +
-    exact-Jaccard verify as the in-session variant, so the round-trip
-    through parquet must hash-match the same exact cross-pairs oracle."""
-    import os
-
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    root = f"/tmp/sdc_spark_lshidx_{tag}"
-    bands_p, grams_p = f"{root}/bands", f"{root}/grams"
+    hashed-gram index (gram_index) are WRITTEN AS BUCKETED TABLES once
+    per snapshot — bands bucketed+sorted on (band, bhash), grams on doc
+    — and each incoming batch is screened against the RELOADED index
+    (dedup.py:screen_against_index): the corpus text is never re-scanned
+    or re-shuffled, and because the index layout already matches the
+    band-join and verify-aggregation keys, the per-batch screen shuffles
+    ONLY the batch — the index side reads its co-located buckets with no
+    Exchange (pinned by tests/test_plan_shapes.py). Same 128/32x4
+    signature family + exact-Jaccard verify as the in-session variant,
+    so the round-trip through the bucketed tables must hash-match the
+    same exact cross-pairs oracle."""
     doc = _t(spark, sf_dir, "documents")
     existing = doc.filter(F.col("doc_id") % 5 != 0)
-    done = all(
-        os.path.exists(os.path.join(p, "_SUCCESS")) for p in (bands_p, grams_p)
-    )
-    if not done:
-        sdedup.lsh_band_table(existing, "text", "doc_id").write.mode(
-            "overwrite"
-        ).parquet(bands_p)
-        sdedup.gram_index(existing, "text", "doc_id").write.mode(
-            "overwrite"
-        ).parquet(grams_p)
     new = doc.filter(F.col("doc_id") % 5 == 0)
+    bands_t, grams_t = sdedup.write_lsh_index(
+        spark, existing, "text", "doc_id", f"lshidx_{_sf_tag(sf_dir)}"
+    )
     return sdedup.screen_against_index(
-        spark.read.parquet(bands_p),
-        spark.read.parquet(grams_p),
+        spark.table(bands_t),
+        spark.table(grams_t),
         new,
         "text",
         "doc_id",
@@ -1372,39 +1372,39 @@ oracle(
 def dedup_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL persisted-index ingest loop — what a continuously-growing
     corpus actually runs: batch N is screened against the index
-    (dedup.py:screen_against_index), then APPENDED to it (parquet
-    append of its band + gram rows — the corpus index is never
-    rewritten), so batch N+1 is screened against corpus ∪ batch N.
+    (dedup.py:screen_against_index), then APPENDED to it
+    (dedup.py:append_lsh_index — the corpus index is never rewritten),
+    so batch N+1 is screened against corpus ∪ batch N. The index lives
+    as BUCKETED tables (bands on (band, bhash), grams on doc — the join
+    and verify-agg keys), so each screen shuffles only the batch and
+    each append lays down ~one file per bucket (repartition-first; the
+    file-count bound is pinned by tests/test_dedup_index_layout.py).
     Two batches here: batch 1 = doc_id%5==0 vs the corpus
     (doc_id%5>=2), batch 2 = doc_id%5==1 vs corpus ∪ batch 1. Batch 1's
     screen is EAGERLY materialized before the append so its result
-    cannot observe the index growth (lazy parquet reads would otherwise
+    cannot observe the index growth (lazy table reads would otherwise
     race the append). Oracle: exact cross-pairs per batch from the
     shared grams CTE — the whole loop, including the append round-trip,
     must hash-match exact Jaccard."""
-    import os
-    import shutil
-
     from sdc_spark.materialize import materialize
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    root = f"/tmp/sdc_spark_lshloop_{tag}"
-    bands_p, grams_p = f"{root}/bands", f"{root}/grams"
+    name = f"lshloop_{_sf_tag(sf_dir)}"
     # the index MUTATES (append) — rebuild fresh per run, never resume
-    shutil.rmtree(root, ignore_errors=True)
+    sdedup.drop_lsh_index(spark, name)
 
     doc = _t(spark, sf_dir, "documents")
     corpus = doc.filter(F.col("doc_id") % 5 >= 2)
     batch1 = doc.filter(F.col("doc_id") % 5 == 0)
     batch2 = doc.filter(F.col("doc_id") % 5 == 1)
 
-    sdedup.lsh_band_table(corpus, "text", "doc_id").write.parquet(bands_p)
-    sdedup.gram_index(corpus, "text", "doc_id").write.parquet(grams_p)
+    bands_t, grams_t = sdedup.write_lsh_index(
+        spark, corpus, "text", "doc_id", name
+    )
 
     def screen(batch: DataFrame, n: int) -> DataFrame:
         pairs = sdedup.screen_against_index(
-            spark.read.parquet(bands_p),
-            spark.read.parquet(grams_p),
+            spark.table(bands_t),
+            spark.table(grams_t),
             batch,
             "text",
             "doc_id",
@@ -1413,12 +1413,11 @@ def dedup_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         return materialize(pairs.select(F.lit(n).alias("batch"), "*"))
 
     out1 = screen(batch1, 1)
-    sdedup.lsh_band_table(batch1, "text", "doc_id").write.mode("append").parquet(
-        bands_p
-    )
-    sdedup.gram_index(batch1, "text", "doc_id").write.mode("append").parquet(
-        grams_p
-    )
+    sdedup.append_lsh_index(spark, batch1, "text", "doc_id", name)
+    # refreshed metadata: the append added files the cached relation
+    # doesn't know about
+    spark.catalog.refreshTable(bands_t)
+    spark.catalog.refreshTable(grams_t)
     out2 = screen(batch2, 2)
     return out1.unionByName(out2)
 
