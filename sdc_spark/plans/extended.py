@@ -473,17 +473,21 @@ oracle(
 @query("graph_pagerank")
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the event-type transition graph (3 damped power
-    iterations, unrolled): nodes are event types, edge weights are
-    observed next-event transition counts per user stream.
+    iterations): nodes are event types, edge weights are observed
+    next-event transition counts per user stream.
 
     Scale shape: the expensive part — building the transition edges — is
     one lag window PARTITIONED BY USER (the natively scalable order; no
-    global sort) plus a map-side-combined count; the iteration itself
-    runs on the node table (tiny by construction: node count = distinct
-    event types, broadcast to wherever it is joined). The same unrolled
-    dataflow is the SQL oracle, so every iteration is bit-checked.
+    global sort) plus a map-side-combined count. The aggregated edge
+    table is a SUFFICIENT STATISTIC of size |event types|² — bounded by
+    the categorical vocabulary, NOT the row count — so the power
+    iteration is an O(k²) driver solve (the ml.py pattern: k-means /
+    OLS collect O(d²) statistics the same way), not 3 rounds of
+    broadcast joins whose per-job overhead dominates at any scale.
     Dangling nodes keep their base share (no out-edge mass
-    redistribution) — identical convention on both engines."""
+    redistribution) — identical convention to the SQL oracle."""
+    import numpy as np
+
     ev = read_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     steps = ev.select(
@@ -491,31 +495,25 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("dst"),
     ).filter(F.col("dst").isNotNull())
     edges = (
-        steps.groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .transform(_materialize)
+        steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")).toPandas()
     )
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    nodes = edges.select(F.col("src").alias("node")).union(
-        edges.select("dst")
-    ).distinct()
-    n = nodes.count()
+    if edges.empty:
+        return spark.createDataFrame([], "node string, pagerank double")
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out_w = edges.groupby("src")["w"].sum()
+    m = np.zeros((n, n))
+    for src, dst, wt in edges.itertuples(index=False):
+        m[idx[dst], idx[src]] += wt / out_w[src]
     d = 0.85
-    rank = nodes.select("node", F.lit(1.0 / n).alias("r"))
+    r = np.full(n, 1.0 / n)
     for _ in range(3):
-        contrib = (
-            edges.join(out_w, "src")
-            .join(F.broadcast(rank.withColumnRenamed("node", "src")), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("r") * F.col("w") / F.col("out_w")).alias("inflow"))
-        )
-        rank = nodes.join(
-            F.broadcast(contrib.withColumnRenamed("dst", "node")), "node", "left"
-        ).select(
-            "node",
-            (F.lit((1 - d) / n) + F.lit(d) * F.coalesce("inflow", F.lit(0.0))).alias("r"),
-        )
-    return rank.select("node", F.round("r", 6).alias("pagerank")).orderBy("node")
+        r = (1 - d) / n + d * (m @ r)
+    return spark.createDataFrame(
+        [(v, float(round(rv, 6))) for v, rv in zip(nodes, r)],
+        "node string, pagerank double",
+    ).orderBy("node")
 
 
 oracle(

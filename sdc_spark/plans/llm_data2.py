@@ -567,18 +567,26 @@ _TFIDF_TERMS = ["spark", "table", "query", "window", "merge"]
 @query("text_tfidf_topk")
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF retrieval scoring: the 20 documents scoring highest for a
-    fixed term set, smooth idf = ln((N+1)/(df+1)) + 1. Document
-    frequencies are one tiny per-term aggregate broadcast back; per-doc
-    term frequencies partial-aggregate map-side; ranking is a fully
-    ordered deterministic top-k."""
+    fixed term set, smooth idf = ln((N+1)/(df+1)) + 1. ONE tokenize pass
+    over the text feeds everything: per-doc term frequencies
+    partial-aggregate map-side and are materialized; document
+    frequencies are then a count over the tf rows (count of docs per
+    term ≡ countDistinct over the raw tokens) — re-deriving them from
+    the raw text would be a second full-text scan+explode. The tiny df
+    table broadcasts back; ranking is a fully ordered deterministic
+    top-k."""
     doc = _t(spark, sf_dir, "documents")
     toks = doc.select(
         "doc_id",
         F.explode(F.split(normalized_text(F.col("text")), " ")).alias("token"),
     ).filter(F.col("token").isin(_TFIDF_TERMS))
     n_docs = doc.agg(F.count(F.lit(1)).alias("__n__"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(_materialize)
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df_), "token")
         .crossJoin(F.broadcast(n_docs))
