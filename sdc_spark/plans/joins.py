@@ -298,3 +298,71 @@ oracle(
     GROUP BY s.s_nationkey ORDER BY s.s_nationkey
     """,
 )
+
+
+@query("join_runtime_bloom")
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pushdown, graded end-to-end — the other
+    100-TB join lever next to AQE skew split. The dim side (orders
+    under a selective price predicate) is too large to broadcast at
+    fleet scale, so the join is sort-merge — and Catalyst's
+    InjectRuntimeFilter builds a bloom_filter_agg over the filtered dim
+    keys whose might_contain() prunes the FACT side before its shuffle:
+    only probably-matching lineitem rows cross the wire. Thresholds are
+    set query-local so the filter also fires at test scale (broadcast
+    disabled to mimic the fleet-scale plan; a 2%-selective orders side
+    at 100 TB is far beyond any broadcast threshold); semantics are
+    conf-independent — the oracle is the plain join. The
+    bloom_filter_agg + might_contain plan shape is pinned in
+    tests/test_plan_shapes.py."""
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    conf = spark.conf
+    saved = {k: conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            conf.set(k, v)
+        li = _t(spark, sf_dir, "lineitem")
+        orders = _t(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        out = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(
+                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                    .cast("long")
+                ).alias("revenue_cents"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        # the Dataset caches one QueryExecution: forcing executedPlan here
+        # pins the bloom-filtered SMJ under the tuned confs even though
+        # the caller collects after the finally restores them
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
+oracle(
+    "join_runtime_bloom",
+    """
+    SELECT o_orderstatus, count(*) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)

@@ -1826,3 +1826,83 @@ oracle(
     FROM embeddings ORDER BY id
     """,
 )
+
+
+@query("text_multibyte_pipeline")
+def text_multibyte_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multibyte (non-ASCII) grading of the crawl-text pipeline: the
+    corpus text is deterministically accent/CJK-ified on BOTH engines
+    (vowels → ä/é/ï/ø/ü, a Katakana + '№' + em-dash suffix), wrapped in
+    HTML chrome, run through the full html_to_text extractor, and
+    compared BYTE-FOR-BYTE via md5 over the UTF-8 bytes — plus
+    codepoint length vs octet_length (chars != bytes exactly when
+    multibyte handling is correct), token counts over the extracted
+    text, and an upper→lower case round-trip fingerprint (exercises
+    unicode case mapping: Ä→ä, É→é, Ø→ø; caseless scripts unchanged).
+    Every step is the same pure JVM expression chain the ASCII-graded
+    queries use — this query closes the unicode gap those oracles left
+    (reference: the engine's string kernels are UTF-8-aware,
+    sdc/str_arr_type.py:84-111)."""
+    doc = _t(spark, sf_dir, "documents")
+    mb = F.lower(F.col("text"))
+    for a, b in (("a", "ä"), ("e", "é"), ("i", "ï"), ("o", "ø"), ("u", "ü")):
+        mb = F.regexp_replace(mb, a, b)
+    mb = F.concat(
+        mb, F.lit(" — テキスト№"), F.col("doc_id").cast("string")
+    )
+    html = F.concat(
+        F.lit('<p lang="mul">'),
+        mb,
+        F.lit('</p><script>var s="多言語 skip";</script><ul><li>café&nbsp;бар</li></ul>'),
+    )
+    ext = stext.html_to_text(html)
+    return doc.select(
+        "doc_id",
+        F.length(ext).alias("n_chars"),
+        F.octet_length(ext).alias("n_bytes"),
+        F.size(F.split(ext, " ")).alias("n_tokens"),
+        F.md5(ext).alias("fp"),
+        F.md5(F.lower(F.upper(ext))).alias("case_fp"),
+    ).orderBy("doc_id")
+
+
+oracle(
+    "text_multibyte_pipeline",
+    r"""
+    WITH mb AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(lower(text), 'a', 'ä', 'g'),
+                   'e', 'é', 'g'), 'i', 'ï', 'g'), 'o', 'ø', 'g'), 'u', 'ü', 'g')
+               || ' — テキスト№' || CAST(doc_id AS VARCHAR) AS t
+        FROM documents
+    ),
+    synth AS (
+        SELECT doc_id,
+               '<p lang="mul">' || t
+               || '</p><script>var s="多言語 skip";</script><ul><li>café&nbsp;бар</li></ul>'
+               AS html
+        FROM mb
+    ),
+    s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script\b.*?</script>', ' ', 'g') AS t FROM synth),
+    s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style\b.*?</style>', ' ', 'g') AS t FROM s1),
+    s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+    s4 AS (SELECT doc_id, regexp_replace(t, '(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/td)[^>]*>', ' ', 'g') AS t FROM s3),
+    s5 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]+>', ' ', 'g') AS t FROM s4),
+    s6 AS (SELECT doc_id,
+                  replace(replace(replace(replace(replace(replace(t,
+                      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                      '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+           FROM s5),
+    ext AS (
+        SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS e FROM s6
+    )
+    SELECT doc_id,
+           length(e) AS n_chars,
+           strlen(e) AS n_bytes,
+           len(string_split(e, ' ')) AS n_tokens,
+           md5(e) AS fp,
+           md5(lower(upper(e))) AS case_fp
+    FROM ext ORDER BY doc_id
+    """,
+)
