@@ -1,0 +1,71 @@
+"""Persisted IVF index contracts — the ANN twin of the bucketed LSH
+dedup-index tests: build once, then every query batch must (a) read ONLY
+its probed cells via static partition pruning and (b) return exactly the
+in-session ann_ivf_topk answer (the codebook is deterministic, so the
+round-trip through parquet must not move a single neighbor).
+"""
+
+from __future__ import annotations
+
+import glob
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from sdc_spark.operators import similarity as ssim
+from sdc_spark.sources.readers import read_table
+
+
+@pytest.fixture(scope="module")
+def ivf_paths(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ivfidx"))
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ssim.write_ivf_index(spark, emb, name="ivftest", path_root=root), root
+
+
+def test_search_prunes_cell_partitions(spark, sf_dir, ivf_paths):
+    """The probed-cell set reaches the scan as a PartitionFilter: the
+    cells scan lists only probe cells, never the full index."""
+    (cent_p, cells_p), _ = ivf_paths
+    q = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    out = ssim.ann_ivf_search_index(spark, cent_p, cells_p, q, k=5, nprobe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "cells" in ln
+    ]
+    assert scan_lines, plan
+    assert any(
+        "PartitionFilters: [cell" in ln and "IN" in ln for ln in scan_lines
+    ), "\n".join(scan_lines)
+
+
+def test_persisted_equals_insession(spark, sf_dir, ivf_paths):
+    (cent_p, cells_p), _ = ivf_paths
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    persisted = {
+        (r.qid, r.rank, r.nid)
+        for r in ssim.ann_ivf_search_index(
+            spark, cent_p, cells_p, q, k=5, nprobe=4
+        ).collect()
+    }
+    insession = {
+        (r.qid, r.rank, r.nid)
+        for r in ssim.ann_ivf_topk(emb, q, k=5, n_cells=16, nprobe=4).collect()
+    }
+    assert persisted == insession and persisted
+
+
+def test_index_layout_one_file_per_cell(spark, ivf_paths):
+    """repartition-by-cell before the partitioned write: each cell
+    directory holds exactly one data file (no small-files blowup)."""
+    (_, cells_p), _ = ivf_paths
+    cell_dirs = glob.glob(f"{cells_p}/cell=*")
+    assert cell_dirs
+    for d in cell_dirs:
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 1, (d, files)

@@ -55,6 +55,21 @@ DEFAULT_SET = [
     "passage_dedup_rewrite",
     "ml_pca_project",
     "table_diff",
+    # round-9/10 additions: persisted-index lifecycle (table writes +
+    # appends must not leak across runs), AQE-dependent plans, runtime
+    # bloom pruning, driver-solve pagerank, multibyte regex chains
+    "dedup_incremental_persisted",
+    "dedup_index_ingest_loop",
+    "ann_lsh_multiprobe",
+    "text_line_dedup",
+    "data_recipe_mix",
+    "join_aqe_skew",
+    "text_quality_classifier",
+    "join_runtime_bloom",
+    "text_multibyte_pipeline",
+    "graph_pagerank",
+    "text_tfidf_topk",
+    "ann_ivf_persisted",
 ]
 
 
