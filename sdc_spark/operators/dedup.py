@@ -737,8 +737,8 @@ def gram_index(
 ) -> DataFrame:
     """Materializable verify-side index: DISTINCT (doc, h) hashed grams
     for the corpus — together with ``lsh_band_table`` this is the whole
-    persisted state of incremental near-dedup (both are plain parquet
-    tables; nothing wider than 16 bytes/row)."""
+    persisted state of incremental near-dedup (written as bucketed
+    tables by ``write_lsh_index``; nothing wider than 16 bytes/row)."""
     return _hashed_grams(df, text_col, id_col, ngram).distinct()
 
 
@@ -857,13 +857,14 @@ def incremental_near_dups(
     an EXISTING corpus without ever pairing the corpus against itself.
 
     This is the production shape of dedup at 100 TB: the corpus-side LSH
-    band table and hashed-gram index are built once per snapshot (persist
-    them as parquet between runs — ``lsh_band_table`` + ``gram_index``
-    written out, ``screen_against_index`` on reload) and each incoming
-    batch pays only
-    O(|batch| * sig) + one bucket join against the index. Re-running
-    all-pairs dedup on corpus+batch would re-shuffle the full corpus per
-    batch.
+    band table and hashed-gram index are built once per snapshot
+    (persist them between runs as BUCKETED tables — ``write_lsh_index``
+    / ``append_lsh_index``, ``screen_against_index`` on reload) and
+    each incoming batch pays only O(|batch| * sig) + one bucket join
+    against the index (zero Exchange on the index side — it is bucketed
+    on the join keys) + a verify aggregation semi-join-pruned to the
+    candidates' grams. Re-running all-pairs dedup on corpus+batch would
+    re-shuffle the full corpus per batch.
 
     Returns (corpus_doc, new_doc, jac) for cross pairs with exact Jaccard
     >= threshold — same 128/32x4 family as minhash_lsh_pairs, so the
