@@ -486,6 +486,39 @@ def ann_ivf_search_index(
     )
 
 
+def append_ivf_index(
+    spark,
+    new_vectors: DataFrame,
+    cent_path: str,
+    cells_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new vector batch to a persisted IVF index — the ANN side
+    of the continuous-ingest loop (dedup.append_lsh_index's twin): the
+    batch is assigned against the EXISTING codebook (no re-clustering —
+    cell semantics stay stable for every already-written vector, the
+    property incremental search correctness rests on) and appended into
+    its cell directories, one file per touched cell. Codebook drift
+    under a shifted embedding distribution is the operator's documented
+    trade: rebuild with write_ivf_index(overwrite=True) on a schedule,
+    exactly like periodic LSH-index compaction."""
+    centroids = spark.read.parquet(cent_path)
+    n_cells = centroids.count()
+    v = new_vectors.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    (
+        ivf_assign(v, centroids, "nid", "nvec")
+        .repartition(int(n_cells), "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(cells_path)
+    )
+
+
 def drop_ivf_index(name: str, path_root: str = "/tmp/sdc_spark_ivfidx") -> None:
     """Remove a persisted IVF index's files (fresh-rebuild path)."""
     import shutil

@@ -69,3 +69,36 @@ def test_index_layout_one_file_per_cell(spark, ivf_paths):
     for d in cell_dirs:
         files = glob.glob(f"{d}/*.parquet")
         assert len(files) == 1, (d, files)
+
+
+def test_append_matches_insession_assignment(spark, sf_dir, tmp_path_factory):
+    """append_ivf_index assigns the batch with the EXISTING codebook:
+    after base-write + batch-append, the stored per-cell contents equal
+    an in-session assignment of base ∪ batch under the reloaded
+    codebook, and each cell directory grew by at most one file."""
+    root = str(tmp_path_factory.mktemp("ivfappend"))
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    cent_p, cells_p = ssim.write_ivf_index(
+        spark, base, name="ivfappend", path_root=root
+    )
+    ssim.append_ivf_index(spark, batch, cent_p, cells_p)
+
+    stored = {
+        (r.cell, r.nid) for r in spark.read.parquet(cells_p).select("cell", "nid").collect()
+    }
+    cent = spark.read.parquet(cent_p)
+    v = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nvec"),
+        ssim.norm(F.col("embedding")).alias("nrm"),
+    )
+    expected = {
+        (r.cell, r.nid)
+        for r in ssim.ivf_assign(v, cent, "nid", "nvec").select("cell", "nid").collect()
+    }
+    assert stored == expected and stored
+
+    for d in glob.glob(f"{cells_p}/cell=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) <= 2, d
