@@ -231,6 +231,44 @@ def test_streaming_near_dedup_against_index(spark, sf_dir, tmp_path_factory):
     assert all(i not in hit_ids for i in range(200000, 200005)), hit_ids
 
 
+def test_streaming_near_dedup_against_persisted_index(
+    spark, sf_dir, tmp_path_factory
+):
+    """The production pairing: the stream screens against the RELOADED
+    bucketed band table (dedup.write_lsh_index -> spark.table), not an
+    in-session frame — the static side of the stream-static join is the
+    same persisted index the batch ingest loop maintains, so one index
+    serves both halves of the pipeline."""
+    from sdc_spark.operators import dedup as sdedup
+    from sdc_spark.streaming.dedup_join import streaming_near_dedup_against_index
+
+    docs = read_table(spark, sf_dir, "documents")
+    root = str(tmp_path_factory.mktemp("stream_lshidx"))
+    bands_t, _ = sdedup.write_lsh_index(
+        spark, docs, "text", "doc_id", "streamtest", path_root=root
+    )
+
+    copies = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    novel = spark.createDataFrame(
+        [(200000 + i, f"qqz{i} xxw{i} kky{i} mmv{i} nnu{i} bbt{i}") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    src_dir = str(tmp_path_factory.mktemp("near_dedup_stream2"))
+    copies.unionByName(novel).write.mode("overwrite").parquet(src_dir)
+
+    batch_src = spark.read.parquet(src_dir)
+    stream_src = spark.readStream.schema(batch_src.schema).parquet(src_dir)
+    out = streaming_near_dedup_against_index(stream_src, spark.table(bands_t))
+    got = _run_stream(spark, out, "near_dedup_out2").collect()
+
+    hit_ids = {r.incoming_id for r in got}
+    assert all(i in hit_ids for i in range(100000, 100005)), hit_ids
+    assert all(i not in hit_ids for i in range(200000, 200005)), hit_ids
+    sdedup.drop_lsh_index(spark, "streamtest", path_root=root)
+
+
 def test_trending_topk_stream_matches_batch(spark, events_stream_dir):
     """foreachBatch-maintained trending table must equal the batch top-k
     after availableNow drains the directory."""
