@@ -340,7 +340,14 @@ def ann_ivf_topk(
 
     centroids = ivf_centroids(v, n_cells)
     assigned = ivf_assign(v, centroids, "nid", "nvec")
+    return _ivf_rank(assigned, _ivf_probes(centroids, q, nprobe), k)
 
+
+def _ivf_probes(centroids: DataFrame, q: DataFrame, nprobe: int) -> DataFrame:
+    """(qid, qvec, qnrm, cell) — each query's nprobe max-cosine cells
+    against a (cell, cvec, cnrm) codebook. Shared by the in-session and
+    persisted-index search paths so their probe choice is identical by
+    construction."""
     qscored = q.crossJoin(F.broadcast(centroids)).select(
         "qid",
         "qvec",
@@ -351,12 +358,16 @@ def ann_ivf_topk(
         ),
     )
     wprobe = W.partitionBy("qid").orderBy(F.col("cscore").desc(), "cell")
-    probes = (
+    return (
         qscored.withColumn("pr", F.row_number().over(wprobe))
         .filter(F.col("pr") <= nprobe)
         .select("qid", "qvec", "qnrm", "cell")
     )
 
+
+def _ivf_rank(assigned: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Score each query against its probed cells' vectors and keep the
+    deterministic top-k (ties broken by neighbor id)."""
     cands = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("qid") != F.col("nid"))
@@ -447,43 +458,12 @@ def ann_ivf_search_index(
         F.col(vec_col).alias("qvec"),
         norm(F.col(vec_col)).alias("qnrm"),
     )
-    qscored = q.crossJoin(F.broadcast(centroids)).select(
-        "qid",
-        "qvec",
-        "qnrm",
-        "cell",
-        F.try_divide(
-            dot(F.col("qvec"), F.col("cvec")), F.col("qnrm") * F.col("cnrm")
-        ).alias("cscore"),
-    )
-    wprobe = W.partitionBy("qid").orderBy(F.col("cscore").desc(), "cell")
-    probes = (
-        qscored.withColumn("pr", F.row_number().over(wprobe))
-        .filter(F.col("pr") <= nprobe)
-        .select("qid", "qvec", "qnrm", "cell")
-        .transform(_materialize)
-    )
+    probes = _ivf_probes(centroids, q, nprobe).transform(_materialize)
     probe_cells = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
     idx = spark.read.parquet(cells_path).filter(
         F.col("cell").isin([int(c) for c in probe_cells])
     )
-    cands = (
-        idx.join(F.broadcast(probes), "cell")
-        .filter(F.col("qid") != F.col("nid"))
-        .select(
-            "qid",
-            "nid",
-            F.try_divide(
-                dot(F.col("qvec"), F.col("nvec")), F.col("qnrm") * F.col("nrm")
-            ).alias("cos"),
-        )
-    )
-    wk = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
-    return (
-        cands.withColumn("rank", F.row_number().over(wk))
-        .filter(F.col("rank") <= k)
-        .select("qid", "rank", "nid")
-    )
+    return _ivf_rank(idx, probes, k)
 
 
 def append_ivf_index(

@@ -70,6 +70,7 @@ DEFAULT_SET = [
     "graph_pagerank",
     "text_tfidf_topk",
     "ann_ivf_persisted",
+    "ann_ivf_ingest_loop",
 ]
 
 
