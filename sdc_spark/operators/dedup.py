@@ -834,6 +834,100 @@ def append_lsh_index(
     )
 
 
+def _rewrite_lsh_table(
+    spark,
+    table: str,
+    df: DataFrame,
+    keys: tuple[str, ...],
+    path: str,
+    n_buckets: int,
+) -> None:
+    """Atomic-enough table rewrite for index maintenance: the new content
+    is EAGERLY materialized with lineage truncation FIRST (a
+    lineage-kept persist would try to recompute lost blocks from the
+    files this function deletes), then the table+files are replaced with
+    the same bucket spec — so compaction/deletion never change the plan
+    shape consumers rely on."""
+    import shutil
+
+    from sdc_spark.materialize import materialize
+
+    # The repartition MUST survive into the staged frame (it is what
+    # bounds output files at one per bucket), so callers pass content
+    # read from the RAW parquet path, not the bucketed table: on top of
+    # a bucketed scan Catalyst partially elides the equal-key shuffle
+    # and the staged partitioning ends up neither the scan's nor the
+    # requested one.
+    staged = materialize(df.repartition(n_buckets, *keys), truncate=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(path, ignore_errors=True)
+    w = staged.write.mode("overwrite").bucketBy(n_buckets, *keys).sortBy(*keys)
+    w.option("path", path).saveAsTable(table)
+
+
+def compact_lsh_index(
+    spark,
+    name: str,
+    n_buckets: int = _LSH_INDEX_BUCKETS,
+    path_root: str = "/tmp/sdc_spark_lshidx",
+) -> None:
+    """Compact a persisted index back to ~one file per bucket. Every
+    append adds a file per bucket, so a year of batches decays scan
+    latency (open/footer cost per file) even though the bucket layout —
+    and the zero-Exchange screen plan — survives; schedule this like any
+    LSM-ish maintenance. Contents are bit-identical before/after
+    (pinned by test)."""
+    _rewrite_lsh_table(
+        spark,
+        f"lsh_bands_{name}",
+        spark.read.parquet(f"{path_root}/{name}/bands"),
+        ("band", "bhash"),
+        f"{path_root}/{name}/bands",
+        n_buckets,
+    )
+    _rewrite_lsh_table(
+        spark,
+        f"lsh_grams_{name}",
+        spark.read.parquet(f"{path_root}/{name}/grams"),
+        ("doc",),
+        f"{path_root}/{name}/grams",
+        n_buckets,
+    )
+
+
+def delete_from_lsh_index(
+    spark,
+    doc_ids: DataFrame,
+    name: str,
+    n_buckets: int = _LSH_INDEX_BUCKETS,
+    path_root: str = "/tmp/sdc_spark_lshidx",
+) -> None:
+    """Remove documents from a persisted index (takedown/expiry — the
+    compliance path every long-lived corpus index needs): anti-join both
+    tables against the id frame (single column named ``doc``) and
+    rewrite under the same bucket spec. After deletion the index is
+    indistinguishable from one built without those docs (the signature
+    family is content-deterministic — pinned by test), so screens stop
+    reporting them immediately."""
+    ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc")).distinct()
+    _rewrite_lsh_table(
+        spark,
+        f"lsh_bands_{name}",
+        spark.read.parquet(f"{path_root}/{name}/bands").join(ids, "doc", "left_anti"),
+        ("band", "bhash"),
+        f"{path_root}/{name}/bands",
+        n_buckets,
+    )
+    _rewrite_lsh_table(
+        spark,
+        f"lsh_grams_{name}",
+        spark.read.parquet(f"{path_root}/{name}/grams").join(ids, "doc", "left_anti"),
+        ("doc",),
+        f"{path_root}/{name}/grams",
+        n_buckets,
+    )
+
+
 def drop_lsh_index(spark, name: str, path_root: str = "/tmp/sdc_spark_lshidx") -> None:
     """Drop a persisted index's tables and files (fresh-rebuild path)."""
     import shutil

@@ -499,6 +499,52 @@ def append_ivf_index(
     )
 
 
+def _rewrite_ivf_cells(spark, cells_path: str, content: DataFrame, n_cells: int) -> None:
+    """Stage-then-overwrite for IVF cell maintenance: content is eagerly
+    materialized with lineage truncation BEFORE the old files are
+    replaced (lineage-kept persist would recompute lost blocks from the
+    deleted files)."""
+    from sdc_spark.materialize import materialize
+
+    staged = materialize(content.repartition(n_cells, "cell"), truncate=True)
+    (
+        staged.write.mode("overwrite").partitionBy("cell").parquet(cells_path)
+    )
+
+
+def compact_ivf_index(
+    spark, name: str, path_root: str = "/tmp/sdc_spark_ivfidx"
+) -> None:
+    """Compact a persisted IVF index back to ~one file per cell (every
+    append adds a file per touched cell — the same LSM-ish decay the LSH
+    index compaction answers). Contents are bit-identical before/after."""
+    cent_p = f"{path_root}/{name}/centroids"
+    cells_p = f"{path_root}/{name}/cells"
+    n_cells = spark.read.parquet(cent_p).count()
+    _rewrite_ivf_cells(spark, cells_p, spark.read.parquet(cells_p), int(n_cells))
+
+
+def delete_from_ivf_index(
+    spark,
+    ids: DataFrame,
+    name: str,
+    path_root: str = "/tmp/sdc_spark_ivfidx",
+) -> None:
+    """Remove vectors from a persisted IVF index (takedown/expiry): anti-
+    join the cell files against the id frame (single column, matched to
+    ``nid``) and rewrite. Searches stop returning the ids immediately."""
+    cent_p = f"{path_root}/{name}/centroids"
+    cells_p = f"{path_root}/{name}/cells"
+    n_cells = spark.read.parquet(cent_p).count()
+    idf = ids.select(F.col(ids.columns[0]).alias("nid")).distinct()
+    _rewrite_ivf_cells(
+        spark,
+        cells_p,
+        spark.read.parquet(cells_p).join(idf, "nid", "left_anti"),
+        int(n_cells),
+    )
+
+
 def drop_ivf_index(name: str, path_root: str = "/tmp/sdc_spark_ivfidx") -> None:
     """Remove a persisted IVF index's files (fresh-rebuild path)."""
     import shutil

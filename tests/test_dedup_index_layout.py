@@ -156,3 +156,60 @@ def test_append_preserves_layout_and_bounds_files(
     a = {(r.corpus_doc, r.new_doc) for r in appended.collect()}
     b = {(r.corpus_doc, r.new_doc) for r in rebuilt.collect()}
     assert a == b
+
+
+def test_compact_restores_file_bound_and_content(
+    spark, corpus_and_batch, index_tables
+):
+    """After appends, compaction returns to ~one file per bucket with
+    BIT-IDENTICAL contents (runs after the append test, so the index
+    holds base + one appended batch here)."""
+    (bands_t, grams_t), root = index_tables
+    before_bands = {tuple(r) for r in spark.table(bands_t).collect()}
+    before_grams = {tuple(r) for r in spark.table(grams_t).collect()}
+
+    sdedup.compact_lsh_index(spark, NAME, path_root=root)
+    spark.catalog.refreshTable(bands_t)
+    spark.catalog.refreshTable(grams_t)
+
+    for sub in ("bands", "grams"):
+        files = glob.glob(f"{root}/{NAME}/{sub}/*.parquet")
+        assert 0 < len(files) <= sdedup._LSH_INDEX_BUCKETS, (sub, len(files))
+    assert {tuple(r) for r in spark.table(bands_t).collect()} == before_bands
+    assert {tuple(r) for r in spark.table(grams_t).collect()} == before_grams
+
+
+def test_delete_equals_index_built_without_docs(
+    spark, corpus_and_batch, index_tables, tmp_path_factory
+):
+    """Takedown path: deleting the appended batch's docs leaves an index
+    bit-identical to one built fresh WITHOUT them (the signature family
+    is content-deterministic), and screens stop reporting them."""
+    (bands_t, grams_t), root = index_tables
+    existing, new = corpus_and_batch
+    batch1 = new.filter(F.col("doc_id") % 2 == 0)
+
+    sdedup.delete_from_lsh_index(
+        spark, batch1.select("doc_id"), NAME, path_root=root
+    )
+    spark.catalog.refreshTable(bands_t)
+    spark.catalog.refreshTable(grams_t)
+
+    ref_root = str(tmp_path_factory.mktemp("lshref"))
+    rb, rg = sdedup.write_lsh_index(
+        spark, existing, "text", "doc_id", "layoutref", path_root=ref_root
+    )
+    assert {tuple(r) for r in spark.table(bands_t).collect()} == {
+        tuple(r) for r in spark.table(rb).collect()
+    }
+    assert {tuple(r) for r in spark.table(grams_t).collect()} == {
+        tuple(r) for r in spark.table(rg).collect()
+    }
+    deleted_ids = {r.doc_id for r in batch1.select("doc_id").collect()}
+    still = sdedup.screen_against_index(
+        spark.table(bands_t), spark.table(grams_t), new, "text", "doc_id"
+    )
+    assert not [
+        r for r in still.collect() if r.corpus_doc in deleted_ids
+    ]
+    sdedup.drop_lsh_index(spark, "layoutref", path_root=ref_root)

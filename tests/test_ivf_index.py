@@ -102,3 +102,36 @@ def test_append_matches_insession_assignment(spark, sf_dir, tmp_path_factory):
 
     for d in glob.glob(f"{cells_p}/cell=*"):
         assert len(glob.glob(f"{d}/*.parquet")) <= 2, d
+
+
+def test_compact_and_delete_maintenance(spark, sf_dir, tmp_path_factory):
+    """LSM-ish maintenance: after an append, compaction returns to one
+    file per cell with identical contents; deletion leaves searches
+    unable to return the removed ids."""
+    root = str(tmp_path_factory.mktemp("ivfmaint"))
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    cent_p, cells_p = ssim.write_ivf_index(
+        spark, base, name="ivfmaint", path_root=root
+    )
+    ssim.append_ivf_index(spark, batch, cent_p, cells_p)
+
+    before = {
+        (r.cell, r.nid) for r in spark.read.parquet(cells_p).select("cell", "nid").collect()
+    }
+    ssim.compact_ivf_index(spark, "ivfmaint", path_root=root)
+    after = {
+        (r.cell, r.nid) for r in spark.read.parquet(cells_p).select("cell", "nid").collect()
+    }
+    assert after == before
+    for d in glob.glob(f"{cells_p}/cell=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1, d
+
+    doomed = batch.select("vec_id").filter(F.col("vec_id") < 100)
+    doomed_ids = {r.vec_id for r in doomed.collect()}
+    assert doomed_ids
+    ssim.delete_from_ivf_index(spark, doomed, "ivfmaint", path_root=root)
+    q = emb.filter(F.col("vec_id") < 10)
+    res = ssim.ann_ivf_search_index(spark, cent_p, cells_p, q, k=5, nprobe=16)
+    assert not [r for r in res.collect() if r.nid in doomed_ids]
