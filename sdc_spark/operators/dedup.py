@@ -167,6 +167,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 128,
     bands: int = 32,
     ngram: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash → LSH banding → candidate pairs → exact-Jaccard verification.
 
@@ -174,7 +175,21 @@ def minhash_lsh_pairs(
     With r=num_hashes/bands=4 rows per band, P(candidate | J) = 1-(1-J^4)^32:
     a J=0.8 pair is missed with p≈4e-8 — the verified output matches the
     exact all-pairs answer with overwhelming probability, at O(n·sig) +
-    bucket-join cost instead of O(n²)."""
+    bucket-join cost instead of O(n²).
+
+    ``max_bucket_size`` (default None = exact) drops (band, bhash)
+    buckets holding more than that many docs before the candidate
+    self-join — the band-side twin of ngram_jaccard_pairs' max_doc_freq:
+    a cluster of D mutual near-dups puts all D docs in the SAME bucket
+    in essentially every band, so the candidate join emits ~b·D²/2 rows
+    for that cluster alone; at web scale one viral boilerplate page is a
+    single-bucket quadratic bomb no shuffle strategy fixes (AQE skew
+    split repartitions the join input, not its quadratic OUTPUT). The
+    cap trades recall exactly on those giant clusters — the standard
+    discipline is exact_dedup FIRST (collapsing identical docs to one
+    representative), then near-dup with the cap as the safety net; pairs
+    lost to the cap are intra-cluster pairs a downstream
+    connected-components pass would have merged anyway."""
     rows = num_hashes // bands
     docs = with_grams(df, text_col, id_col, ngram)
 
@@ -220,6 +235,15 @@ def minhash_lsh_pairs(
             )
         ).alias("bh"),
     ).select("doc", "bh.band", "bh.bhash")
+
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "bhash")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("band", "bhash")
+        )
+        banded = banded.join(small, ["band", "bhash"], "left_semi")
 
     left = banded.alias("l")
     right = banded.alias("r")

@@ -136,3 +136,31 @@ def test_lsh_params_for_threshold_properties():
         lsh_params_for_threshold(0.01, 8)
     with pytest.raises(ValueError):
         lsh_params_for_threshold(1.5, 128)
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """max_bucket_size drops only the giant-cluster buckets: pairs inside
+    a 12-clone cluster disappear under cap=8 (every band puts all 12 in
+    one bucket), while an independent small near-dup pair survives."""
+    from sdc_spark.operators.dedup import minhash_lsh_pairs
+
+    clones = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(12)]
+    pair = [
+        (100, "one two three four five six seven eight nine"),
+        (101, "one two three four five six seven eight ten"),
+    ]
+    df = spark.createDataFrame(clones + pair, ["doc_id", "text"])
+
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            df, "text", "doc_id", threshold=0.5, max_bucket_size=8
+        ).collect()
+    }
+    assert (100, 101) in uncapped and (0, 1) in uncapped
+    assert (100, 101) in capped
+    assert not [p for p in capped if p[0] < 100], capped
