@@ -327,18 +327,42 @@ def ngram_jaccard_pairs(
     inv = docs.select("doc", F.explode("grams").alias("g")).select(
         "doc", F.xxhash64("g").alias("gram")
     )
-    # |A| recovered from the index itself (grams are distinct per doc) —
-    # avoids a second normalize+shingle pass over the corpus
-    sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    # The index is materialized ONCE and feeds every consumer below
+    # (doc-freq cap, both self-join sides, sizes): Spark shares no
+    # subplan across join inputs, so the un-materialized plan re-ran
+    # normalize+shingle+explode per consumer — scans=6 of the raw corpus
+    # in one query (caught by the round-10 explain audit; at 100 TB that
+    # is five extra full-text scans).
+    inv = inv.transform(_materialize)
     if max_doc_freq is not None:
         freq = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-        inv = inv.join(freq.filter(F.col("df") <= max_doc_freq), "gram", "left_semi")
-    a = inv.alias("a")
-    b = inv.alias("b")
+        capped = inv.join(freq.filter(F.col("df") <= max_doc_freq), "gram", "left_semi")
+    else:
+        capped = inv
+    a = capped.alias("a")
+    b = capped.alias("b")
+    # inter is materialized so the |A|/|B| lookups can be pruned to
+    # candidate docs without re-running the index self-join.
     inter = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
+        .transform(_materialize)
+    )
+    # |A| recovered from the UNCAPPED index (grams are distinct per doc,
+    # and the Jaccard denominator must count every gram) — semi-join-
+    # pruned to candidate docs BEFORE the count aggregation, same
+    # discipline as the minhash verify side: the aggregation state and
+    # the verify join scale with the OUTPUT pairs, not the corpus.
+    cand_docs = (
+        inter.select(F.col("doc_a").alias("doc"))
+        .union(inter.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    sizes = (
+        inv.join(cand_docs, "doc", "left_semi")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("sz"))
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("szb"))
