@@ -1216,6 +1216,138 @@ def content_defined_chunks(
     )
 
 
+def repeated_substring_spans(
+    df: DataFrame, text_col: str, id_col: str, min_len: int = 50
+) -> DataFrame:
+    """Exact substring-level duplicate detection, the ExactSubstr
+    operator of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): every maximal span of ≥ ``min_len``
+    characters whose every ``min_len``-gram occurs at least twice in the
+    WHOLE corpus (within- OR cross-document, exactly the paper's ≥2
+    rule). Document-level and even passage-level dedup miss these —
+    a license block pasted mid-document, a quoted paragraph, a
+    templated boilerplate run — because the containing documents
+    differ. (Reference parity anchor: the reference exposes only
+    whole-string kernels, sdc/str_arr_type.py:84-111; substring-level
+    corpus dedup is part of this repo's LLM-pipeline extension
+    surface, like remove_duplicated_lines above.)
+
+    The paper builds a single-machine suffix array; the distributed
+    equivalent is position-level k-gram fingerprinting, which finds the
+    IDENTICAL span set for fixed k = min_len: a character position lies
+    in a duplicated span iff some k-gram covering a window starting at
+    it repeats, and merging overlapping [pos, pos+k-1] windows
+    reconstructs the maximal spans.
+
+    Plan shape at 100 TB: one corpus scan explodes positions and hashes
+    the k-gram IN THE SAME projection — only (doc, pos, 8-byte hash)
+    triples ever shuffle, never text (~24 bytes/char; the honest cost of
+    exact-substring semantics distributed — the suffix array pays the
+    same O(N) positions on one machine, which 100 TB does not fit).
+    The triple stream is materialized ONCE and feeds both consumers
+    (the dup-hash aggregation and the mark join); the ≥2 filter sits on
+    a map-side-combinable count; marking is a left_semi join AQE
+    broadcasts when the dup set is small; span merge is a per-doc
+    gaps-and-islands window whose partition is bounded by a single
+    document's duplicated positions.
+
+    Output: (doc, span_start, span_end, span_len) — 1-based inclusive
+    character coordinates, BIGINT, one row per maximal span."""
+    k = int(min_len)
+    if k < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text")).filter(
+        F.length("text") >= k
+    )
+    pos = base.select(
+        "doc",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - k + 1)).alias("pos"),
+    )
+    grams = pos.select(
+        "doc",
+        F.col("pos").cast("long").alias("pos"),
+        F.expr(f"xxhash64(substring(text, pos, {k}))").alias("h"),
+    ).transform(_materialize)
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    marked = grams.join(dup, "h", "left_semi")
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    flag = F.when(prev.isNull() | (F.col("pos") > prev + k), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    islands = marked.withColumn("_new", flag).withColumn(
+        "_isl", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("doc", "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            "doc",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
+def substring_dedup_rewrite(
+    df: DataFrame, text_col: str, id_col: str, min_len: int = 50
+) -> DataFrame:
+    """Aggressive-mode substring dedup rewrite: cut EVERY maximal
+    duplicated span found by :func:`repeated_substring_spans` out of
+    every document and reassemble the remainder in order. (Lee et al.
+    drop all-but-one occurrence; the all-occurrence cut is the
+    conservative variant when the canonical copy's provenance is kept
+    elsewhere, and its output is deterministic under any corpus
+    partitioning — there is no "first occurrence" race.)
+
+    The reassembly is a single JVM higher-order ``aggregate`` over the
+    per-doc sorted span array — no UDF, no per-segment explode: state is
+    (next uncut position, accumulated text), each span appends the gap
+    before it, the finisher appends the tail. Documents without spans
+    pass through the left join untouched.
+
+    Output: (doc, text, clean_text, n_spans, removed_chars) with
+    length(clean_text) = length(text) - removed_chars by construction."""
+    spans = repeated_substring_spans(df, text_col, id_col, min_len)
+    sp = spans.groupBy("doc").agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("sps"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("removed_chars"),
+    )
+    base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+    rebuilt = F.expr(
+        "aggregate(sps,"
+        " struct(cast(1 as bigint) as nxt, cast('' as string) as acc),"
+        " (s, x) -> struct(x.span_end + 1 as nxt,"
+        "   concat(s.acc, substring(text, s.nxt, x.span_start - s.nxt)) as acc),"
+        " s -> concat(s.acc, substring(text, s.nxt, length(text) - s.nxt + 1)))"
+    )
+    return base.join(sp, "doc", "left").select(
+        "doc",
+        "text",
+        F.when(F.col("sps").isNull(), F.col("text"))
+        .otherwise(rebuilt)
+        .alias("clean_text"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("removed_chars", F.lit(0)).alias("removed_chars"),
+    )
+
+
 def remove_duplicated_lines(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:

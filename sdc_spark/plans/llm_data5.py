@@ -1,0 +1,160 @@
+"""Round-10 LLM-pipeline additions: exact substring-level dedup (the
+ExactSubstr operator of Lee et al. 2022, "Deduplicating Training Data
+Makes Language Models Better") — span detection and aggressive rewrite.
+
+Both DuckDB-oracled: the oracle EXECUTES the identical position-level
+k-gram semantics (unnest every char offset, group grams corpus-wide,
+HAVING count >= 2, gaps-and-islands merge) so span boundaries are graded
+byte-for-byte, and the rewrite is re-assembled in SQL via ordered
+string_agg over the inter-span segments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdc_spark.operators.dedup import (
+    repeated_substring_spans,
+    substring_dedup_rewrite,
+)
+from sdc_spark.plans.registry import oracle, query
+from sdc_spark.sources.readers import read_table
+
+_K = 50  # Lee et al. use 50 tokens; chars here — same order of magnitude
+
+
+@query("text_substring_dedup")
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring spans over the documents corpus
+    (operators/dedup.py: repeated_substring_spans). Finds every maximal
+    char span whose every 50-gram occurs >= 2 times corpus-wide —
+    within- or cross-document, the Lee et al. >= 2 rule that line- and
+    document-level dedup both miss (mid-document pasted boilerplate)."""
+    doc = read_table(spark, sf_dir, "documents")
+    return (
+        repeated_substring_spans(doc, "text", "doc_id", min_len=_K)
+        .select(
+            F.col("doc").alias("doc_id"),
+            "span_start",
+            "span_end",
+            "span_len",
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+oracle(
+    "text_substring_dedup",
+    f"""
+    WITH p AS (
+        SELECT doc_id, text,
+               unnest(range(1, length(text) - {_K} + 2)) AS pos
+        FROM documents WHERE length(text) >= {_K}
+    ),
+    g AS (
+        SELECT doc_id, pos::BIGINT AS pos, substr(text, pos::INT, {_K}) AS gram
+        FROM p
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+    i AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                         OR pos > lag(pos) OVER w + {_K}
+                    THEN 1 ELSE 0 END AS flag
+        FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    s AS (
+        SELECT doc_id, pos,
+               sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM i
+    )
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + {_K} - 1 AS span_end,
+           max(pos) + {_K} - min(pos) AS span_len
+    FROM s GROUP BY doc_id, isl
+    ORDER BY doc_id, span_start
+    """,
+)
+
+
+@query("text_substring_rewrite")
+def text_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggressive substring-dedup rewrite (operators/dedup.py:
+    substring_dedup_rewrite): every duplicated span cut from every doc,
+    remainder reassembled in order by a JVM higher-order aggregate (no
+    UDF, no per-segment explode). Graded on the md5 of the rebuilt
+    UTF-8 text plus span/char accounting for EVERY document — docs
+    below 50 chars or with no duplicated spans must pass through
+    byte-identical."""
+    doc = read_table(spark, sf_dir, "documents")
+    out = substring_dedup_rewrite(doc, "text", "doc_id", min_len=_K)
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("removed_chars").cast("long").alias("removed_chars"),
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+oracle(
+    "text_substring_rewrite",
+    f"""
+    WITH p AS (
+        SELECT doc_id, text,
+               unnest(range(1, length(text) - {_K} + 2)) AS pos
+        FROM documents WHERE length(text) >= {_K}
+    ),
+    g AS (
+        SELECT doc_id, pos::BIGINT AS pos, substr(text, pos::INT, {_K}) AS gram
+        FROM p
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+    i AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                         OR pos > lag(pos) OVER w + {_K}
+                    THEN 1 ELSE 0 END AS flag
+        FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    s AS (
+        SELECT doc_id, pos,
+               sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM i
+    ),
+    spans AS (
+        SELECT doc_id, min(pos) AS a, max(pos) + {_K} - 1 AS b
+        FROM s GROUP BY doc_id, isl
+    ),
+    seg AS (
+        SELECT sp.doc_id, sp.a AS ord,
+               substr(d.text,
+                      (coalesce(lag(sp.b) OVER w2, 0) + 1)::INT,
+                      (sp.a - coalesce(lag(sp.b) OVER w2, 0) - 1)::INT) AS piece
+        FROM spans sp JOIN documents d USING (doc_id)
+        WINDOW w2 AS (PARTITION BY sp.doc_id ORDER BY sp.a)
+        UNION ALL
+        SELECT t.doc_id, 9223372036854775807 AS ord,
+               substr(d.text, (t.mx + 1)::INT) AS piece
+        FROM (SELECT doc_id, max(b) AS mx FROM spans GROUP BY doc_id) t
+        JOIN documents d USING (doc_id)
+    ),
+    clean AS (
+        SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text,
+               count(*) - 1 AS n_spans
+        FROM seg GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(c.n_spans, 0)::BIGINT AS n_spans,
+           (length(d.text) - length(coalesce(c.clean_text, d.text)))::BIGINT
+               AS removed_chars,
+           length(coalesce(c.clean_text, d.text))::BIGINT AS clean_len,
+           md5(coalesce(c.clean_text, d.text)) AS clean_md5
+    FROM documents d LEFT JOIN clean c USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)

@@ -1,0 +1,139 @@
+"""Unit + differential pins for exact substring dedup (Lee et al. 2022
+semantics: maximal spans whose every k-gram occurs >= 2 times corpus-wide,
+within- OR cross-document)."""
+
+from __future__ import annotations
+
+import random
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from sdc_spark.operators.dedup import (
+    repeated_substring_spans,
+    substring_dedup_rewrite,
+)
+
+
+def _brute_spans(texts: dict[int, str], k: int) -> set[tuple[int, int, int]]:
+    """Reference implementation: count every k-gram occurrence, mark
+    positions, merge overlapping/adjacent [pos, pos+k-1] windows."""
+    counts: dict[str, int] = {}
+    for t in texts.values():
+        for i in range(len(t) - k + 1):
+            g = t[i : i + k]
+            counts[g] = counts.get(g, 0) + 1
+    spans = set()
+    for doc, t in texts.items():
+        marked = [
+            i + 1  # 1-based
+            for i in range(len(t) - k + 1)
+            if counts[t[i : i + k]] >= 2
+        ]
+        run: list[int] = []
+        for p in marked:
+            if run and p > run[-1] + k:
+                spans.add((doc, run[0], run[-1] + k - 1))
+                run = []
+            run.append(p)
+        if run:
+            spans.add((doc, run[0], run[-1] + k - 1))
+    return spans
+
+
+def _spark_spans(spark, texts: dict[int, str], k: int) -> set[tuple[int, int, int]]:
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    out = repeated_substring_spans(df, "text", "doc_id", min_len=k)
+    return {(r.doc, r.span_start, r.span_end) for r in out.collect()}
+
+
+def test_cross_doc_shared_passage(spark):
+    shared = "The quick brown fox jumps over the lazy dog near the riverbank."
+    texts = {
+        1: "AAA " + shared + " tail one.",
+        2: "Different opening here, then " + shared + " more.",
+        3: "entirely unique prose with no repetition of anything at all....",
+    }
+    got = _spark_spans(spark, texts, 50)
+    assert got == _brute_spans(texts, 50)
+    assert {d for d, _, _ in got} == {1, 2}
+
+
+def test_within_doc_repeat_and_short_docs(spark):
+    texts = {
+        1: ("xy" * 40) + " MID " + ("xy" * 40),  # within-doc repeat
+        2: "short",  # below k: no positions at all
+    }
+    k = 20
+    got = _spark_spans(spark, texts, k)
+    assert got == _brute_spans(texts, k)
+    # the two 80-char xy-blocks are each fully covered (self-repeating)
+    assert any(d == 1 and a == 1 for d, a, _ in got)
+
+
+def test_multibyte_positions_are_char_based(spark):
+    shared = "héllo wörld ünïcode paragraph shared vérbatim across docs"
+    texts = {1: "ä " + shared + " €nd", 2: shared + " ... östlich"}
+    k = 30
+    got = _spark_spans(spark, texts, k)
+    assert got == _brute_spans(texts, k)
+
+
+def test_differential_random_corpora(spark):
+    rng = random.Random(20260815)
+    for trial in range(3):
+        # small alphabet so repeats actually occur
+        mk = lambda n: "".join(rng.choice("abc ") for _ in range(n))
+        boiler = mk(30)
+        texts = {}
+        for d in range(8):
+            t = mk(rng.randint(0, 60))
+            if d % 2 == 0:
+                cut = rng.randint(0, len(t))
+                t = t[:cut] + boiler + t[cut:]
+            texts[d] = t
+        for k in (8, 15):
+            assert _spark_spans(spark, texts, k) == _brute_spans(texts, k), (
+                trial,
+                k,
+            )
+
+
+def test_rewrite_reconstruction(spark):
+    shared = "0123456789" * 8  # 80 chars, also self-similar
+    texts = {
+        1: "head-" + shared + "-tail",
+        2: shared,
+        3: "clean document with nothing repeated anywhere inside it",
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    rows = {
+        r.doc: r
+        for r in substring_dedup_rewrite(df, "text", "doc_id", min_len=50).collect()
+    }
+    spans = _brute_spans(texts, 50)
+    for doc, t in texts.items():
+        r = rows[doc]
+        assert len(r.clean_text) == len(t) - r.removed_chars
+        doc_spans = sorted((a, b) for d, a, b in spans if d == doc)
+        expect = ""
+        nxt = 1
+        for a, b in doc_spans:
+            expect += t[nxt - 1 : a - 1]
+            nxt = b + 1
+        expect += t[nxt - 1 :]
+        assert r.clean_text == expect, doc
+        assert r.n_spans == len(doc_spans)
+    # doc 2 was one giant duplicated span -> empty, not dropped
+    assert rows[2].clean_text == ""
+    assert rows[3].clean_text == texts[3]
+
+
+def test_min_len_validation(spark):
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    try:
+        repeated_substring_spans(df, "text", "doc_id", min_len=1)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("min_len=1 must raise")
