@@ -1217,7 +1217,11 @@ def content_defined_chunks(
 
 
 def repeated_substring_spans(
-    df: DataFrame, text_col: str, id_col: str, min_len: int = 50
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 50,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact substring-level duplicate detection, the ExactSubstr
     operator of Lee et al. 2022 ("Deduplicating Training Data Makes
@@ -1251,6 +1255,16 @@ def repeated_substring_spans(
     gaps-and-islands window whose partition is bounded by a single
     document's duplicated positions.
 
+    ``keep_first=False`` (default) marks EVERY occurrence of a
+    duplicated gram — the span map / aggressive-cut view.
+    ``keep_first=True`` is the paper's retention rule at gram
+    granularity: the globally-first occurrence of each duplicated gram
+    (min (doc, pos), a deterministic total order — not encounter order)
+    stays unmarked, so one canonical copy of every duplicated substring
+    survives the rewrite. The argmin rides the SAME single hash
+    aggregation as the ≥2 count (min over a (doc, pos) struct), so the
+    mode costs one extra broadcast column, not a second pass.
+
     Output: (doc, span_start, span_end, span_len) — 1-based inclusive
     character coordinates, BIGINT, one row per maximal span."""
     k = int(min_len)
@@ -1269,13 +1283,23 @@ def repeated_substring_spans(
         F.col("pos").cast("long").alias("pos"),
         F.expr(f"xxhash64(substring(text, pos, {k}))").alias("h"),
     ).transform(_materialize)
-    dup = (
-        grams.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("h")
-    )
-    marked = grams.join(dup, "h", "left_semi")
+    # the argmin column is only aggregated when the mode needs it — its
+    # 16 bytes/hash of agg state are pure waste for the drop-all view
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if keep_first:
+        aggs.append(F.min(F.struct("doc", "pos")).alias("first"))
+    dup = grams.groupBy("h").agg(*aggs).filter(F.col("n") >= 2)
+    if keep_first:
+        marked = (
+            grams.join(dup.select("h", "first"), "h")
+            .filter(
+                (F.col("doc") != F.col("first.doc"))
+                | (F.col("pos") != F.col("first.pos"))
+            )
+            .select("doc", "pos")
+        )
+    else:
+        marked = grams.join(dup.select("h"), "h", "left_semi")
 
     from pyspark.sql import Window as W
 
@@ -1303,15 +1327,21 @@ def repeated_substring_spans(
 
 
 def substring_dedup_rewrite(
-    df: DataFrame, text_col: str, id_col: str, min_len: int = 50
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 50,
+    keep_first: bool = False,
 ) -> DataFrame:
-    """Aggressive-mode substring dedup rewrite: cut EVERY maximal
-    duplicated span found by :func:`repeated_substring_spans` out of
-    every document and reassemble the remainder in order. (Lee et al.
-    drop all-but-one occurrence; the all-occurrence cut is the
-    conservative variant when the canonical copy's provenance is kept
-    elsewhere, and its output is deterministic under any corpus
-    partitioning — there is no "first occurrence" race.)
+    """Substring dedup rewrite: cut every maximal duplicated span found
+    by :func:`repeated_substring_spans` out of every document and
+    reassemble the remainder in order. ``keep_first=False`` is the
+    aggressive all-occurrence cut (conservative when the canonical
+    copy's provenance is kept elsewhere); ``keep_first=True`` is the
+    Lee et al. retention rule — the globally-first copy of each
+    duplicated substring survives. Both are deterministic under any
+    corpus partitioning (the "first" is an argmin over (doc, pos), not
+    encounter order).
 
     The reassembly is a single JVM higher-order ``aggregate`` over the
     per-doc sorted span array — no UDF, no per-segment explode: state is
@@ -1321,7 +1351,7 @@ def substring_dedup_rewrite(
 
     Output: (doc, text, clean_text, n_spans, removed_chars) with
     length(clean_text) = length(text) - removed_chars by construction."""
-    spans = repeated_substring_spans(df, text_col, id_col, min_len)
+    spans = repeated_substring_spans(df, text_col, id_col, min_len, keep_first)
     sp = spans.groupBy("doc").agg(
         F.array_sort(
             F.collect_list(F.struct("span_start", "span_end"))

@@ -1,8 +1,9 @@
 """Round-10 LLM-pipeline additions: exact substring-level dedup (the
 ExactSubstr operator of Lee et al. 2022, "Deduplicating Training Data
-Makes Language Models Better") — span detection and aggressive rewrite.
+Makes Language Models Better") — span detection, aggressive rewrite, and
+the paper's keep-first retention rewrite.
 
-Both DuckDB-oracled: the oracle EXECUTES the identical position-level
+All three DuckDB-oracled: the oracle EXECUTES the identical position-level
 k-gram semantics (unnest every char offset, group grams corpus-wide,
 HAVING count >= 2, gaps-and-islands merge) so span boundaries are graded
 byte-for-byte, and the rewrite is re-assembled in SQL via ordered
@@ -98,6 +99,94 @@ def text_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("clean_text").cast("long").alias("clean_len"),
         F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+@query("text_substring_keepfirst")
+def text_substring_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. retention-mode rewrite (keep_first=True): the
+    globally-first occurrence of each duplicated 50-gram — argmin over
+    (doc, pos), a deterministic total order — stays, every later copy
+    is cut. Graded like the aggressive rewrite: md5 over rebuilt UTF-8
+    bytes for every document, so the oracle proves BOTH that later
+    copies vanish and that the canonical copies survive byte-identical.
+    The argmin rides the same single hash aggregation as the >= 2 count
+    (one extra broadcast column, not a second corpus pass)."""
+    doc = read_table(spark, sf_dir, "documents")
+    out = substring_dedup_rewrite(doc, "text", "doc_id", min_len=_K, keep_first=True)
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("removed_chars").cast("long").alias("removed_chars"),
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+oracle(
+    "text_substring_keepfirst",
+    f"""
+    WITH p AS (
+        SELECT doc_id, text,
+               unnest(range(1, length(text) - {_K} + 2)) AS pos
+        FROM documents WHERE length(text) >= {_K}
+    ),
+    g AS (
+        SELECT doc_id, pos::BIGINT AS pos, substr(text, pos::INT, {_K}) AS gram
+        FROM p
+    ),
+    m AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY gram) AS n,
+                   row_number() OVER (PARTITION BY gram
+                                      ORDER BY doc_id, pos) AS rn
+            FROM g
+        ) WHERE n >= 2 AND rn > 1
+    ),
+    i AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                         OR pos > lag(pos) OVER w + {_K}
+                    THEN 1 ELSE 0 END AS flag
+        FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    s AS (
+        SELECT doc_id, pos,
+               sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM i
+    ),
+    spans AS (
+        SELECT doc_id, min(pos) AS a, max(pos) + {_K} - 1 AS b
+        FROM s GROUP BY doc_id, isl
+    ),
+    seg AS (
+        SELECT sp.doc_id, sp.a AS ord,
+               substr(d.text,
+                      (coalesce(lag(sp.b) OVER w2, 0) + 1)::INT,
+                      (sp.a - coalesce(lag(sp.b) OVER w2, 0) - 1)::INT) AS piece
+        FROM spans sp JOIN documents d USING (doc_id)
+        WINDOW w2 AS (PARTITION BY sp.doc_id ORDER BY sp.a)
+        UNION ALL
+        SELECT t.doc_id, 9223372036854775807 AS ord,
+               substr(d.text, (t.mx + 1)::INT) AS piece
+        FROM (SELECT doc_id, max(b) AS mx FROM spans GROUP BY doc_id) t
+        JOIN documents d USING (doc_id)
+    ),
+    clean AS (
+        SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text,
+               count(*) - 1 AS n_spans
+        FROM seg GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(c.n_spans, 0)::BIGINT AS n_spans,
+           (length(d.text) - length(coalesce(c.clean_text, d.text)))::BIGINT
+               AS removed_chars,
+           length(coalesce(c.clean_text, d.text))::BIGINT AS clean_len,
+           md5(coalesce(c.clean_text, d.text)) AS clean_md5
+    FROM documents d LEFT JOIN clean c USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
 
 
 oracle(

@@ -15,20 +15,28 @@ from sdc_spark.operators.dedup import (
 )
 
 
-def _brute_spans(texts: dict[int, str], k: int) -> set[tuple[int, int, int]]:
+def _brute_spans(
+    texts: dict[int, str], k: int, keep_first: bool = False
+) -> set[tuple[int, int, int]]:
     """Reference implementation: count every k-gram occurrence, mark
-    positions, merge overlapping/adjacent [pos, pos+k-1] windows."""
+    positions (minus the global argmin occurrence in keep_first mode),
+    merge overlapping/adjacent [pos, pos+k-1] windows."""
     counts: dict[str, int] = {}
-    for t in texts.values():
+    first: dict[str, tuple[int, int]] = {}
+    for doc in sorted(texts):
+        t = texts[doc]
         for i in range(len(t) - k + 1):
             g = t[i : i + k]
             counts[g] = counts.get(g, 0) + 1
+            if g not in first or (doc, i + 1) < first[g]:
+                first[g] = (doc, i + 1)
     spans = set()
     for doc, t in texts.items():
         marked = [
             i + 1  # 1-based
             for i in range(len(t) - k + 1)
             if counts[t[i : i + k]] >= 2
+            and not (keep_first and first[t[i : i + k]] == (doc, i + 1))
         ]
         run: list[int] = []
         for p in marked:
@@ -127,6 +135,50 @@ def test_rewrite_reconstruction(spark):
     # doc 2 was one giant duplicated span -> empty, not dropped
     assert rows[2].clean_text == ""
     assert rows[3].clean_text == texts[3]
+
+
+def test_keep_first_retains_canonical_copy(spark):
+    shared = "The quick brown fox jumps over the lazy dog near the riverbank."
+    texts = {
+        1: "AAA " + shared + " tail one.",
+        2: "Different opening here, then " + shared + " more.",
+        3: "Third containing " + shared + " too, late in doc order.",
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {
+        (r.doc, r.span_start, r.span_end)
+        for r in repeated_substring_spans(
+            df, "text", "doc_id", min_len=50, keep_first=True
+        ).collect()
+    }
+    assert got == _brute_spans(texts, 50, keep_first=True)
+    # doc 1 holds the argmin occurrence of every shared gram: untouched
+    assert {d for d, _, _ in got} == {2, 3}
+    rows = {
+        r.doc: r
+        for r in substring_dedup_rewrite(
+            df, "text", "doc_id", min_len=50, keep_first=True
+        ).collect()
+    }
+    assert rows[1].clean_text == texts[1]
+    assert shared not in rows[2].clean_text
+    assert shared not in rows[3].clean_text
+
+
+def test_keep_first_differential_random(spark):
+    rng = random.Random(101)
+    mk = lambda n: "".join(rng.choice("ab ") for _ in range(n))
+    boiler = mk(25)
+    texts = {d: mk(rng.randint(0, 50)) + (boiler if d % 2 else "") for d in range(6)}
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    for k in (8, 12):
+        got = {
+            (r.doc, r.span_start, r.span_end)
+            for r in repeated_substring_spans(
+                df, "text", "doc_id", min_len=k, keep_first=True
+            ).collect()
+        }
+        assert got == _brute_spans(texts, k, keep_first=True), k
 
 
 def test_min_len_validation(spark):
