@@ -1216,6 +1216,82 @@ def content_defined_chunks(
     )
 
 
+def _kgram_positions(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(doc, pos, h) for every char offset: the k-gram is hashed in the
+    SAME projection that explodes positions, so only 24-byte triples
+    ever leave the scan stage — never text."""
+    base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text")).filter(
+        F.length("text") >= k
+    )
+    pos = base.select(
+        "doc",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - k + 1)).alias("pos"),
+    )
+    return pos.select(
+        "doc",
+        F.col("pos").cast("long").alias("pos"),
+        F.expr(f"xxhash64(substring(text, pos, {k}))").alias("h"),
+    )
+
+
+def _merge_marked_positions(marked: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands merge of marked window starts into maximal
+    [span_start, span_end] char spans (1-based inclusive). Window
+    partitions per doc — state bounded by one document's positions."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    flag = F.when(prev.isNull() | (F.col("pos") > prev + k), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    islands = marked.withColumn("_new", flag).withColumn(
+        "_isl", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("doc", "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            "doc",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
+def _cut_spans(base: DataFrame, spans: DataFrame) -> DataFrame:
+    """Cut every span out of (doc, text) and reassemble the remainder in
+    order via one JVM higher-order ``aggregate`` over the per-doc sorted
+    span array — no UDF, no per-segment explode. Docs without spans pass
+    through the left join untouched."""
+    sp = spans.groupBy("doc").agg(
+        F.array_sort(F.collect_list(F.struct("span_start", "span_end"))).alias("sps"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("removed_chars"),
+    )
+    rebuilt = F.expr(
+        "aggregate(sps,"
+        " struct(cast(1 as bigint) as nxt, cast('' as string) as acc),"
+        " (s, x) -> struct(x.span_end + 1 as nxt,"
+        "   concat(s.acc, substring(text, s.nxt, x.span_start - s.nxt)) as acc),"
+        " s -> concat(s.acc, substring(text, s.nxt, length(text) - s.nxt + 1)))"
+    )
+    return base.join(sp, "doc", "left").select(
+        "doc",
+        "text",
+        F.when(F.col("sps").isNull(), F.col("text"))
+        .otherwise(rebuilt)
+        .alias("clean_text"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("removed_chars", F.lit(0)).alias("removed_chars"),
+    )
+
+
 def repeated_substring_spans(
     df: DataFrame,
     text_col: str,
@@ -1270,19 +1346,7 @@ def repeated_substring_spans(
     k = int(min_len)
     if k < 2:
         raise ValueError(f"min_len must be >= 2, got {min_len}")
-    base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text")).filter(
-        F.length("text") >= k
-    )
-    pos = base.select(
-        "doc",
-        "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - k + 1)).alias("pos"),
-    )
-    grams = pos.select(
-        "doc",
-        F.col("pos").cast("long").alias("pos"),
-        F.expr(f"xxhash64(substring(text, pos, {k}))").alias("h"),
-    ).transform(_materialize)
+    grams = _kgram_positions(df, text_col, id_col, k).transform(_materialize)
     # the argmin column is only aggregated when the mode needs it — its
     # 16 bytes/hash of agg state are pure waste for the drop-all view
     aggs = [F.count(F.lit(1)).alias("n")]
@@ -1300,30 +1364,7 @@ def repeated_substring_spans(
         )
     else:
         marked = grams.join(dup.select("h"), "h", "left_semi")
-
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("doc").orderBy("pos")
-    prev = F.lag("pos").over(w)
-    flag = F.when(prev.isNull() | (F.col("pos") > prev + k), F.lit(1)).otherwise(
-        F.lit(0)
-    )
-    islands = marked.withColumn("_new", flag).withColumn(
-        "_isl", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0))
-    )
-    return (
-        islands.groupBy("doc", "_isl")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
-        )
-        .select(
-            "doc",
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
-        )
-    )
+    return _merge_marked_positions(marked, k)
 
 
 def substring_dedup_rewrite(
@@ -1352,30 +1393,69 @@ def substring_dedup_rewrite(
     Output: (doc, text, clean_text, n_spans, removed_chars) with
     length(clean_text) = length(text) - removed_chars by construction."""
     spans = repeated_substring_spans(df, text_col, id_col, min_len, keep_first)
-    sp = spans.groupBy("doc").agg(
-        F.array_sort(
-            F.collect_list(F.struct("span_start", "span_end"))
-        ).alias("sps"),
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum("span_len").alias("removed_chars"),
-    )
     base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
-    rebuilt = F.expr(
-        "aggregate(sps,"
-        " struct(cast(1 as bigint) as nxt, cast('' as string) as acc),"
-        " (s, x) -> struct(x.span_end + 1 as nxt,"
-        "   concat(s.acc, substring(text, s.nxt, x.span_start - s.nxt)) as acc),"
-        " s -> concat(s.acc, substring(text, s.nxt, length(text) - s.nxt + 1)))"
+    return _cut_spans(base, spans)
+
+
+def substring_contamination_spans(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_text_col: str,
+    min_len: int = 50,
+) -> DataFrame:
+    """Span-precise benchmark decontamination detection: every maximal
+    corpus span of ≥ ``min_len`` chars that appears verbatim ANYWHERE in
+    the held-out benchmark set (Lee et al. 2022 §5 apply exactly this to
+    test-set overlap; GPT-3's appendix documents the same class of
+    leak). The 8-gram token decontamination (`decontaminate_against`)
+    DROPS whole documents on any overlap; this is the surgical variant —
+    it localizes the leaked chars so the rewrite can cut them and keep
+    the rest of the document.
+
+    Plan shape at 100 TB: the corpus side is the same single-scan
+    (doc, pos, 8-byte hash) stream as ``repeated_substring_spans``; the
+    benchmark side reduces to a DISTINCT hash set (benchmarks are tiny
+    next to the corpus, so the set broadcasts and the mark join is
+    map-side — zero shuffle of corpus positions); spans merge per doc.
+
+    Output: (doc, span_start, span_end, span_len), 1-based inclusive."""
+    k = int(min_len)
+    if k < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    grams = _kgram_positions(corpus, text_col, id_col, k)
+    bench_h = (
+        _kgram_positions(
+            bench.select(F.col(bench_text_col).alias("_bt")), "_bt", "_bt", k
+        )
+        .select("h")
+        .distinct()
     )
-    return base.join(sp, "doc", "left").select(
-        "doc",
-        "text",
-        F.when(F.col("sps").isNull(), F.col("text"))
-        .otherwise(rebuilt)
-        .alias("clean_text"),
-        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-        F.coalesce("removed_chars", F.lit(0)).alias("removed_chars"),
+    marked = grams.join(bench_h, "h", "left_semi")
+    return _merge_marked_positions(marked, k)
+
+
+def substring_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_text_col: str,
+    min_len: int = 50,
+) -> DataFrame:
+    """Surgical benchmark decontamination: cut every contaminated span
+    found by :func:`substring_contamination_spans` and reassemble the
+    remainder — documents keep everything except the verbatim leaked
+    passages (vs the drop-the-document 8-gram gate, which discards an
+    entire crawl page over one quoted benchmark question).
+
+    Output: (doc, text, clean_text, n_spans, removed_chars)."""
+    spans = substring_contamination_spans(
+        corpus, bench, text_col, id_col, bench_text_col, min_len
     )
+    base = corpus.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+    return _cut_spans(base, spans)
 
 
 def remove_duplicated_lines(

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from sdc_spark.operators.dedup import (
     repeated_substring_spans,
+    substring_decontaminate,
     substring_dedup_rewrite,
 )
 from sdc_spark.plans.registry import oracle, query
@@ -203,6 +204,99 @@ oracle(
     ),
     dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
     m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+    i AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                         OR pos > lag(pos) OVER w + {_K}
+                    THEN 1 ELSE 0 END AS flag
+        FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    s AS (
+        SELECT doc_id, pos,
+               sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM i
+    ),
+    spans AS (
+        SELECT doc_id, min(pos) AS a, max(pos) + {_K} - 1 AS b
+        FROM s GROUP BY doc_id, isl
+    ),
+    seg AS (
+        SELECT sp.doc_id, sp.a AS ord,
+               substr(d.text,
+                      (coalesce(lag(sp.b) OVER w2, 0) + 1)::INT,
+                      (sp.a - coalesce(lag(sp.b) OVER w2, 0) - 1)::INT) AS piece
+        FROM spans sp JOIN documents d USING (doc_id)
+        WINDOW w2 AS (PARTITION BY sp.doc_id ORDER BY sp.a)
+        UNION ALL
+        SELECT t.doc_id, 9223372036854775807 AS ord,
+               substr(d.text, (t.mx + 1)::INT) AS piece
+        FROM (SELECT doc_id, max(b) AS mx FROM spans GROUP BY doc_id) t
+        JOIN documents d USING (doc_id)
+    ),
+    clean AS (
+        SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text,
+               count(*) - 1 AS n_spans
+        FROM seg GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(c.n_spans, 0)::BIGINT AS n_spans,
+           (length(d.text) - length(coalesce(c.clean_text, d.text)))::BIGINT
+               AS removed_chars,
+           length(coalesce(c.clean_text, d.text))::BIGINT AS clean_len,
+           md5(coalesce(c.clean_text, d.text)) AS clean_md5
+    FROM documents d LEFT JOIN clean c USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+
+
+@query("text_substring_decontaminate")
+def text_substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-precise benchmark decontamination (operators/dedup.py:
+    substring_decontaminate — Lee et al. 2022 §5 / the GPT-3 appendix
+    leak class): the "benchmark" is a 120-char slice (offset 30) of
+    every 17th document, the corpus is ALL documents — so contaminated
+    docs include each slice's own source AND every near-dup sharing the
+    passage, and the rewrite must cut exactly the leaked chars while
+    keeping the rest (vs the 8-gram gate's drop-the-whole-doc rule).
+    Graded per-doc on the md5 of the rebuilt UTF-8 text. The benchmark
+    gram set reduces to DISTINCT 8-byte hashes that broadcast — corpus
+    positions never shuffle."""
+    doc = read_table(spark, sf_dir, "documents")
+    bench = doc.filter(F.col("doc_id") % 17 == 0).select(
+        F.expr("substring(text, 30, 120)").alias("q")
+    )
+    out = substring_decontaminate(doc, bench, "text", "doc_id", "q", min_len=_K)
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("removed_chars").cast("long").alias("removed_chars"),
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+oracle(
+    "text_substring_decontaminate",
+    f"""
+    WITH bench AS (
+        SELECT substr(text, 30, 120) AS q FROM documents WHERE doc_id % 17 = 0
+    ),
+    bg AS (
+        SELECT DISTINCT substr(q, pos::INT, {_K}) AS gram
+        FROM (SELECT q, unnest(range(1, length(q) - {_K} + 2)) AS pos
+              FROM bench WHERE length(q) >= {_K})
+    ),
+    p AS (
+        SELECT doc_id, text,
+               unnest(range(1, length(text) - {_K} + 2)) AS pos
+        FROM documents WHERE length(text) >= {_K}
+    ),
+    g AS (
+        SELECT doc_id, pos::BIGINT AS pos, substr(text, pos::INT, {_K}) AS gram
+        FROM p
+    ),
+    m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM bg)),
     i AS (
         SELECT doc_id, pos,
                CASE WHEN lag(pos) OVER w IS NULL

@@ -11,6 +11,8 @@ sys.path.insert(0, "/root/repo")
 
 from sdc_spark.operators.dedup import (
     repeated_substring_spans,
+    substring_contamination_spans,
+    substring_decontaminate,
     substring_dedup_rewrite,
 )
 
@@ -179,6 +181,84 @@ def test_keep_first_differential_random(spark):
             ).collect()
         }
         assert got == _brute_spans(texts, k, keep_first=True), k
+
+
+def _brute_contamination(
+    texts: dict[int, str], bench: list[str], k: int
+) -> set[tuple[int, int, int]]:
+    bgrams = {b[i : i + k] for b in bench for i in range(len(b) - k + 1)}
+    spans = set()
+    for doc, t in texts.items():
+        marked = [
+            i + 1 for i in range(len(t) - k + 1) if t[i : i + k] in bgrams
+        ]
+        run: list[int] = []
+        for p in marked:
+            if run and p > run[-1] + k:
+                spans.add((doc, run[0], run[-1] + k - 1))
+                run = []
+            run.append(p)
+        if run:
+            spans.add((doc, run[0], run[-1] + k - 1))
+    return spans
+
+
+def test_contamination_spans_and_decontaminate(spark):
+    leak = "What is the capital of Freedonia? Answer: Fredville, founded 1888."
+    texts = {
+        1: "intro text here. " + leak + " trailing commentary.",
+        2: "totally clean document with enough length to have grams in it...",
+        3: leak,  # the whole doc is the benchmark item
+    }
+    bench = [leak, "Another benchmark question that no document quotes at all?"]
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    bdf = spark.createDataFrame([(b,) for b in bench], ["q"])
+    k = 40
+    got = {
+        (r.doc, r.span_start, r.span_end)
+        for r in substring_contamination_spans(
+            df, bdf, "text", "doc_id", "q", min_len=k
+        ).collect()
+    }
+    assert got == _brute_contamination(texts, bench, k)
+    assert {d for d, _, _ in got} == {1, 3}
+    rows = {
+        r.doc: r
+        for r in substring_decontaminate(
+            df, bdf, "text", "doc_id", "q", min_len=k
+        ).collect()
+    }
+    assert leak not in rows[1].clean_text
+    assert "intro text here." in rows[1].clean_text
+    assert "trailing commentary." in rows[1].clean_text
+    assert rows[2].clean_text == texts[2]
+    assert rows[3].clean_text == ""  # fully-leaked doc -> empty, not dropped
+    for doc, t in texts.items():
+        assert len(rows[doc].clean_text) == len(t) - rows[doc].removed_chars
+
+
+def test_contamination_differential_random(spark):
+    rng = random.Random(77)
+    mk = lambda n: "".join(rng.choice("abcd ") for _ in range(n))
+    bench = [mk(40), mk(35)]
+    texts = {}
+    for d in range(6):
+        t = mk(rng.randint(0, 50))
+        if d % 2 == 0:
+            b = bench[d % len(bench)]
+            cut = rng.randint(0, len(t))
+            t = t[:cut] + b[5:30] + t[cut:]  # partial benchmark slice
+        texts[d] = t
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    bdf = spark.createDataFrame([(b,) for b in bench], ["q"])
+    for k in (8, 14):
+        got = {
+            (r.doc, r.span_start, r.span_end)
+            for r in substring_contamination_spans(
+                df, bdf, "text", "doc_id", "q", min_len=k
+            ).collect()
+        }
+        assert got == _brute_contamination(texts, bench, k), k
 
 
 def test_min_len_validation(spark):
