@@ -1458,6 +1458,151 @@ def substring_decontaminate(
     return _cut_spans(base, spans)
 
 
+_SUB_INDEX_BUCKETS = 16  # per-table bucket count; raise with corpus size
+
+
+def write_substring_index(
+    spark,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    name: str,
+    min_len: int = 50,
+    n_buckets: int = _SUB_INDEX_BUCKETS,
+    path_root: str = "/tmp/sdc_spark_subidx",
+    overwrite: bool = False,
+) -> str:
+    """Persist the corpus's DISTINCT ``min_len``-gram hash set as a
+    BUCKETED table (on ``h`` — the screen-join key) and return the table
+    name. This is the whole persisted state of INCREMENTAL exact
+    substring dedup: a batch position is duplicated in corpus ∪ batch
+    iff its gram hash is in this set OR repeats within the batch, so
+    membership (8 bytes/distinct gram) is sufficient — no doc ids, no
+    positions, no text. Bucketing means every subsequent
+    ``screen_substrings_against_index`` reads the corpus side with NO
+    Exchange; only the incoming batch shuffles — per-batch screening is
+    O(|batch|) at a 100-TB corpus. Same layout discipline as
+    ``write_lsh_index`` above (repartition-first ⇒ ~one file per
+    bucket)."""
+    table = f"sub_grams_{name}"
+    if spark.catalog.tableExists(table) and not overwrite:
+        return table
+    (
+        _kgram_positions(df, text_col, id_col, int(min_len))
+        .select("h")
+        .distinct()
+        .repartition(n_buckets, "h")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "h")
+        .sortBy("h")
+        .option("path", f"{path_root}/{name}/grams")
+        .saveAsTable(table)
+    )
+    return table
+
+
+def append_substring_index(
+    spark,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    name: str,
+    min_len: int = 50,
+    n_buckets: int = _SUB_INDEX_BUCKETS,
+) -> None:
+    """Append one ingested batch's distinct gram hashes under the same
+    bucket spec (co-location — and the zero-Exchange screen plan —
+    survives growth; ~one new file per bucket per append). Hashes the
+    corpus already holds are appended again rather than anti-joined
+    away: duplicates cannot change a membership semi-join, and the
+    anti-join would cost a full index read per batch —
+    ``compact_substring_index`` dedups them during scheduled
+    maintenance instead."""
+    (
+        _kgram_positions(batch, text_col, id_col, int(min_len))
+        .select("h")
+        .distinct()
+        .repartition(n_buckets, "h")
+        .write.mode("append")
+        .bucketBy(n_buckets, "h")
+        .sortBy("h")
+        .saveAsTable(f"sub_grams_{name}")
+    )
+
+
+def compact_substring_index(
+    spark,
+    name: str,
+    n_buckets: int = _SUB_INDEX_BUCKETS,
+    path_root: str = "/tmp/sdc_spark_subidx",
+) -> None:
+    """Compact back to ~one file per bucket AND drop the cross-append
+    duplicate hashes (the set semantics make compaction here a true
+    dedup, not just a file merge). Same staged-rewrite discipline as
+    ``compact_lsh_index`` — raw-path read, eager materialization before
+    the old files are deleted."""
+    _rewrite_lsh_table(
+        spark,
+        f"sub_grams_{name}",
+        spark.read.parquet(f"{path_root}/{name}/grams").distinct(),
+        ("h",),
+        f"{path_root}/{name}/grams",
+        n_buckets,
+    )
+
+
+def drop_substring_index(
+    spark, name: str, path_root: str = "/tmp/sdc_spark_subidx"
+) -> None:
+    """Drop a persisted substring index's table and files."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS sub_grams_{name}")
+    shutil.rmtree(f"{path_root}/{name}", ignore_errors=True)
+
+
+def screen_substrings_against_index(
+    spark,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    name: str,
+    min_len: int = 50,
+) -> DataFrame:
+    """Incremental ExactSubstr screen: maximal duplicated spans of the
+    BATCH documents against corpus ∪ batch, using only the persisted
+    gram-hash set — EXACTLY equal to running
+    :func:`repeated_substring_spans` over the whole corpus ∪ batch and
+    keeping the batch docs' rows. The equivalence is algebraic, not
+    approximate: a batch position's gram occurs ≥2 times in
+    corpus ∪ batch iff it is IN the corpus set (≥1 there, ≥1 here) OR
+    occurs ≥2 times within the batch — the two marks unioned below.
+
+    Plan shape: the batch's (doc, pos, h) stream is materialized once
+    and feeds both marks; the index side is a bucketed-on-h table scan
+    with no Exchange; the within-batch ≥2 count aggregates only batch
+    hashes. The screen never touches corpus text — the 100-TB corpus
+    participates as 8-byte hashes only.
+
+    Output: (doc, span_start, span_end, span_len) for batch docs."""
+    k = int(min_len)
+    grams = _kgram_positions(batch, text_col, id_col, k).transform(_materialize)
+    batch_dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    idx = spark.table(f"sub_grams_{name}").select("h")
+    marked = (
+        grams.join(idx, "h", "left_semi")
+        .unionByName(grams.join(batch_dup, "h", "left_semi"))
+        .select("doc", "pos")
+        .distinct()
+    )
+    return _merge_marked_positions(marked, k)
+
+
 def remove_duplicated_lines(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:

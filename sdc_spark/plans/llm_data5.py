@@ -341,3 +341,128 @@ oracle(
     ORDER BY d.doc_id
     """,
 )
+
+
+@query("substring_index_ingest_loop")
+def substring_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL persisted substring-index ingest loop (operators/dedup.py:
+    write_substring_index / screen_substrings_against_index /
+    append_substring_index): batch 1 (doc_id%5==0) is screened against
+    the corpus index (doc_id%5>=2), APPENDED, then batch 2 (doc_id%5==1)
+    is screened against corpus ∪ batch 1. The screen is EXACTLY the
+    full-run ExactSubstr span set restricted to batch docs (algebraic
+    equivalence: a batch gram repeats in corpus ∪ batch iff it is in the
+    persisted hash set or repeats within the batch) — so the oracle
+    computes full-run spans per scope and must match span-for-span,
+    including the append round-trip. Batch 1's screen is eagerly
+    materialized before the append so it cannot observe index growth.
+    The index is bucketed on h: every screen reads the corpus side with
+    zero Exchange; the 100-TB corpus participates as 8-byte hashes."""
+    import re
+
+    from sdc_spark.materialize import materialize
+    from sdc_spark.operators.dedup import (
+        append_substring_index,
+        drop_substring_index,
+        screen_substrings_against_index,
+        write_substring_index,
+    )
+    import os
+
+    name = "subloop_" + re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
+    # the index MUTATES (append) — rebuild fresh per run, never resume
+    drop_substring_index(spark, name)
+    doc = read_table(spark, sf_dir, "documents")
+    corpus = doc.filter(F.col("doc_id") % 5 >= 2)
+    batch1 = doc.filter(F.col("doc_id") % 5 == 0)
+    batch2 = doc.filter(F.col("doc_id") % 5 == 1)
+    write_substring_index(spark, corpus, "text", "doc_id", name, min_len=_K)
+
+    def screen(batch: DataFrame, n: int) -> DataFrame:
+        spans = screen_substrings_against_index(
+            spark, batch, "text", "doc_id", name, min_len=_K
+        )
+        return materialize(spans.select(F.lit(n).alias("batch"), "*"))
+
+    out1 = screen(batch1, 1)
+    append_substring_index(spark, batch1, "text", "doc_id", name, min_len=_K)
+    spark.catalog.refreshTable(f"sub_grams_{name}")
+    out2 = screen(batch2, 2)
+    return (
+        out1.unionByName(out2)
+        .select(
+            "batch", F.col("doc").alias("doc_id"), "span_start", "span_end", "span_len"
+        )
+        .orderBy("batch", "doc_id", "span_start")
+    )
+
+
+oracle(
+    "substring_index_ingest_loop",
+    f"""
+    WITH p1 AS (
+        SELECT doc_id, text, unnest(range(1, length(text) - {_K} + 2)) AS pos
+        FROM documents WHERE doc_id % 5 <> 1 AND length(text) >= {_K}
+    ),
+    g1 AS (
+        SELECT doc_id, pos::BIGINT AS pos, substr(text, pos::INT, {_K}) AS gram
+        FROM p1
+    ),
+    m1 AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n FROM g1
+        ) WHERE n >= 2 AND doc_id % 5 = 0
+    ),
+    i1 AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + {_K}
+                    THEN 1 ELSE 0 END AS flag
+        FROM m1 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    s1 AS (
+        SELECT doc_id, pos,
+               sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM i1
+    ),
+    sp1 AS (
+        SELECT 1 AS batch, doc_id, min(pos) AS span_start,
+               max(pos) + {_K} - 1 AS span_end,
+               max(pos) + {_K} - min(pos) AS span_len
+        FROM s1 GROUP BY doc_id, isl
+    ),
+    p2 AS (
+        SELECT doc_id, text, unnest(range(1, length(text) - {_K} + 2)) AS pos
+        FROM documents WHERE length(text) >= {_K}
+    ),
+    g2 AS (
+        SELECT doc_id, pos::BIGINT AS pos, substr(text, pos::INT, {_K}) AS gram
+        FROM p2
+    ),
+    m2 AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n FROM g2
+        ) WHERE n >= 2 AND doc_id % 5 = 1
+    ),
+    i2 AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + {_K}
+                    THEN 1 ELSE 0 END AS flag
+        FROM m2 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    s2 AS (
+        SELECT doc_id, pos,
+               sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM i2
+    ),
+    sp2 AS (
+        SELECT 2 AS batch, doc_id, min(pos) AS span_start,
+               max(pos) + {_K} - 1 AS span_end,
+               max(pos) + {_K} - min(pos) AS span_len
+        FROM s2 GROUP BY doc_id, isl
+    )
+    SELECT * FROM sp1
+    UNION ALL
+    SELECT * FROM sp2
+    ORDER BY batch, doc_id, span_start
+    """,
+)

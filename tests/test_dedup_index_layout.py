@@ -213,3 +213,37 @@ def test_delete_equals_index_built_without_docs(
         r for r in still.collect() if r.corpus_doc in deleted_ids
     ]
     sdedup.drop_lsh_index(spark, "layoutref", path_root=ref_root)
+
+
+def test_substring_index_side_no_exchange(spark, sf_dir, tmp_path_factory):
+    """The persisted substring-gram index is bucketed on h: the screen's
+    membership join reads it with NO Exchange between the FileScan and
+    its join (a Sort at most) — only the batch side shuffles."""
+    doc = read_table(spark, sf_dir, "documents")
+    corpus = doc.filter(F.col("doc_id") % 5 != 0)
+    batch = doc.filter(F.col("doc_id") % 5 == 0)
+    root = str(tmp_path_factory.mktemp("subidx"))
+    name = "sublayout"
+    sdedup.drop_substring_index(spark, name, path_root=root)
+    sdedup.write_substring_index(
+        spark, corpus, "text", "doc_id", name, path_root=root
+    )
+    prev = _no_broadcast(spark)
+    try:
+        out = sdedup.screen_substrings_against_index(
+            spark, batch, "text", "doc_id", name
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        sdedup.drop_substring_index(spark, name, path_root=root)
+    lines = plan.splitlines()
+    scan_idx = next(
+        i
+        for i, ln in enumerate(lines)
+        if f"sub_grams_{name}" in ln and "FileScan" in ln
+    )
+    assert "Bucketed: true" in lines[scan_idx], lines[scan_idx]
+    # the index branch between its join and the scan holds no Exchange
+    chain = lines[max(0, scan_idx - 3) : scan_idx]
+    assert not any("Exchange" in ln for ln in chain), "\n".join(chain)

@@ -261,6 +261,72 @@ def test_contamination_differential_random(spark):
         assert got == _brute_contamination(texts, bench, k), k
 
 
+def test_persisted_index_screen_equals_full_run(spark):
+    from sdc_spark.operators.dedup import (
+        append_substring_index,
+        compact_substring_index,
+        drop_substring_index,
+        screen_substrings_against_index,
+        write_substring_index,
+    )
+
+    rng = random.Random(999)
+    mk = lambda n: "".join(rng.choice("abc ") for _ in range(n))
+    boiler = mk(30)
+    texts = {d: mk(rng.randint(10, 50)) + (boiler if d % 3 == 0 else "") for d in range(12)}
+    corpus = {d: t for d, t in texts.items() if d < 8}
+    batch = {d: t for d, t in texts.items() if d >= 8}
+    k = 10
+    name = "subidx_unittest"
+    drop_substring_index(spark, name)
+    cdf = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    bdf = spark.createDataFrame(list(batch.items()), ["doc_id", "text"])
+    write_substring_index(spark, cdf, "text", "doc_id", name, min_len=k)
+
+    def screen() -> set:
+        return {
+            (r.doc, r.span_start, r.span_end)
+            for r in screen_substrings_against_index(
+                spark, bdf, "text", "doc_id", name, min_len=k
+            ).collect()
+        }
+
+    # full-run truth: spans over corpus ∪ batch restricted to batch docs
+    expect = {s for s in _brute_spans(texts, k) if s[0] >= 8}
+    assert screen() == expect
+
+    # append the batch, re-screen a second batch against corpus ∪ batch
+    append_substring_index(spark, bdf, "text", "doc_id", name, min_len=k)
+    spark.catalog.refreshTable(f"sub_grams_{name}")
+    batch2 = {100: boiler + " fresh tail", 101: mk(40)}
+    b2 = spark.createDataFrame(list(batch2.items()), ["doc_id", "text"])
+    all_texts = {**texts, **batch2}
+    expect2 = {
+        s for s in _brute_spans(all_texts, k) if s[0] >= 100
+    }
+    got2 = {
+        (r.doc, r.span_start, r.span_end)
+        for r in screen_substrings_against_index(
+            spark, b2, "text", "doc_id", name, min_len=k
+        ).collect()
+    }
+    assert got2 == expect2
+
+    # compaction dedups cross-append hashes and preserves the answer
+    compact_substring_index(spark, name)
+    spark.catalog.refreshTable(f"sub_grams_{name}")
+    got3 = {
+        (r.doc, r.span_start, r.span_end)
+        for r in screen_substrings_against_index(
+            spark, b2, "text", "doc_id", name, min_len=k
+        ).collect()
+    }
+    assert got3 == expect2
+    tbl = spark.table(f"sub_grams_{name}")
+    assert tbl.count() == tbl.distinct().count()
+    drop_substring_index(spark, name)
+
+
 def test_min_len_validation(spark):
     df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
     try:
