@@ -132,3 +132,43 @@ def streaming_near_dedup_against_index(
     return banded.join(
         index_buckets, on=["band", "bhash"], how="inner"
     ).select(F.col(id_col).alias("incoming_id"), "band", F.col("doc").alias("cand_doc"))
+
+
+def streaming_substring_screen(
+    stream: DataFrame,
+    gram_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+) -> DataFrame:
+    """Streaming ExactSubstr gate against a STATIC persisted gram-hash
+    set (sdc_spark.operators.dedup.write_substring_index → spark.table):
+    every arriving document's char positions are exploded and k-gram-
+    hashed row-locally (narrow, stateless — no shuffle of the stream),
+    then stream-static LEFT SEMI joined to the 8-byte hash set. Emits
+    (incoming_id, pos) for every position whose ≥ ``min_len``-char
+    window already exists in the corpus — the same marks the batch
+    screen derives from the index half.
+
+    Scope, stated honestly: this is the per-document corpus gate.
+    Duplication BETWEEN documents of the same in-flight batch (content
+    absent from the corpus but repeated among new arrivals) is invisible
+    to a stateless screen by construction — it surfaces at the next
+    index append, exactly like the LSH streaming screen above. Span
+    merging is a windowed aggregation (unsupported on unbounded
+    streams): run operators.dedup._merge_marked_positions over each
+    micro-batch's marks in foreachBatch, or downstream in batch."""
+    k = int(min_len)
+    pos = stream.filter(F.length(text_col) >= k).select(
+        F.col(id_col),
+        F.col(text_col).alias("__t__"),
+        F.explode(F.sequence(F.lit(1), F.length(text_col) - k + 1)).alias("pos"),
+    )
+    hashed = pos.select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        F.expr(f"xxhash64(substring(__t__, pos, {k}))").alias("h"),
+    )
+    return hashed.join(gram_index.select("h"), "h", "left_semi").select(
+        F.col(id_col).alias("incoming_id"), "pos"
+    )

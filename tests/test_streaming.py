@@ -645,3 +645,60 @@ def test_streaming_pack_matches_batch(spark, tmp_path_factory):
         for r in twin.collect()
     }
     assert got == want and len(got) == 8
+
+
+def test_streaming_substring_screen_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The streaming ExactSubstr gate over the persisted gram-hash set
+    must mark exactly the positions the batch screen marks — merged to
+    spans, the streamed result equals screen_substrings_against_index
+    for a batch with no within-batch repeats (the documented stateless
+    scope)."""
+    from sdc_spark.operators import dedup as sdedup
+    from sdc_spark.operators.dedup import _merge_marked_positions
+    from sdc_spark.streaming.dedup_join import streaming_substring_screen
+
+    docs = read_table(spark, sf_dir, "documents")
+    root = str(tmp_path_factory.mktemp("stream_subidx"))
+    name = "streamsubtest"
+    sdedup.drop_substring_index(spark, name, path_root=root)
+    table = sdedup.write_substring_index(
+        spark, docs, "text", "doc_id", name, path_root=root
+    )
+
+    # copies of corpus docs (every >= 50-char window indexed) + novel
+    # word-soup docs long enough to have windows but sharing none
+    copies = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    novel = spark.createDataFrame(
+        [
+            (200000 + i, " ".join(f"zq{i}w{j}" for j in range(30)))
+            for i in range(3)
+        ],
+        ["doc_id", "text"],
+    )
+    src_dir = str(tmp_path_factory.mktemp("substr_stream"))
+    copies.unionByName(novel).write.mode("overwrite").parquet(src_dir)
+
+    batch_src = spark.read.parquet(src_dir)
+    stream_src = spark.readStream.schema(batch_src.schema).parquet(src_dir)
+    out = streaming_substring_screen(stream_src, spark.table(table))
+    got_marks = _run_stream(spark, out, "substr_screen_out")
+
+    # batch-side islands merge over the streamed marks == batch screen
+    got_spans = {
+        (r.doc, r.span_start, r.span_end)
+        for r in _merge_marked_positions(
+            got_marks.select(F.col("incoming_id").alias("doc"), "pos"), 50
+        ).collect()
+    }
+    expect = {
+        (r.doc, r.span_start, r.span_end)
+        for r in sdedup.screen_substrings_against_index(
+            spark, batch_src, "text", "doc_id", name, min_len=50
+        ).collect()
+    }
+    assert got_spans == expect
+    # exact copies are fully covered; novel docs never hit
+    assert {d for d, _, _ in got_spans} == set(range(100000, 100005))
+    sdedup.drop_substring_index(spark, name, path_root=root)
