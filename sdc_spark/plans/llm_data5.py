@@ -466,3 +466,106 @@ oracle(
     ORDER BY batch, doc_id, span_start
     """,
 )
+
+
+@query("text_substring_multibyte")
+def text_substring_multibyte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multibyte grading of the substring-dedup family: the corpus is
+    deterministically accent-ified on BOTH engines (vowels → ä/é/ï/ø/ü +
+    a Katakana/№ suffix keyed by doc_id), so nearly EVERY character in
+    every 50-gram is multibyte and every span coordinate is a codepoint
+    offset that differs from its byte offset. The keep-first rewrite is
+    then graded md5-exact over UTF-8 bytes, plus codepoint-vs-octet
+    lengths (equal only if substring/positions are codepoint-based on
+    both engines). Closes the unicode angle the ASCII-graded substring
+    oracles leave open — same role text_multibyte_pipeline plays for
+    the crawl-text family."""
+    doc = read_table(spark, sf_dir, "documents")
+    mb = F.lower(F.col("text"))
+    for a, b in (("a", "ä"), ("e", "é"), ("i", "ï"), ("o", "ø"), ("u", "ü")):
+        mb = F.regexp_replace(mb, a, b)
+    mb = F.concat(mb, F.lit(" — テキスト№"), (F.col("doc_id") % 7).cast("string"))
+    synth = doc.select("doc_id", mb.alias("page"))
+    out = substring_dedup_rewrite(synth, "page", "doc_id", min_len=_K, keep_first=True)
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("removed_chars").cast("long").alias("removed_chars"),
+        F.length("clean_text").cast("long").alias("clean_chars"),
+        F.octet_length("clean_text").cast("long").alias("clean_bytes"),
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+oracle(
+    "text_substring_multibyte",
+    f"""
+    WITH synth AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(lower(text), 'a', 'ä', 'g'),
+                   'e', 'é', 'g'), 'i', 'ï', 'g'), 'o', 'ø', 'g'), 'u', 'ü', 'g')
+               || ' — テキスト№' || CAST(doc_id % 7 AS VARCHAR) AS page
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, page, unnest(range(1, length(page) - {_K} + 2)) AS pos
+        FROM synth WHERE length(page) >= {_K}
+    ),
+    g AS (
+        SELECT doc_id, pos::BIGINT AS pos, substr(page, pos::INT, {_K}) AS gram
+        FROM p
+    ),
+    m AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY gram) AS n,
+                   row_number() OVER (PARTITION BY gram
+                                      ORDER BY doc_id, pos) AS rn
+            FROM g
+        ) WHERE n >= 2 AND rn > 1
+    ),
+    i AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + {_K}
+                    THEN 1 ELSE 0 END AS flag
+        FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    s AS (
+        SELECT doc_id, pos,
+               sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM i
+    ),
+    spans AS (
+        SELECT doc_id, min(pos) AS a, max(pos) + {_K} - 1 AS b
+        FROM s GROUP BY doc_id, isl
+    ),
+    seg AS (
+        SELECT sp.doc_id, sp.a AS ord,
+               substr(d.page,
+                      (coalesce(lag(sp.b) OVER w2, 0) + 1)::INT,
+                      (sp.a - coalesce(lag(sp.b) OVER w2, 0) - 1)::INT) AS piece
+        FROM spans sp JOIN synth d USING (doc_id)
+        WINDOW w2 AS (PARTITION BY sp.doc_id ORDER BY sp.a)
+        UNION ALL
+        SELECT t.doc_id, 9223372036854775807 AS ord,
+               substr(d.page, (t.mx + 1)::INT) AS piece
+        FROM (SELECT doc_id, max(b) AS mx FROM spans GROUP BY doc_id) t
+        JOIN synth d USING (doc_id)
+    ),
+    clean AS (
+        SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text,
+               count(*) - 1 AS n_spans
+        FROM seg GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(c.n_spans, 0)::BIGINT AS n_spans,
+           (length(d.page) - length(coalesce(c.clean_text, d.page)))::BIGINT
+               AS removed_chars,
+           length(coalesce(c.clean_text, d.page))::BIGINT AS clean_chars,
+           strlen(coalesce(c.clean_text, d.page))::BIGINT AS clean_bytes,
+           md5(coalesce(c.clean_text, d.page)) AS clean_md5
+    FROM synth d LEFT JOIN clean c USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
