@@ -1,0 +1,162 @@
+r"""Sparse (BM25) retrieval and rank fusion over the documents table.
+
+The repo already covers dense retrieval (``operators/similarity.py``:
+brute-force / LSH / IVF / PQ cosine top-k) and TF-IDF scoring
+(``plans/llm_data2.text_tfidf_topk``); this module adds the other half
+of a production retrieval stack — Okapi BM25 lexical scoring and
+reciprocal-rank fusion (Cormack et al. 2009, the standard way to merge
+lexical and vector rankings) — so a hybrid search pipeline can be
+expressed end-to-end in DataFrame ops.
+
+Scale shape (the part that matters at 100 TB):
+
+- ``bm25_scores`` tokenizes the corpus ONCE; per-document term
+  frequencies for the fixed query-term set come out of the same
+  aggregation that computes document length, as conditional aggregates
+  (one column per term — query term sets are small by construction, so
+  the wide row is bounded). Corpus statistics (N, avgdl, per-term df)
+  reduce to ONE tiny row that broadcasts back; no join ever shuffles
+  the corpus on anything but its own aggregation key, and no shuffle
+  carries text.
+- ``rrf_fuse`` unions per-ranker (id, rank) lists — which a caller
+  should truncate to the fusion depth first (top-k per ranker via
+  TakeOrdered, not a global sort) — and map-side-combines the
+  1/(k+rank) sum per id. The fused table is bounded by
+  (depth x n_rankers), not the corpus.
+
+BM25 here is the Lucene/ATIRE variant: idf = ln(1 + (N - df + 0.5) /
+(df + 0.5)) (non-negative, saturating), tf side = tf*(k1+1) /
+(tf + k1*(1 - b + b*dl/avgdl)). All inputs to the scoring expression
+are integer aggregates (exact on both engines), and the per-term sum is
+a FIXED-ORDER column expression, not a float aggregation — so scores
+are bit-reproducible against the DuckDB oracle, not merely close.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sdc_spark.operators.dedup import normalized_text
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, token) stream: lowercase, whitespace-split, empties dropped
+    (the corpus-wide tokenization convention — dedup/tfidf/entropy all
+    split the same way, so statistics agree across operators)."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+                "token"
+            ),
+        )
+        .filter(F.length("token") > 0)
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    hits_only: bool = True,
+) -> DataFrame:
+    """Okapi BM25 score of every document against a fixed bag of query
+    ``terms``. Returns (doc, n_hit_terms, score).
+
+    One corpus scan: document length and the per-term tf vector come out
+    of a single groupBy(doc) with conditional aggregates; (N, avgdl,
+    df_t) reduce to one broadcast row. ``hits_only`` drops documents
+    matching no term (the inverted-index contract — a posting-list
+    engine never even visits them)."""
+    if not terms:
+        raise ValueError("bm25_scores: terms must be non-empty")
+    toks = _tokens(df, text_col, id_col)
+    per_doc = toks.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    def term_score(i: int) -> Column:
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+            / (F.col(f"df{i}") + 0.5)
+        )
+        tf = F.col(f"tf{i}")
+        denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        return idf * (tf * (k1 + 1.0)) / denom
+
+    score = term_score(0)
+    for i in range(1, len(terms)):
+        score = score + term_score(i)
+    n_hit = sum(
+        (F.col(f"tf{i}") > 0).cast("int") for i in range(len(terms))
+    )
+    out = per_doc.crossJoin(F.broadcast(stats)).select(
+        "doc", n_hit.alias("n_hit_terms"), score.alias("score")
+    )
+    if hits_only:
+        out = out.filter(F.col("n_hit_terms") > 0)
+    return out
+
+
+def topk_ranking(
+    scored: DataFrame,
+    id_col: str,
+    score_col: str,
+    depth: int,
+) -> DataFrame:
+    """Truncate a scored table to its top-``depth`` rows and attach a
+    dense 1-based rank (ties broken by id — deterministic on a
+    distributed table). The limit compiles to TakeOrderedAndProject
+    (map-side partial top-k), so the single-partition rank window only
+    ever sees ``depth`` rows regardless of corpus size — this is the
+    scale-safe way to produce the bounded rank lists rank fusion
+    consumes."""
+    top = scored.orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    ).limit(depth)
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy(F.col(score_col).desc(), F.col(id_col))
+    return top.select(
+        F.col(id_col).alias("doc"), F.row_number().over(w).alias("rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion over (doc, rank) lists: fused score =
+    Σ_rankers 1/(k + rank), ids missing from a ranker contribute
+    nothing. Returns (doc, n_rankers, rrf_score).
+
+    Inputs should be depth-truncated (``topk_ranking``) so the union is
+    bounded by depth x n_rankers; the sum map-side-combines. With two
+    rankers the float sum is order-independent (binary fp addition is
+    commutative), so the fused scores are exactly reproducible."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    tagged = rankings[0].select("doc", "rank")
+    for r in rankings[1:]:
+        tagged = tagged.unionByName(r.select("doc", "rank"))
+    return tagged.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_rankers"),
+        F.sum(1.0 / (F.lit(float(k)) + F.col("rank"))).alias("rrf_score"),
+    )

@@ -1,0 +1,191 @@
+r"""Lexical + hybrid retrieval queries: Okapi BM25 scoring and
+reciprocal-rank fusion of a BM25 ranking with a dense cosine ranking —
+the standard two-tower search stack (sparse recall + dense recall + RRF
+merge) expressed entirely in DataFrame ops.
+
+Both queries are EXACTLY SQL-oracle-able: BM25's inputs are integer
+aggregates (tf, dl, df, N) so the scoring expression evaluates to the
+same doubles on both engines, and RRF is a pure function of integer
+ranks. The dense half relies on the same cosine-rank determinism the
+ann_* family established (ids-only ranks; ranking gaps dwarf float
+noise; ties broken by id).
+
+Scale shapes: BM25 is one corpus scan -> one groupBy(doc) with
+conditional per-term aggregates -> one broadcast stats row. Rank lists
+are depth-truncated via TakeOrderedAndProject (map-side partial top-k)
+BEFORE the single-partition rank window, so fusion cost is bounded by
+depth x rankers at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdc_spark.operators import similarity as ssim
+from sdc_spark.operators.retrieval import bm25_scores, rrf_fuse, topk_ranking
+from sdc_spark.plans.registry import oracle, query
+from sdc_spark.sources.readers import read_table
+
+_BM25_TERMS = ["vector", "stream", "filter", "hash"]
+
+# The shared tokenize/per-doc/stats prefix of both oracles (DuckDB CTEs).
+_BM25_CTES = r"""
+    toks AS (
+        SELECT doc_id,
+               unnest(string_split(
+                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS token
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, token FROM toks WHERE length(token) > 0
+    ), per_doc AS (
+        SELECT doc_id, count(*) AS dl,
+               sum(CASE WHEN token = 'vector' THEN 1 ELSE 0 END) AS tf0,
+               sum(CASE WHEN token = 'stream' THEN 1 ELSE 0 END) AS tf1,
+               sum(CASE WHEN token = 'filter' THEN 1 ELSE 0 END) AS tf2,
+               sum(CASE WHEN token = 'hash'   THEN 1 ELSE 0 END) AS tf3
+        FROM tok GROUP BY doc_id
+    ), stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+               sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+        FROM per_doc
+    ), scored AS (
+        SELECT doc_id,
+               (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+                + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+                + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END
+                + CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS n_hit_terms,
+                 ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                   * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                   * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                   * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               + ln(1.0 + (n_docs - df3 + 0.5) / (df3 + 0.5))
+                   * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 AS score
+        FROM per_doc, stats
+        WHERE tf0 + tf1 + tf2 + tf3 > 0
+    )
+"""
+
+
+@query("retrieval_bm25")
+def retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed 4-term query (k1=1.2, b=0.75,
+    Lucene idf). One corpus scan; stats broadcast; deterministic ordered
+    top-k (TakeOrderedAndProject)."""
+    doc = read_table(spark, sf_dir, "documents")
+    scored = bm25_scores(doc, "text", "doc_id", _BM25_TERMS)
+    return (
+        scored.select(
+            F.col("doc").alias("doc_id"),
+            F.col("n_hit_terms").cast("int").alias("n_hit_terms"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+oracle(
+    "retrieval_bm25",
+    "WITH "
+    + _BM25_CTES
+    + r"""
+    SELECT doc_id, CAST(n_hit_terms AS INT) AS n_hit_terms,
+           round(score, 4) AS score
+    FROM scored
+    ORDER BY round(score, 4) DESC, doc_id LIMIT 20
+    """,
+)
+
+
+@query("retrieval_hybrid_rrf")
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 lexical top-100 and dense cosine top-100
+    (query = embedding of vec_id 0, which joins 1:1 with doc_id) fused
+    by reciprocal rank (k=60); top-20 fused. Rank lists are bounded
+    (depth 100) before the fusion union, so the fuse aggregation never
+    sees the corpus — the 100-TB plan is two top-k scans + a 200-row
+    shuffle."""
+    doc = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    lex_top = topk_ranking(
+        bm25_scores(doc, "text", "doc_id", _BM25_TERMS), "doc", "score", 100
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    dense_scored = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc"),
+        ssim.cosine(F.col("qvec"), F.col("embedding")).alias("cos"),
+    )
+    dense_top = topk_ranking(dense_scored, "doc", "cos", 100)
+    fused = rrf_fuse([lex_top, dense_top], k=60)
+    return (
+        fused.join(
+            lex_top.select("doc", F.col("rank").alias("lex_rank")), "doc", "left"
+        )
+        .join(
+            dense_top.select("doc", F.col("rank").alias("dense_rank")),
+            "doc",
+            "left",
+        )
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.col("n_rankers").cast("int").alias("n_rankers"),
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("dense_rank").cast("int").alias("dense_rank"),
+            F.round("rrf_score", 6).alias("rrf_score"),
+            F.col("rrf_score").alias("__o__"),
+        )
+        .orderBy(F.col("__o__").desc(), "doc_id")
+        .limit(20)
+        .drop("__o__")
+    )
+
+
+oracle(
+    "retrieval_hybrid_rrf",
+    "WITH "
+    + _BM25_CTES
+    + r"""
+    , lex_top AS (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM scored ORDER BY score DESC, doc_id LIMIT 100
+    ), qv AS (
+        SELECT embedding AS q FROM embeddings WHERE vec_id = 0
+    ), dense AS (
+        SELECT v.vec_id AS doc_id,
+               sum(CAST(q[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))
+                   / (sqrt(sum(CAST(q[i] AS DOUBLE) * CAST(q[i] AS DOUBLE)))
+                      * sqrt(sum(CAST(v.embedding[i] AS DOUBLE)
+                                 * CAST(v.embedding[i] AS DOUBLE)))) AS c
+        FROM embeddings v, qv,
+             UNNEST(generate_series(1, len(q))) AS s(i)
+        GROUP BY v.vec_id
+    ), dense_top AS (
+        SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rank
+        FROM dense ORDER BY c DESC, doc_id LIMIT 100
+    ), u AS (
+        SELECT doc_id, rank FROM lex_top
+        UNION ALL SELECT doc_id, rank FROM dense_top
+    ), fused AS (
+        SELECT doc_id, count(*) AS n_rankers,
+               sum(1.0 / (60.0 + rank)) AS rrf
+        FROM u GROUP BY doc_id
+    )
+    SELECT f.doc_id, CAST(f.n_rankers AS INT) AS n_rankers,
+           CAST(l.rank AS INT) AS lex_rank,
+           CAST(d.rank AS INT) AS dense_rank,
+           round(f.rrf, 6) AS rrf_score
+    FROM fused f
+    LEFT JOIN lex_top l USING (doc_id)
+    LEFT JOIN dense_top d USING (doc_id)
+    ORDER BY f.rrf DESC, f.doc_id LIMIT 20
+    """,
+)

@@ -1,0 +1,97 @@
+"""BM25 + RRF unit tests: differential against a pure-Python BM25 on a
+tiny corpus, rank-list truncation semantics, fusion arithmetic, and the
+TakeOrdered plan pin that makes depth-truncated ranking scale-safe."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sdc_spark.operators.retrieval import bm25_scores, rrf_fuse, topk_ranking
+
+CORPUS = [
+    (0, "spark query engine spark spark"),
+    (1, "query planner and    Query optimizer"),
+    (2, "nothing relevant here at all"),
+    (3, "spark"),
+    (4, "engine engine engine query"),
+]
+TERMS = ["spark", "query"]
+
+
+def _py_bm25(corpus, terms, k1=1.2, b=0.75):
+    toks = {i: t.lower().split() for i, t in corpus}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for i, tk in toks.items():
+        s, hits = 0.0, 0
+        for t in terms:
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            df = sum(1 for v in toks.values() if t in v)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(tk) / avgdl)
+            )
+        if hits:
+            out[i] = (hits, s)
+    return out
+
+
+def test_bm25_differential(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    got = {
+        r["doc"]: (r["n_hit_terms"], r["score"])
+        for r in bm25_scores(df, "text", "doc_id", TERMS).collect()
+    }
+    want = _py_bm25(CORPUS, TERMS)
+    assert set(got) == set(want)
+    for i, (hits, score) in want.items():
+        assert got[i][0] == hits
+        assert got[i][1] == pytest.approx(score, rel=1e-12)
+
+
+def test_bm25_hits_only_and_validation(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    all_rows = bm25_scores(df, "text", "doc_id", TERMS, hits_only=False)
+    assert all_rows.count() == len(CORPUS)
+    zero = all_rows.filter(F.col("doc") == 2).collect()[0]
+    assert zero["n_hit_terms"] == 0 and zero["score"] == 0.0
+    with pytest.raises(ValueError):
+        bm25_scores(df, "text", "doc_id", [])
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_topk_ranking_truncates_and_orders(spark):
+    scored = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(10)], "doc long, s double"
+    )
+    top = topk_ranking(scored, "doc", "s", 4).collect()
+    # scores: docs 2,5,8 have 2.0; 1,4,7 have 1.0 -> top4 = 2,5,8 then 1
+    assert [(r["doc"], r["rank"]) for r in sorted(top, key=lambda r: r["rank"])] == [
+        (2, 1), (5, 2), (8, 3), (1, 4)
+    ]
+
+
+def test_topk_ranking_is_take_ordered(spark):
+    scored = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc long, s double"
+    )
+    plan = topk_ranking(scored, "doc", "s", 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rrf_fuse_two_rankers(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc long, rank int")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "doc long, rank int")
+    got = {r["doc"]: (r["n_rankers"], r["rrf_score"]) for r in rrf_fuse([a, b], k=60).collect()}
+    assert got[2] == (2, pytest.approx(1 / 62 + 1 / 61, rel=1e-15))
+    assert got[1] == (1, pytest.approx(1 / 61, rel=1e-15))
+    assert got[4] == (1, pytest.approx(1 / 62, rel=1e-15))
+    assert set(got) == {1, 2, 3, 4}
