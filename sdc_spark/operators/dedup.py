@@ -298,27 +298,19 @@ def minhash_lsh_pairs(
     return verified
 
 
-def ngram_jaccard_pairs(
+def _gram_overlap_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    threshold: float = 0.5,
-    ngram: int = 3,
-    max_doc_freq: int | None = 1000,
+    ngram: int,
+    max_doc_freq: int | None,
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard via an inverted shingle index:
-    explode distinct shingles, self-join on shingle, count intersections,
-    compute J = |∩| / (|A|+|B|−|∩|).
-
-    ``max_doc_freq`` prunes shingles present in more than that many
-    documents (boilerplate) — the standard web-scale mitigation for the
-    quadratic blowup on hot shingles. The DEFAULT caps at 1000: a shingle
-    in D docs contributes D²/2 index-join rows, so one boilerplate header
-    shared by 10⁶ docs would alone emit 5·10¹¹ pairs; capped, the worst
-    shingle costs 5·10⁵. Recall trade: a pair whose overlap lies ENTIRELY
-    in pruned shingles is missed — for near-dup detection those pairs are
-    boilerplate-only matches, which is usually the desired exclusion.
-    Pass ``max_doc_freq=None`` explicitly for the exact quadratic run."""
+    """Shared inverted-index overlap machinery of Jaccard AND containment
+    pair detection: (doc_a, doc_b, inter, sza, szb) for every doc pair
+    sharing ≥1 (doc-freq-capped) shingle, where inter counts shared
+    DISTINCT shingles and sza/szb are the full distinct-shingle set
+    sizes. See ngram_jaccard_pairs for the cap semantics and scale
+    notes."""
     docs = with_grams(df, text_col, id_col, ngram)
     # the index carries the 64-bit gram hash, not the gram string: the
     # self-join shuffles 8-byte keys instead of ~n·word-length strings
@@ -366,9 +358,32 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("szb"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    ngram: int = 3,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via an inverted shingle index:
+    explode distinct shingles, self-join on shingle, count intersections,
+    compute J = |∩| / (|A|+|B|−|∩|).
+
+    ``max_doc_freq`` prunes shingles present in more than that many
+    documents (boilerplate) — the standard web-scale mitigation for the
+    quadratic blowup on hot shingles. The DEFAULT caps at 1000: a shingle
+    in D docs contributes D²/2 index-join rows, so one boilerplate header
+    shared by 10⁶ docs would alone emit 5·10¹¹ pairs; capped, the worst
+    shingle costs 5·10⁵. Recall trade: a pair whose overlap lies ENTIRELY
+    in pruned shingles is missed — for near-dup detection those pairs are
+    boilerplate-only matches, which is usually the desired exclusion.
+    Pass ``max_doc_freq=None`` explicitly for the exact quadratic run."""
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _gram_overlap_pairs(df, text_col, id_col, ngram, max_doc_freq)
         .withColumn(
             "jac",
             F.col("inter").cast("double")
@@ -376,6 +391,42 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jac") >= threshold)
         .select("doc_a", "doc_b", "jac")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    ngram: int = 3,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact all-pairs n-gram CONTAINMENT (Broder 1997's other resemblance
+    measure): C(A,B) = |A∩B| / |A|. Catches the near-superset duplicate
+    class Jaccard structurally misses — a short document quoted whole
+    inside a much longer one has containment ≈ 1 for the short side but
+    Jaccard ≈ |short|/|long| ≈ 0, so a Jaccard-thresholded dedup keeps
+    both (the quote-expansion / boilerplate-wrapping dups web pipelines
+    flag by containment; e.g. CCNet-style near-dup audits).
+
+    Emits (doc_a, doc_b, cont_a, cont_b, containment) for pairs whose
+    MAX directional containment ≥ ``threshold`` — i.e. at least one side
+    is mostly inside the other; consumers keep the longer side. Same
+    inverted-index plan and ``max_doc_freq`` hot-shingle cap as
+    ngram_jaccard_pairs (one scan, 8-byte keys, candidate-pruned size
+    lookups)."""
+    return (
+        _gram_overlap_pairs(df, text_col, id_col, ngram, max_doc_freq)
+        .withColumn(
+            "cont_a", F.col("inter").cast("double") / F.col("sza").cast("double")
+        )
+        .withColumn(
+            "cont_b", F.col("inter").cast("double") / F.col("szb").cast("double")
+        )
+        .withColumn("containment", F.greatest("cont_a", "cont_b"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "cont_a", "cont_b", "containment")
     )
 
 

@@ -120,6 +120,81 @@ oracle(
 )
 
 
+@query("dedup_containment")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-superset dedup: n-gram CONTAINMENT pairs (C(A,B)=|A∩B|/|A| ≥
+    0.8 on the max side) — the quote-expansion duplicate class Jaccard
+    misses (a short doc wrapped in boilerplate has containment ≈ 1 but
+    Jaccard ≈ |short|/|long|). Every 10th doc is re-injected wrapped in a
+    boilerplate tail, so the corpus provably contains supersets whose
+    Jaccard is diluted; the pair plan is the same capped inverted index
+    as dedup_ngram_jaccard (one scan, 8-byte gram keys, candidate-pruned
+    sizes)."""
+    doc = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wrapped = doc.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(
+                " standard footer legal notice applies contact site admin"
+                " for removal requests all rights reserved"
+            ),
+        ).alias("text"),
+    )
+    pairs = sdedup.ngram_containment_pairs(
+        doc.unionByName(wrapped), "text", "doc_id", threshold=0.8
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round("cont_a", 4).alias("cont_a"),
+        F.round("cont_b", 4).alias("cont_b"),
+        F.round("containment", 4).alias("containment"),
+    )
+
+
+oracle(
+    "dedup_containment",
+    r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               text || ' standard footer legal notice applies contact site admin'
+                    || ' for removal requests all rights reserved'
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM corpus
+    ),
+    grams AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS s(i)
+        GROUP BY doc_id, gram
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / CAST(sa.sz AS DOUBLE), 4) AS cont_a,
+           round(CAST(i AS DOUBLE) / CAST(sb.sz AS DOUBLE), 4) AS cont_b,
+           round(greatest(CAST(i AS DOUBLE) / CAST(sa.sz AS DOUBLE),
+                          CAST(i AS DOUBLE) / CAST(sb.sz AS DOUBLE)), 4)
+               AS containment
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE greatest(CAST(i AS DOUBLE) / CAST(sa.sz AS DOUBLE),
+                   CAST(i AS DOUBLE) / CAST(sb.sz AS DOUBLE)) >= 0.8
+    """,
+)
+
+
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (chunk-bucketed, hamming ≤ 8).

@@ -164,3 +164,47 @@ def test_minhash_hot_bucket_cap(spark):
     assert (100, 101) in uncapped and (0, 1) in uncapped
     assert (100, 101) in capped
     assert not [p for p in capped if p[0] < 100], capped
+
+
+def test_containment_catches_superset_jaccard_misses(spark):
+    """A short doc embedded verbatim in a much longer one: containment of
+    the short side is 1.0 while Jaccard is diluted below any usable
+    threshold — the pair class ngram_containment_pairs exists for."""
+    from sdc_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"tok{i} filler{i} pad{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated words only here")],
+        "doc_id long, text string",
+    )
+    cont = ngram_containment_pairs(df, "text", "doc_id", threshold=0.8).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["cont_a"] == 1.0  # every short-doc gram is in the long doc
+    assert r["containment"] == 1.0 and r["cont_b"] < 0.2
+    # Jaccard at the same 0.8 bar reports nothing: the superset dilutes it
+    assert (
+        ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.8).count() == 0
+    )
+
+
+def test_containment_doc_freq_cap_prunes_boilerplate(spark):
+    """With every doc sharing one boilerplate gram, max_doc_freq=2 must
+    drop that gram from candidate generation (no pair emitted on the
+    boilerplate alone), while true supersets still surface."""
+    from sdc_spark.operators.dedup import ngram_containment_pairs
+
+    boiler = "copyright footer notice"
+    df = spark.createDataFrame(
+        [(i, f"unique{i} word{i} thing{i} " + boiler) for i in range(5)],
+        "doc_id long, text string",
+    )
+    got = ngram_containment_pairs(
+        df, "text", "doc_id", threshold=0.9, max_doc_freq=2
+    ).collect()
+    assert got == []
