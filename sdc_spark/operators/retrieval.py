@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sdc_spark.materialize import materialize as _materialize
 from sdc_spark.operators.dedup import normalized_text
 
 
@@ -75,13 +76,19 @@ def bm25_scores(
     if not terms:
         raise ValueError("bm25_scores: terms must be non-empty")
     toks = _tokens(df, text_col, id_col)
+    # Materialized: the per-doc frame feeds BOTH the corpus-stats
+    # aggregation and the scored output, and Spark shares no subplan
+    # across consumers — un-materialized, the tokenize+aggregate pass
+    # (and the raw text scan under it) runs twice per query, which at
+    # corpus scale is a second full-text scan for a table that holds no
+    # text at all (one row of small ints per doc).
     per_doc = toks.groupBy("doc").agg(
         F.count(F.lit(1)).alias("dl"),
         *[
             F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf{i}")
             for i, t in enumerate(terms)
         ],
-    )
+    ).transform(_materialize)
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -134,9 +141,13 @@ def topk_ranking(
     from pyspark.sql.window import Window as W
 
     w = W.orderBy(F.col(score_col).desc(), F.col(id_col))
+    # Materialized: a rank list is consumed at least twice by any fusion
+    # (the fuse union AND the per-ranker rank-attach join), and it is
+    # depth-bounded — re-running the whole scoring scan per consumer is
+    # the expensive alternative.
     return top.select(
         F.col(id_col).alias("doc"), F.row_number().over(w).alias("rank")
-    )
+    ).transform(_materialize)
 
 
 def rrf_fuse(

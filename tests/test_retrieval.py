@@ -80,11 +80,21 @@ def test_topk_ranking_truncates_and_orders(spark):
 
 
 def test_topk_ranking_is_take_ordered(spark):
+    """The depth truncation must compile to TakeOrderedAndProject
+    (map-side partial top-k), not a global sort. The rank list is
+    materialized inside the operator, so the pin reads the captured
+    segment plan, not the (checkpoint-fed) top-level plan."""
+    from sdc_spark.materialize import start_plan_capture, stop_plan_capture
+
     scored = spark.createDataFrame(
         [(i, float(i)) for i in range(100)], "doc long, s double"
     )
-    plan = topk_ranking(scored, "doc", "s", 5)._jdf.queryExecution().executedPlan().toString()
-    assert "TakeOrderedAndProject" in plan
+    cap = start_plan_capture()
+    try:
+        topk_ranking(scored, "doc", "s", 5).collect()
+    finally:
+        stop_plan_capture()
+    assert any("TakeOrderedAndProject" in p for p in cap)
 
 
 def test_rrf_fuse_two_rankers(spark):
