@@ -430,6 +430,44 @@ def ngram_containment_pairs(
     )
 
 
+def keep_best_in_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Survivor selection over near-dup clusters: connected components
+    over ``pairs`` group the corpus into duplicate clusters; within each,
+    the HIGHEST-``score_col`` member survives (ties → min id), everything
+    else is marked for drop. This is the production keep rule — min-id
+    survivors (exact_dedup's rule) are an arbitrary pick, while real
+    pipelines keep the best-quality copy of each near-dup family and drop
+    the mirrors/truncations around it.
+
+    Returns (doc, rep, <score_col>, keep). Scale: component labels come
+    from the diameter-independent star propagation; the argmax is a
+    row_number window partitioned by cluster — state bounded by cluster
+    size, never corpus size. Docs in no pair are their own singleton
+    cluster and always survive."""
+    from pyspark.sql.window import Window as W
+
+    comp = dedup_components(pairs)
+    labeled = (
+        df.select(F.col(id_col).alias("doc"), F.col(score_col).alias("__s"))
+        .join(comp, "doc", "left")
+        .select(
+            "doc", F.coalesce("component", F.col("doc")).alias("rep"), "__s"
+        )
+    )
+    w = W.partitionBy("rep").orderBy(F.col("__s").desc(), F.col("doc"))
+    return labeled.select(
+        "doc",
+        "rep",
+        F.col("__s").alias(score_col),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 def _simhash_bits(g: Column, bits: int) -> Column:
     """±1 vote vector from the shingle's 64-bit hash (bit positions are
     Python literals — shift counts must be ints)."""

@@ -1738,6 +1738,76 @@ oracle(
 )
 
 
+@query("dedup_keep_best_quality")
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-selection dedup: near-dup clusters (verified MinHash
+    pairs ≥ 0.8 → connected components) each keep their HIGHEST-quality
+    member (ties → min id) — the production keep rule, vs exact_dedup's
+    arbitrary min-id pick. Quality is the graded text_quality scalar
+    (integer-ratio doubles — bit-identical across engines), so the
+    argmax, and therefore the keep/drop set, is exactly oracled through
+    the recursive components CTE."""
+    doc = _t(spark, sf_dir, "documents")
+    pairs = sdedup.minhash_lsh_pairs(doc, "text", "doc_id", threshold=0.8)
+    scored = doc.select(
+        "doc_id", stext.quality_score("text").alias("quality")
+    )
+    out = sdedup.keep_best_in_cluster(scored, pairs, "doc_id", "quality")
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "rep",
+        F.round("quality", 6).alias("quality"),
+        "keep",
+    ).orderBy("doc_id")
+
+
+oracle(
+    "dedup_keep_best_quality",
+    f"""
+    WITH RECURSIVE {_GRAMS_SQL},
+    e AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs WHERE jac >= 0.8
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs WHERE jac >= 0.8
+    ),
+    walk(u, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        UNION
+        SELECT e.u, w.lbl FROM e JOIN walk w ON e.v = w.u
+    ),
+    comp AS (SELECT u AS doc, min(lbl) AS component FROM walk GROUP BY u),
+    c AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+               len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+               len(regexp_extract_all(
+                   regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                   '(^| )(the|and|of|to|is|with)( |$)')) AS n_stop
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               (CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.4
+                 + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.2
+                 + least((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 4.0,
+                         1.0) * 0.4 AS quality
+        FROM c
+    ),
+    labeled AS (
+        SELECT s.doc_id, coalesce(cm.component, s.doc_id) AS rep, s.quality
+        FROM scored s LEFT JOIN comp cm ON s.doc_id = cm.doc
+    )
+    SELECT doc_id, rep, round(quality, 6) AS quality,
+           row_number() OVER (PARTITION BY rep
+                              ORDER BY quality DESC, doc_id) = 1 AS keep
+    FROM labeled ORDER BY doc_id
+    """,
+)
+
+
 @query("ann_pq_topk")
 def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-5: 8x16 codebooks, ADC scoring over

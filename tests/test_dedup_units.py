@@ -208,3 +208,25 @@ def test_containment_doc_freq_cap_prunes_boilerplate(spark):
         df, "text", "doc_id", threshold=0.9, max_doc_freq=2
     ).collect()
     assert got == []
+
+
+def test_keep_best_in_cluster(spark):
+    """Survivor = argmax score per component (ties -> min id); singletons
+    always survive; transitive clusters collapse to one survivor."""
+    from sdc_spark.operators.dedup import keep_best_in_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.7)],
+        "doc_id long, q double",
+    )
+    # 1-2 and 2-3 chain into one cluster {1,2,3}; 4 pairs with nothing; 5 singleton
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    got = {
+        r["doc"]: (r["rep"], r["keep"])
+        for r in keep_best_in_cluster(docs, pairs, "doc_id", "q").collect()
+    }
+    assert got[2] == (1, True)   # 0.9 tie between 2 and 3 -> min id 2
+    assert got[3] == (1, False)
+    assert got[1] == (1, False)  # component label = min member id
+    assert got[4] == (4, True)
+    assert got[5] == (5, True)
