@@ -57,6 +57,12 @@ HEADLINE = [
     "ann_eval_metrics",
     "interval_merge_overlaps",
     "sample_negatives",
+    # round-10 marquee additions
+    "retrieval_bm25",
+    "retrieval_hybrid_rrf",
+    "dedup_containment",
+    "dedup_keep_best_quality",
+    "text_substring_dedup",
 ]
 
 

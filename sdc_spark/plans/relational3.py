@@ -228,6 +228,82 @@ oracle(
 )
 
 
+@query("stats_robust_means")
+def stats_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based robust location estimators per event type: 10% trimmed
+    mean (drop the k=⌊n/10⌋ smallest and largest values) and winsorized
+    mean (replace those tails with the retained boundary values). Count-
+    based trimming — not percentile interpolation — so the retained
+    multiset, and therefore the means, are EXACTLY defined and engine-
+    independent (ties at the cut contribute the same values whichever
+    rows a sort puts first).
+
+    Scale shape: one shuffle on the group key into a per-group sort
+    (row_number from both ends), then a plain aggregate — the same cost
+    class as any per-group rank; no full-data window, no driver
+    collection."""
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    wa = W.partitionBy("event_type").orderBy(F.col("value").asc())
+    wd = W.partitionBy("event_type").orderBy(F.col("value").desc())
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    ).withColumn("k", F.floor(F.col("n") / 10))
+    mid = ranked.filter((F.col("ra") > F.col("k")) & (F.col("rd") > F.col("k")))
+    return (
+        mid.groupBy("event_type")
+        .agg(
+            F.max("n").alias("__n"),
+            F.max("k").alias("k_trim"),
+            F.sum("value").alias("__sum"),
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min("value").alias("__lo"),
+            F.max("value").alias("__hi"),
+        )
+        .select(
+            "event_type",
+            F.col("__n").alias("n"),
+            "k_trim",
+            F.round(F.col("__sum") / F.col("__cnt"), 4).alias("trimmed_mean"),
+            F.round(
+                (
+                    F.col("__sum")
+                    + F.col("k_trim") * F.col("__lo")
+                    + F.col("k_trim") * F.col("__hi")
+                )
+                / F.col("__n"),
+                4,
+            ).alias("winsor_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+oracle(
+    "stats_robust_means",
+    """
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value ASC) AS ra,
+               row_number() OVER (PARTITION BY event_type ORDER BY value DESC) AS rd,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ), mid AS (
+        SELECT *, CAST(floor(n / 10) AS BIGINT) AS k
+        FROM ranked WHERE ra > floor(n / 10) AND rd > floor(n / 10)
+    )
+    SELECT event_type, max(n) AS n, max(k) AS k_trim,
+           round(sum(value) / count(*), 4) AS trimmed_mean,
+           round((sum(value) + max(k) * min(value) + max(k) * max(value))
+                 / max(n), 4) AS winsor_mean
+    FROM mid GROUP BY event_type ORDER BY event_type
+    """,
+)
+
+
 @query("dq_expectations")
 def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative one-pass data-quality gate (operators/dq.py): five
