@@ -71,6 +71,13 @@ DEFAULT_SET = [
     "text_tfidf_topk",
     "ann_ivf_persisted",
     "ann_ivf_ingest_loop",
+    # round-10 continuation: rank windows over materialized top-k lists,
+    # components-fed argmax survivor selection, double-ended rank trims
+    "retrieval_bm25",
+    "retrieval_hybrid_rrf",
+    "dedup_containment",
+    "dedup_keep_best_quality",
+    "stats_robust_means",
 ]
 
 
