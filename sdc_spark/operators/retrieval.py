@@ -140,7 +140,13 @@ def topk_ranking(
     ).limit(depth)
     from pyspark.sql.window import Window as W
 
-    w = W.orderBy(F.col(score_col).desc(), F.col(id_col))
+    # partitioned on a non-foldable always-zero key (the order.py
+    # convention): the window IS bounded (depth rows), and keeping it
+    # formally partitioned preserves the repo invariant that WindowExec's
+    # "No Partition Defined" warning only fires on real regressions
+    w = W.partitionBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1))).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
     # Materialized: a rank list is consumed at least twice by any fusion
     # (the fuse union AND the per-ranker rank-attach join), and it is
     # depth-bounded — re-running the whole scoring scan per consumer is

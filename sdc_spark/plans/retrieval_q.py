@@ -149,6 +149,65 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("retrieval_hard_negatives")
+def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: for the
+    keyword query, dense-similar documents (cosine top-30 to the vec_id-0
+    query embedding) that the lexical ranker does NOT retrieve (outside
+    the BM25 top-100 cutoff) — the embedding-close/lexically-unretrieved
+    rows a bi-encoder is trained to push away. Plan: both rank lists are
+    depth-bounded before the anti-join — at corpus scale this is two
+    top-k scans and a 130-row anti-join, nothing quadratic."""
+    doc = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    hits = topk_ranking(
+        bm25_scores(doc, "text", "doc_id", _BM25_TERMS), "doc", "score", 100
+    ).select("doc")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    dense_scored = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc"),
+        ssim.cosine(F.col("qvec"), F.col("embedding")).alias("cos"),
+    )
+    dense_top = topk_ranking(dense_scored, "doc", "cos", 30)
+    return (
+        dense_top.join(hits, "doc", "left_anti")
+        .select(F.col("doc").alias("doc_id"), F.col("rank").alias("dense_rank"))
+        .orderBy("dense_rank")
+    )
+
+
+oracle(
+    "retrieval_hard_negatives",
+    "WITH "
+    + _BM25_CTES
+    + r"""
+    , lex_top AS (
+        SELECT doc_id FROM scored ORDER BY score DESC, doc_id LIMIT 100
+    ), qv AS (
+        SELECT embedding AS q FROM embeddings WHERE vec_id = 0
+    ), dense AS (
+        SELECT v.vec_id AS doc_id,
+               sum(CAST(q[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))
+                   / (sqrt(sum(CAST(q[i] AS DOUBLE) * CAST(q[i] AS DOUBLE)))
+                      * sqrt(sum(CAST(v.embedding[i] AS DOUBLE)
+                                 * CAST(v.embedding[i] AS DOUBLE)))) AS c
+        FROM embeddings v, qv,
+             UNNEST(generate_series(1, len(q))) AS s(i)
+        GROUP BY v.vec_id
+    ), dense_top AS (
+        SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rank
+        FROM dense ORDER BY c DESC, doc_id LIMIT 30
+    )
+    SELECT t.doc_id, CAST(t.rank AS INT) AS dense_rank
+    FROM dense_top t
+    WHERE t.doc_id NOT IN (SELECT doc_id FROM lex_top)
+    ORDER BY t.rank
+    """,
+)
+
+
 oracle(
     "retrieval_hybrid_rrf",
     "WITH "
