@@ -122,6 +122,90 @@ def bm25_scores(
     return out
 
 
+def bm25_multi(
+    df: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    qid_col: str = "qid",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch BM25: score every (query, document) pair for a TABLE of
+    queries — the production retrieval shape (a workload of queries, not
+    one ad-hoc term set). Returns (qid, doc, n_hit_terms, score).
+
+    Plan at 100 TB: the corpus tokenizes ONCE into a materialized
+    (doc, token, tf, dl) posting frame; the query-term table (tiny by
+    construction) BROADCASTS onto it, so scoring touches only postings
+    of query terms — the inverted-index contract — and per-term df is an
+    aggregate over those matched postings, never a second corpus pass.
+    Scores use the same Lucene BM25 form as ``bm25_scores``; per-doc
+    sums aggregate float term scores, so consumers should round — the
+    fixed-expression bit-equality of the single-set variant applies only
+    there."""
+    toks = _tokens(df, text_col, id_col)
+    # The posting index is the ONE materialized corpus derivative; doc
+    # lengths, corpus stats, df, and scoring all read it — the raw text
+    # is tokenized exactly once however many consumers hang below
+    # (un-materialized, Spark re-ran the scan+explode per consumer:
+    # three full text passes, caught by the plan audit).
+    postings = (
+        toks.groupBy("doc", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(_materialize)
+    )
+    stats = (
+        postings.groupBy("doc")
+        .agg(F.sum("tf").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    )
+    q = queries.select(
+        F.col(qid_col).alias("qid"), F.col(term_col).alias("token")
+    ).distinct()
+    # matched postings are tiny (query terms only) and feed df AND the
+    # scorer — materialized so the broadcast join runs once
+    matched = postings.join(F.broadcast(q), "token").transform(_materialize)
+    # doc lengths only for docs that matched: semi-join-prune the posting
+    # index BEFORE the per-doc aggregation (the screen_against_index
+    # discipline — without it every query batch pays a full-corpus
+    # re-aggregation for lengths it mostly throws away)
+    dl_m = (
+        postings.join(
+            matched.select("doc").distinct(), "doc", "left_semi"
+        )
+        .groupBy("doc")
+        .agg(F.sum("tf").alias("dl"))
+    )
+    dfreq = matched.select("token", "doc").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = (
+        matched.join(dl_m, "doc")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("ts"),
+        )
+    )
+    return scored.groupBy("qid", "doc").agg(
+        F.count(F.lit(1)).alias("n_hit_terms"), F.sum("ts").alias("score")
+    )
+
+
 def topk_ranking(
     scored: DataFrame,
     id_col: str,

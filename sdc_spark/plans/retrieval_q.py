@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sdc_spark.operators import similarity as ssim
-from sdc_spark.operators.retrieval import bm25_scores, rrf_fuse, topk_ranking
+from sdc_spark.operators.retrieval import (
+    bm25_multi,
+    bm25_scores,
+    rrf_fuse,
+    topk_ranking,
+)
 from sdc_spark.plans.registry import oracle, query
 from sdc_spark.sources.readers import read_table
 
@@ -147,6 +152,89 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("__o__")
     )
+
+
+_BATCH_QUERIES = [
+    (0, "vector"), (0, "stream"),
+    (1, "hash"), (1, "join"),
+    (2, "customer"), (2, "filter"), (2, "merge"),
+]
+
+
+@query("retrieval_bm25_batch")
+def retrieval_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 over a query TABLE (3 queries, 2-3 terms each): top-5
+    docs per query. The corpus tokenizes once into a materialized posting
+    frame; query terms broadcast onto it (inverted-index contract), so
+    scoring cost tracks matched postings, not corpus x queries. Ranked on
+    the rounded score (ties → doc id) so the float-sum term aggregation
+    can't flip the cut across engines."""
+    from pyspark.sql.window import Window as W
+
+    doc = read_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BATCH_QUERIES, "qid int, term string")
+    scored = bm25_multi(doc, q, "text", "doc_id").select(
+        "qid", "doc", "n_hit_terms", F.round("score", 4).alias("score")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "qid",
+            "rank",
+            F.col("doc").alias("doc_id"),
+            F.col("n_hit_terms").cast("int").alias("n_hit_terms"),
+            "score",
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+oracle(
+    "retrieval_bm25_batch",
+    r"""
+    WITH q(qid, term) AS (
+        VALUES (0, 'vector'), (0, 'stream'),
+               (1, 'hash'), (1, 'join'),
+               (2, 'customer'), (2, 'filter'), (2, 'merge')
+    ), toks AS (
+        SELECT doc_id,
+               unnest(string_split(
+                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS token
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, token FROM toks WHERE length(token) > 0
+    ), postings AS (
+        SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+    ), stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), matched AS (
+        SELECT q.qid, p.doc_id, p.token, p.tf, d.dl
+        FROM postings p JOIN q ON p.token = q.term JOIN dl d USING (doc_id)
+    ), dfreq AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM matched GROUP BY 1
+    ), term_scores AS (
+        SELECT m.qid, m.doc_id,
+               ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                 * (m.tf * 2.2)
+                 / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl)) AS ts
+        FROM matched m JOIN dfreq f USING (token), stats s
+    ), agg AS (
+        SELECT qid, doc_id, count(*) AS n_hit_terms,
+               round(sum(ts), 4) AS score
+        FROM term_scores GROUP BY 1, 2
+    )
+    SELECT qid, rank, doc_id, CAST(n_hit_terms AS INT) AS n_hit_terms, score
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, doc_id) AS rank
+        FROM agg
+    ) WHERE rank <= 5 ORDER BY qid, rank
+    """,
+)
 
 
 @query("retrieval_hard_negatives")

@@ -105,3 +105,29 @@ def test_rrf_fuse_two_rankers(spark):
     assert got[1] == (1, pytest.approx(1 / 61, rel=1e-15))
     assert got[4] == (1, pytest.approx(1 / 62, rel=1e-15))
     assert set(got) == {1, 2, 3, 4}
+
+
+def test_bm25_multi_agrees_with_single_set(spark):
+    """bm25_multi for one query whose terms equal the fixed set must score
+    every hit doc identically (same Lucene form; multi aggregates float
+    term scores, so compare at 1e-12 rel)."""
+    import pytest as _pt
+
+    from sdc_spark.operators.retrieval import bm25_multi
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(7, t) for t in TERMS], "qid int, term string"
+    )
+    multi = {
+        r["doc"]: (r["n_hit_terms"], r["score"])
+        for r in bm25_multi(df, q, "text", "doc_id").collect()
+    }
+    single = {
+        r["doc"]: (r["n_hit_terms"], r["score"])
+        for r in bm25_scores(df, "text", "doc_id", TERMS).collect()
+    }
+    assert set(multi) == set(single)
+    for d, (hits, score) in single.items():
+        assert multi[d][0] == hits
+        assert multi[d][1] == _pt.approx(score, rel=1e-12)
