@@ -69,6 +69,62 @@ def pack_sequences(
     )
 
 
+def curriculum_phases(
+    df: DataFrame,
+    order_cols,
+    n_phases: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum assignment: order the corpus by ``order_cols`` (e.g.
+    quality ascending — easy-to-hard curricula train low-noise-first) and
+    cut it into ``n_phases`` count-balanced phases (ntile semantics:
+    first ``N mod n`` phases get the extra row). Returns the input plus
+    ``phase`` (1-based).
+
+    ntile itself would funnel the corpus through ONE partition; this
+    rides the distributed total-order machinery (order.with_position:
+    range exchange + P-row broadcast offsets) so the global rank — and
+    therefore the phase cut — never single-partitions. Assignment is
+    exactly ntile's: phase = the unique p with cum_rows(p-1) <= pos <
+    cum_rows(p), computed in closed form from the 0-based position."""
+    if n_phases < 1:
+        raise ValueError("curriculum_phases: n_phases must be >= 1")
+    from sdc_spark.operators.order import with_position
+
+    pos = with_position(df, list(order_cols), "__pos__")
+    n = pos.agg(F.count(F.lit(1)).alias("__n__"))
+    # ntile closed form over 0-based pos: big phases (size q+1) come
+    # first; q = n div k, r = n mod k
+    out = pos.crossJoin(F.broadcast(n)).withColumn(
+        "phase",
+        F.when(
+            F.col("__pos__")
+            < (F.floor(F.col("__n__") / n_phases) + 1)
+            * (F.col("__n__") % n_phases),
+            F.floor(
+                F.col("__pos__") / (F.floor(F.col("__n__") / n_phases) + 1)
+            )
+            + 1,
+        )
+        .otherwise(
+            F.floor(
+                (
+                    F.col("__pos__")
+                    - (F.floor(F.col("__n__") / n_phases) + 1)
+                    * (F.col("__n__") % n_phases)
+                )
+                / F.greatest(
+                    F.floor(F.col("__n__") / n_phases), F.lit(1)
+                )
+            )
+            + (F.col("__n__") % n_phases)
+            + 1
+        )
+        .cast("int"),
+    )
+    return out.drop("__pos__", "__n__")
+
+
 def sample_stratified(
     df: DataFrame,
     strata_col: str,

@@ -48,6 +48,74 @@ oracle(
 )
 
 
+@query("curation_curriculum")
+def curation_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment: corpus ordered by quality
+    ascending (train low-noise-last curricula flip the ordering) and cut
+    into 4 count-balanced phases with exact ntile semantics — WITHOUT
+    ntile's single-partition global sort: the global rank rides
+    order.with_position (range exchange + P-row broadcast offsets) and
+    the phase is a closed-form function of the position. Per-phase
+    manifest: doc count, token budget, quality band — the numbers a
+    training scheduler consumes."""
+    from sdc_spark.functions import text as stext
+    from sdc_spark.operators.curation import curriculum_phases
+
+    doc = read_table(spark, sf_dir, "documents")
+    scored = doc.select(
+        "doc_id",
+        stext.quality_score("text").alias("quality"),
+        stext.ws_token_count("text").alias("n_tokens"),
+    )
+    phased = curriculum_phases(scored, ["quality", "doc_id"], 4)
+    return (
+        phased.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("token_budget"),
+            F.round(F.min("quality"), 6).alias("q_lo"),
+            F.round(F.max("quality"), 6).alias("q_hi"),
+        )
+        .orderBy("phase")
+    )
+
+
+oracle(
+    "curation_curriculum",
+    r"""
+    WITH c AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+               len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+               len(regexp_extract_all(
+                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                   '(^| )(the|and|of|to|is|with)( |$)')) AS n_stop
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, n_tokens,
+               (CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.4
+                 + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.2
+                 + least((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 4.0,
+                         1.0) * 0.4 AS quality
+        FROM c
+    ),
+    phased AS (
+        SELECT doc_id, n_tokens, quality,
+               ntile(4) OVER (ORDER BY quality, doc_id) AS phase
+        FROM scored
+    )
+    SELECT CAST(phase AS INT) AS phase, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS token_budget,
+           round(min(quality), 6) AS q_lo, round(max(quality), 6) AS q_hi
+    FROM phased GROUP BY phase ORDER BY phase
+    """,
+)
+
+
 @query("scd2_customer_status")
 def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-type-2 history construction (the CDC pattern `cdc_latest_state`

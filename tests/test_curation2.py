@@ -135,3 +135,34 @@ def test_hashed_linear_score_bounded_and_deterministic(spark):
     assert got[0] == got[1]
     assert got[0] != got[2]
     assert got[3] == got[4] == 0.5
+
+
+def test_curriculum_phases_matches_ntile(spark):
+    """Closed-form phase assignment == ntile semantics for sizes where
+    N mod k != 0 (first r phases one bigger) and N < k (empty phases)."""
+    from sdc_spark.operators.curation import curriculum_phases
+
+    for n, k in [(10, 4), (7, 3), (2, 5), (12, 4), (1, 1)]:
+        df = spark.createDataFrame(
+            [(i, float(i % 5)) for i in range(n)], "doc_id long, s double"
+        )
+        got = {
+            r["doc_id"]: r["phase"]
+            for r in curriculum_phases(df, ["s", "doc_id"], k).collect()
+        }
+        order = sorted(range(n), key=lambda i: (i % 5, i))
+        q, r_ = divmod(n, k)
+        want = {}
+        pos = 0
+        for p in range(1, k + 1):
+            size = q + 1 if p <= r_ else q
+            for _ in range(size):
+                if pos < n:
+                    want[order[pos]] = p
+                    pos += 1
+        assert got == want, (n, k)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        curriculum_phases(spark.createDataFrame([(1, 1.0)], "doc_id long, s double"), ["s"], 0)
