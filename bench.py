@@ -63,6 +63,7 @@ HEADLINE = [
     "dedup_containment",
     "dedup_keep_best_quality",
     "text_substring_dedup",
+    "pipeline_dump_release",
 ]
 
 

@@ -14,6 +14,7 @@ import sdc_spark.plans.llm_data4  # noqa: F401
 import sdc_spark.plans.llm_data5  # noqa: F401
 import sdc_spark.plans.ml_q  # noqa: F401
 import sdc_spark.plans.relational  # noqa: F401
+import sdc_spark.plans.pipeline_release  # noqa: F401
 import sdc_spark.plans.retrieval_q  # noqa: F401
 import sdc_spark.plans.relational2  # noqa: F401
 import sdc_spark.plans.relational3  # noqa: F401

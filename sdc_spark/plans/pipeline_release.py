@@ -1,0 +1,239 @@
+r"""The dump-release capstone: one graded query chaining the four gates
+every training-dump release runs — exact dedup, near-dup survivor
+selection (keep best quality), benchmark decontamination, quality
+threshold — and emitting the per-stage manifest (doc count + token
+budget) a release report is built from.
+
+Every stage reuses an operator that is ALREADY individually graded
+(exact_dedup, minhash_lsh_pairs → dedup_components →
+keep_best_in_cluster, decontaminate, quality_score), so this query pins
+their COMPOSITION: stage boundaries are where pipelines break (a
+survivor set fed to the wrong side of an anti-join, a benchmark that
+deduped itself away), and the DuckDB oracle re-derives the entire chain
+from first principles (recursive-CTE components, exact all-pairs
+Jaccard, 8-gram leakage scan).
+
+Scale shape: each stage is the operator's own audited plan; the
+manifest rows are five one-row aggregates unioned — nothing new
+materializes beyond what the operators already stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdc_spark.functions import text as stext
+from sdc_spark.operators import dedup as sdedup
+from sdc_spark.plans.registry import oracle, query
+from sdc_spark.sources.readers import read_table
+
+_Q_CUT = 0.57  # splits the synthetic corpus ~in half (median 0.569)
+
+
+@query("pipeline_dump_release")
+def pipeline_dump_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-gate manifest: raw → exact-dedup → best-quality near-dup
+    survivor → 8-gram decontaminated vs the held-out slice → quality
+    ≥ 0.57. Every 10th doc is re-injected as an exact duplicate so stage
+    1 provably removes something; the doc_id%50 slice plays the held-out
+    benchmark (its source docs are 100%-contaminated by construction and
+    must drop at stage 3)."""
+    from sdc_spark.materialize import materialize as _materialize
+
+    doc = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = doc.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    # Every stage frame is materialized: the manifest makes each one a
+    # MULTI-consumer node (its own count/sum row AND the next gate), and
+    # Spark shares no subplan across consumers — un-materialized, the
+    # five manifest rows replayed the whole upstream chain per row
+    # (plan audit: scans=150; materialized: each gate runs once).
+    # quality and the token count are computed once here and carried as
+    # columns, so no later stage touches the text except decontamination.
+    corpus = doc.unionByName(dupes).select(
+        "doc_id",
+        "text",
+        stext.quality_score("text").alias("quality"),
+        stext.ws_token_count("text").alias("n_tokens"),
+    ).transform(_materialize)
+
+    keep1 = sdedup.exact_dedup(corpus, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    s1 = corpus.join(keep1, "doc_id", "left_semi").transform(_materialize)
+
+    pairs = sdedup.minhash_lsh_pairs(s1, "text", "doc_id", threshold=0.8)
+    best = sdedup.keep_best_in_cluster(
+        s1.select("doc_id", "quality"), pairs, "doc_id", "quality"
+    )
+    s2 = s1.join(
+        best.filter(F.col("keep")).select(F.col("doc").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    ).transform(_materialize)
+
+    bench = doc.filter(F.col("doc_id") % 50 == 0)
+    contaminated = sdedup.decontaminate(
+        s2, bench, "text", "doc_id", ngram=8
+    ).select(F.col("doc").alias("doc_id"))
+    s3 = s2.join(contaminated, "doc_id", "left_anti").transform(_materialize)
+
+    s4 = s3.filter(F.col("quality") >= _Q_CUT)
+
+    def manifest(stage: int, name: str, d: DataFrame) -> DataFrame:
+        return d.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        ).select(
+            F.lit(stage).alias("stage"),
+            F.lit(name).alias("gate"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    rows = [
+        manifest(0, "raw", corpus),
+        manifest(1, "exact_dedup", s1),
+        manifest(2, "neardup_best_quality", s2),
+        manifest(3, "decontaminated", s3),
+        manifest(4, "quality_gate", s4),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage")
+
+
+oracle(
+    "pipeline_dump_release",
+    r"""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    keep1 AS (
+        SELECT min(doc_id) AS doc_id
+        FROM corpus
+        GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+    ),
+    s1 AS (SELECT c.* FROM corpus c JOIN keep1 k USING (doc_id)),
+    toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM s1
+    ),
+    grams AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS s(i)
+        GROUP BY doc_id, gram
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    prs AS (
+        SELECT doc_a, doc_b
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8
+    ),
+    e AS (
+        SELECT doc_a AS u, doc_b AS v FROM prs
+        UNION ALL SELECT doc_b, doc_a FROM prs
+    ),
+    walk(u, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        UNION
+        SELECT e.u, w.lbl FROM e JOIN walk w ON e.v = w.u
+    ),
+    comp AS (SELECT u AS doc, min(lbl) AS component FROM walk GROUP BY u),
+    qual AS (
+        SELECT doc_id,
+               (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                    / length(text)) * 0.4
+               + (1.0 - CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                    / length(text)) * 0.2
+               + least((CAST(len(regexp_extract_all(
+                     regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                     '(^| )(the|and|of|to|is|with)( |$)')) AS DOUBLE)
+                       / (CASE WHEN length(trim(text)) = 0 THEN 0
+                               ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                          END)) * 4.0, 1.0) * 0.4 AS quality
+        FROM s1
+    ),
+    labeled AS (
+        SELECT q.doc_id, coalesce(c.component, q.doc_id) AS rep, q.quality
+        FROM qual q LEFT JOIN comp c ON q.doc_id = c.doc
+    ),
+    s2 AS (
+        SELECT doc_id, quality FROM (
+            SELECT doc_id, quality,
+                   row_number() OVER (PARTITION BY rep
+                                      ORDER BY quality DESC, doc_id) AS rn
+            FROM labeled
+        ) WHERE rn = 1
+    ),
+    g8 AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 8
+                    THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                         || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                         || ' ' || t[i+7]
+                    ELSE array_to_string(t, ' ') END AS gram
+        FROM (
+            SELECT doc_id,
+                   string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                                ' ') AS t
+            FROM s1 WHERE doc_id IN (SELECT doc_id FROM s2)
+        ), UNNEST(generate_series(1, greatest(len(t) - 7, 1))) AS s(i)
+        GROUP BY doc_id, gram
+    ),
+    bench8 AS (
+        SELECT DISTINCT
+               CASE WHEN len(t) >= 8
+                    THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                         || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                         || ' ' || t[i+7]
+                    ELSE array_to_string(t, ' ') END AS gram
+        FROM (
+            SELECT string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                                ' ') AS t
+            FROM documents WHERE doc_id % 50 = 0
+        ), UNNEST(generate_series(1, greatest(len(t) - 7, 1))) AS s(i)
+    ),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id FROM g8 g JOIN bench8 b ON g.gram = b.gram
+    ),
+    s3 AS (
+        SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    s4 AS (SELECT * FROM s3 WHERE quality >= 0.57),
+    ntok AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+        FROM corpus
+    )
+    SELECT 0 AS stage, 'raw' AS gate, count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens
+    FROM corpus JOIN ntok USING (doc_id)
+    UNION ALL
+    SELECT 1, 'exact_dedup', count(*), CAST(sum(nt) AS BIGINT)
+    FROM s1 JOIN ntok USING (doc_id)
+    UNION ALL
+    SELECT 2, 'neardup_best_quality', count(*), CAST(sum(nt) AS BIGINT)
+    FROM s2 JOIN ntok USING (doc_id)
+    UNION ALL
+    SELECT 3, 'decontaminated', count(*), CAST(sum(nt) AS BIGINT)
+    FROM s3 JOIN ntok USING (doc_id)
+    UNION ALL
+    SELECT 4, 'quality_gate', count(*), CAST(sum(nt) AS BIGINT)
+    FROM s4 JOIN ntok USING (doc_id)
+    ORDER BY stage
+    """,
+)

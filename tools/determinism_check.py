@@ -78,6 +78,7 @@ DEFAULT_SET = [
     "dedup_containment",
     "dedup_keep_best_quality",
     "stats_robust_means",
+    "pipeline_dump_release",
 ]
 
 
