@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sdc_spark.materialize import materialize as _materialize
 from sdc_spark.operators import similarity as ssim
 from sdc_spark.operators.retrieval import (
     bm25_multi,
@@ -33,6 +34,14 @@ from sdc_spark.plans.registry import oracle, query
 from sdc_spark.sources.readers import read_table
 
 _BM25_TERMS = ["vector", "stream", "filter", "hash"]
+
+
+def _sf_tag(sf_dir: str) -> str:
+    """Catalog-safe per-sf suffix (table names reject '.' and '/')."""
+    import os
+    import re
+
+    return re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
 
 # The shared tokenize/per-doc/stats prefix of both oracles (DuckDB CTEs).
 _BM25_CTES = r"""
@@ -234,6 +243,145 @@ oracle(
         FROM agg
     ) WHERE rank <= 5 ORDER BY qid, rank
     """,
+)
+
+
+def _bm25_batch_sql(corpus_pred: str, snapshot: int) -> str:
+    """DuckDB twin of bm25_multi's top-5-per-query over a corpus subset —
+    the per-snapshot building block of the ingest-loop oracle."""
+    return rf"""
+    SELECT {snapshot} AS snapshot, qid, rank, doc_id,
+           CAST(n_hit_terms AS INT) AS n_hit_terms, score
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, doc_id) AS rank
+        FROM (
+            SELECT qid, doc_id, count(*) AS n_hit_terms,
+                   round(sum(ts), 4) AS score
+            FROM (
+                SELECT m.qid, m.doc_id,
+                       ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                         * (m.tf * 2.2)
+                         / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl)) AS ts
+                FROM (
+                    SELECT q.qid, p.doc_id, p.token, p.tf, d.dl
+                    FROM (
+                        SELECT doc_id, token, count(*) AS tf
+                        FROM (
+                            SELECT doc_id,
+                                   unnest(string_split(regexp_replace(
+                                       trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS token
+                            FROM documents WHERE {corpus_pred}
+                        ) WHERE length(token) > 0 GROUP BY 1, 2
+                    ) p
+                    JOIN q ON p.token = q.term
+                    JOIN (
+                        SELECT doc_id, count(*) AS dl
+                        FROM (
+                            SELECT doc_id,
+                                   unnest(string_split(regexp_replace(
+                                       trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS token
+                            FROM documents WHERE {corpus_pred}
+                        ) WHERE length(token) > 0 GROUP BY 1
+                    ) d USING (doc_id)
+                ) m
+                JOIN (
+                    SELECT token, count(DISTINCT doc_id) AS df
+                    FROM (
+                        SELECT q.qid, p2.doc_id, p2.token
+                        FROM (
+                            SELECT doc_id, token
+                            FROM (
+                                SELECT doc_id,
+                                       unnest(string_split(regexp_replace(
+                                           trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS token
+                                FROM documents WHERE {corpus_pred}
+                            ) WHERE length(token) > 0 GROUP BY doc_id, token
+                        ) p2 JOIN q ON p2.token = q.term
+                    ) GROUP BY token
+                ) f USING (token),
+                (
+                    SELECT count(*) AS n_docs, avg(dl) AS avgdl
+                    FROM (
+                        SELECT doc_id, count(*) AS dl
+                        FROM (
+                            SELECT doc_id,
+                                   unnest(string_split(regexp_replace(
+                                       trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS token
+                            FROM documents WHERE {corpus_pred}
+                        ) WHERE length(token) > 0 GROUP BY 1
+                    )
+                ) s
+            ) GROUP BY 1, 2
+        )
+    ) WHERE rank <= 5
+    """
+
+
+@query("retrieval_index_ingest_loop")
+def retrieval_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted lexical index ingest loop — completes the persisted-index
+    quartet (LSH near-dup, IVF ANN, ExactSubstr grams, now BM25
+    postings): build the bucketed posting index on 4/5 of the corpus,
+    serve the 3-query workload from it (top-5 per query), APPEND the
+    remaining fifth (postings under the original token-bucket spec; the
+    stats table gains one additive (n_docs, sum_dl) row), and serve
+    again. Each served snapshot must equal batch BM25 recomputed from
+    that snapshot's raw text — the oracle does exactly that recompute,
+    so a storage, append, or stats-additivity bug is a value mismatch,
+    not a vibe. Corpus text is tokenized once per snapshot AT WRITE
+    time; queries never touch it."""
+    import sdc_spark.operators.retrieval as sret
+
+    doc = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = doc.filter(F.col("doc_id") % 5 != 0)
+    batch = doc.filter(F.col("doc_id") % 5 == 0)
+    q = spark.createDataFrame(_BATCH_QUERIES, "qid int, term string")
+    name = f"lexidx_{_sf_tag(sf_dir)}"
+
+    sret.drop_posting_index(spark, name)
+    sret.write_posting_index(spark, base, "text", "doc_id", name)
+
+    def serve(snapshot: int) -> DataFrame:
+        from pyspark.sql.window import Window as W
+
+        scored = sret.bm25_from_index(spark, name, q).select(
+            "qid", "doc", "n_hit_terms", F.round("score", 4).alias("score")
+        )
+        w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select(
+                F.lit(snapshot).alias("snapshot"),
+                "qid",
+                "rank",
+                F.col("doc").alias("doc_id"),
+                F.col("n_hit_terms").cast("int").alias("n_hit_terms"),
+                "score",
+            )
+            .transform(_materialize)
+        )
+
+    r1 = serve(1)
+    sret.append_posting_index(spark, batch, "text", "doc_id", name)
+    r2 = serve(2)
+    return r1.unionByName(r2).orderBy("snapshot", "qid", "rank")
+
+
+oracle(
+    "retrieval_index_ingest_loop",
+    r"""
+    WITH q(qid, term) AS (
+        VALUES (0, 'vector'), (0, 'stream'),
+               (1, 'hash'), (1, 'join'),
+               (2, 'customer'), (2, 'filter'), (2, 'merge')
+    )
+    """
+    + _bm25_batch_sql("doc_id % 5 <> 0", 1)
+    + " UNION ALL "
+    + _bm25_batch_sql("1 = 1", 2)
+    + " ORDER BY snapshot, qid, rank",
 )
 
 

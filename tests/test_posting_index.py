@@ -1,0 +1,65 @@
+"""Persisted posting index: the served scores must equal in-session
+batch BM25 from the same corpus snapshot — through the append round-trip
+— and appends must not shatter the bucket layout into small files."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+import sdc_spark.operators.retrieval as sret
+
+NAME = "pytest_lexidx"
+ROOT = "/tmp/sdc_spark_postidx"
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    from sdc_spark.sources.readers import read_table
+
+    return read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _served(spark, q):
+    return {
+        (r["qid"], r["doc"]): (r["n_hit_terms"], round(r["score"], 9))
+        for r in sret.bm25_from_index(spark, NAME, q).collect()
+    }
+
+
+def _insession(spark, corpus, q):
+    return {
+        (r["qid"], r["doc"]): (r["n_hit_terms"], round(r["score"], 9))
+        for r in sret.bm25_multi(corpus, q, "text", "doc_id").collect()
+    }
+
+
+def test_index_serves_bm25_through_append(spark, docs):
+    q = spark.createDataFrame(
+        [(0, "vector"), (0, "hash"), (1, "merge"), (1, "stream")],
+        "qid int, term string",
+    )
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    sret.drop_posting_index(spark, NAME)
+    try:
+        sret.write_posting_index(spark, base, "text", "doc_id", NAME)
+        assert _served(spark, q) == _insession(spark, base, q)
+        sret.append_posting_index(spark, batch, "text", "doc_id", NAME)
+        assert _served(spark, q) == _insession(spark, docs, q)
+        # additive stats: two rows whose totals equal the full corpus
+        st = spark.table(f"lexstats_{NAME}").agg(
+            F.count(F.lit(1)).alias("rows"), F.sum("n_docs").alias("n")
+        ).collect()[0]
+        assert st["rows"] == 2 and st["n"] == docs.count()
+        # append laid down ~one file per bucket, not a blizzard
+        files = glob.glob(f"{ROOT}/{NAME}/postings/*.parquet")
+        assert 0 < len(files) <= 2 * sret._POSTING_BUCKETS, len(files)
+        # idempotent reuse: a second write call must NOT rebuild
+        t1, t2 = sret.write_posting_index(spark, base, "text", "doc_id", NAME)
+        assert (t1, t2) == (f"postings_{NAME}", f"lexstats_{NAME}")
+        assert spark.table(f"lexstats_{NAME}").count() == 2
+    finally:
+        sret.drop_posting_index(spark, NAME)

@@ -79,6 +79,7 @@ DEFAULT_SET = [
     "dedup_keep_best_quality",
     "stats_robust_means",
     "pipeline_dump_release",
+    "retrieval_index_ingest_loop",
 ]
 
 
