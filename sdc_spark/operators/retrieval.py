@@ -305,6 +305,89 @@ def append_posting_index(
     )
 
 
+def _rewrite_posting_table(
+    spark, name: str, df: DataFrame, path_root: str, n_buckets: int
+) -> None:
+    """Same atomic-enough rewrite as the LSH/IVF maintenance path: stage
+    the new content with lineage truncation BEFORE dropping the old
+    files, keep the bucket spec so consumer plans don't change. Content
+    must be read from the RAW parquet path (Catalyst partially elides an
+    equal-key repartition on top of a bucketed scan — the dedup-index
+    compaction test found this)."""
+    import shutil
+
+    from sdc_spark.materialize import materialize
+
+    table = f"postings_{name}"
+    path = f"{path_root}/{name}/postings"
+    staged = materialize(df.repartition(n_buckets, "token"), truncate=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        staged.write.mode("overwrite")
+        .bucketBy(n_buckets, "token")
+        .sortBy("token")
+        .option("path", path)
+        .saveAsTable(table)
+    )
+
+
+def compact_posting_index(
+    spark,
+    name: str,
+    n_buckets: int = _POSTING_BUCKETS,
+    path_root: str = "/tmp/sdc_spark_postidx",
+) -> None:
+    """Compact back to ~one file per bucket after append-driven file
+    growth (appends are new-doc-only, so rows are already unique — this
+    is pure file coalescing; contents bit-identical, pinned by test).
+    The stats table is a handful of additive rows and never needs it."""
+    content = spark.read.parquet(f"{path_root}/{name}/postings")
+    _rewrite_posting_table(spark, name, content, path_root, n_buckets)
+
+
+def delete_from_posting_index(
+    spark,
+    doc_ids: DataFrame,
+    name: str,
+    id_col: str = "doc_id",
+    n_buckets: int = _POSTING_BUCKETS,
+    path_root: str = "/tmp/sdc_spark_postidx",
+) -> None:
+    """Takedown/expiry: remove documents from the persisted index.
+    Postings anti-join the id set and rewrite under the same layout;
+    the stats table is REBUILT from the surviving postings (additive
+    rows can't subtract), so served (N, avgdl) — and therefore idf and
+    length normalization — immediately reflect the removal, exactly as
+    if the index had been built without those docs."""
+    ids = doc_ids.select(F.col(id_col).alias("doc")).distinct()
+    remaining = (
+        spark.read.parquet(f"{path_root}/{name}/postings")
+        .join(F.broadcast(ids), "doc", "left_anti")
+    )
+    from sdc_spark.materialize import materialize
+
+    staged = materialize(remaining, truncate=True)
+    _rewrite_posting_table(spark, name, staged, path_root, n_buckets)
+    stats_t = f"lexstats_{name}"
+    new_stats = (
+        spark.table(f"postings_{name}")
+        .groupBy("doc")
+        .agg(F.max("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    )
+    staged_stats = materialize(new_stats, truncate=True)
+    spark.sql(f"DROP TABLE IF EXISTS {stats_t}")
+    import shutil
+
+    shutil.rmtree(f"{path_root}/{name}/stats", ignore_errors=True)
+    (
+        staged_stats.write.mode("overwrite")
+        .option("path", f"{path_root}/{name}/stats")
+        .saveAsTable(stats_t)
+    )
+
+
 def drop_posting_index(
     spark, name: str, path_root: str = "/tmp/sdc_spark_postidx"
 ) -> None:

@@ -63,3 +63,30 @@ def test_index_serves_bm25_through_append(spark, docs):
         assert spark.table(f"lexstats_{NAME}").count() == 2
     finally:
         sret.drop_posting_index(spark, NAME)
+
+
+def test_compact_and_delete_posting_index(spark, docs):
+    q = spark.createDataFrame(
+        [(0, "vector"), (0, "hash"), (1, "merge")], "qid int, term string"
+    )
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    b1 = docs.filter(F.col("doc_id") % 5 == 0)
+    sret.drop_posting_index(spark, NAME)
+    try:
+        sret.write_posting_index(spark, base, "text", "doc_id", NAME)
+        sret.append_posting_index(spark, b1, "text", "doc_id", NAME)
+        before = _served(spark, q)
+        sret.compact_posting_index(spark, NAME)
+        assert _served(spark, q) == before  # bit-identical service
+        files = glob.glob(f"{ROOT}/{NAME}/postings/*.parquet")
+        assert 0 < len(files) <= sret._POSTING_BUCKETS, len(files)
+        # takedown: served == in-session BM25 on the surviving corpus,
+        # INCLUDING the recomputed (N, avgdl) normalization
+        gone = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+        sret.delete_from_posting_index(spark, gone, NAME)
+        survivors = docs.filter(F.col("doc_id") % 7 != 0)
+        assert _served(spark, q) == _insession(spark, survivors, q)
+        n = spark.table(f"lexstats_{NAME}").agg(F.sum("n_docs")).collect()[0][0]
+        assert n == survivors.count()
+    finally:
+        sret.drop_posting_index(spark, NAME)
