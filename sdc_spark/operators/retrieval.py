@@ -426,11 +426,36 @@ def bm25_from_index(
         F.col(qid_col).alias("qid"), F.col(term_col).alias("token")
     ).distinct()
     matched = posted.join(F.broadcast(q), "token").transform(_materialize)
-    dfreq = matched.select("token", "doc").distinct().groupBy("token").agg(
-        F.count(F.lit(1)).alias("df")
+    return score_matched_postings(matched, stats, k1=k1, b=b)
+
+
+def score_matched_postings(
+    matched: DataFrame,
+    stats: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 scores from an already-matched posting set (qid, doc, token,
+    tf, dl) + a one-row (n_docs, avgdl) stats frame — the shared scoring
+    tail of the batch index server AND the streaming gate's per-micro-
+    batch completion (one scorer, so the two halves can't drift). df is
+    aggregated over the matched postings only (equal to corpus df for
+    those terms by construction)."""
+    # df derives FROM matched, so the join below is a self-join; the key
+    # is renamed on the aggregate side (fresh attribute) so the scorer
+    # works on any input — materialized or raw lineage (raw would throw
+    # "Conflicting attributes" on a same-exprId join key)
+    dfreq = (
+        matched.select(F.col("token").alias("__dftok"), "doc")
+        .distinct()
+        .groupBy("__dftok")
+        .agg(F.count(F.lit(1)).alias("df"))
     )
     scored = (
-        matched.join(F.broadcast(dfreq), "token")
+        matched.join(
+            F.broadcast(dfreq), F.col("token") == F.col("__dftok")
+        )
+        .drop("__dftok")
         .crossJoin(F.broadcast(stats))
         .select(
             "qid",

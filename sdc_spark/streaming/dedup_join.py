@@ -172,3 +172,27 @@ def streaming_substring_screen(
     return hashed.join(gram_index.select("h"), "h", "left_semi").select(
         F.col(id_col).alias("incoming_id"), "pos"
     )
+
+
+def streaming_bm25_candidates(
+    query_stream: DataFrame,
+    postings: DataFrame,
+    qid_col: str = "qid",
+    term_col: str = "term",
+) -> DataFrame:
+    """Streaming lexical serving against the STATIC posting index (the
+    query-stream half of the persisted BM25 index — same one-index-two-
+    halves pattern as the LSH and substring gates): arriving (qid, term)
+    rows stream-static inner-join the bucketed posting table. Stateless
+    on the stream side, O(index) memory; emits the matched candidate
+    postings (qid, doc, token, tf, dl). Scoring + top-k complete per
+    micro-batch in foreachBatch via
+    operators.retrieval.score_matched_postings — the SAME scorer the
+    batch server uses, so the halves cannot drift (global aggregation on
+    an unbounded stream is unsupported without a watermark; per-batch
+    completion is the documented pattern, like the substring gate's span
+    merge)."""
+    q = query_stream.select(
+        F.col(qid_col).alias("qid"), F.col(term_col).alias("token")
+    )
+    return q.join(postings, "token").select("qid", "doc", "token", "tf", "dl")

@@ -702,3 +702,43 @@ def test_streaming_substring_screen_matches_batch(spark, sf_dir, tmp_path_factor
     # exact copies are fully covered; novel docs never hit
     assert {d for d, _, _ in got_spans} == set(range(100000, 100005))
     sdedup.drop_substring_index(spark, name, path_root=root)
+
+
+def test_streaming_bm25_against_persisted_index(spark, sf_dir, tmp_path_factory):
+    """Query stream served by the persisted posting index: streamed
+    candidate postings, completed per micro-batch through the SHARED
+    scorer, must equal the batch index server score-for-score."""
+    import sdc_spark.operators.retrieval as sret
+    from sdc_spark.streaming.dedup_join import streaming_bm25_candidates
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    name = "pytest_stream_lexidx"
+    sret.drop_posting_index(spark, name)
+    try:
+        sret.write_posting_index(spark, docs, "text", "doc_id", name)
+        q_rows = [(0, "vector"), (0, "hash"), (1, "merge"), (1, "stream")]
+        qdf = spark.createDataFrame(q_rows, "qid int, term string")
+        src_dir = str(tmp_path_factory.mktemp("bm25_query_stream"))
+        qdf.write.mode("overwrite").parquet(src_dir)
+
+        stream_src = spark.readStream.schema(qdf.schema).parquet(src_dir)
+        cands = streaming_bm25_candidates(
+            stream_src, spark.table(f"postings_{name}")
+        )
+        got_cands = _run_stream(spark, cands, "bm25_stream_out")
+
+        stats = spark.table(f"lexstats_{name}").agg(
+            F.sum("n_docs").alias("n_docs"),
+            (F.sum("sum_dl").cast("double") / F.sum("n_docs").cast("double")).alias("avgdl"),
+        )
+        streamed = {
+            (r["qid"], r["doc"]): (r["n_hit_terms"], round(r["score"], 9))
+            for r in sret.score_matched_postings(got_cands, stats).collect()
+        }
+        batch = {
+            (r["qid"], r["doc"]): (r["n_hit_terms"], round(r["score"], 9))
+            for r in sret.bm25_from_index(spark, name, qdf).collect()
+        }
+        assert streamed == batch and len(batch) > 0
+    finally:
+        sret.drop_posting_index(spark, name)
