@@ -385,6 +385,61 @@ oracle(
 )
 
 
+@query("retrieval_index_takedown")
+def retrieval_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown/expiry graded end-to-end: build the posting index on the
+    full corpus, DELETE every 7th document (the removal-request path —
+    postings anti-joined, stats REBUILT so idf and length normalization
+    shift), serve the 3-query workload. The oracle recomputes batch BM25
+    from raw text over the surviving corpus — so a stale posting, a
+    leaked stats row, or a layout-breaking rewrite is a value mismatch."""
+    import sdc_spark.operators.retrieval as sret
+
+    doc = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = spark.createDataFrame(_BATCH_QUERIES, "qid int, term string")
+    name = f"lextd_{_sf_tag(sf_dir)}"
+
+    sret.drop_posting_index(spark, name)
+    sret.write_posting_index(spark, doc, "text", "doc_id", name)
+    sret.delete_from_posting_index(
+        spark, doc.filter(F.col("doc_id") % 7 == 0).select("doc_id"), name
+    )
+
+    from pyspark.sql.window import Window as W
+
+    scored = sret.bm25_from_index(spark, name, q).select(
+        "qid", "doc", "n_hit_terms", F.round("score", 4).alias("score")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "qid",
+            "rank",
+            F.col("doc").alias("doc_id"),
+            F.col("n_hit_terms").cast("int").alias("n_hit_terms"),
+            "score",
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+oracle(
+    "retrieval_index_takedown",
+    r"""
+    WITH q(qid, term) AS (
+        VALUES (0, 'vector'), (0, 'stream'),
+               (1, 'hash'), (1, 'join'),
+               (2, 'customer'), (2, 'filter'), (2, 'merge')
+    )
+    """
+    + "SELECT qid, rank, doc_id, n_hit_terms, score FROM ("
+    + _bm25_batch_sql("doc_id % 7 <> 0", 1)
+    + ") ORDER BY qid, rank",
+)
+
+
 @query("retrieval_hard_negatives")
 def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive retrieval training: for the

@@ -80,6 +80,7 @@ DEFAULT_SET = [
     "stats_robust_means",
     "pipeline_dump_release",
     "retrieval_index_ingest_loop",
+    "retrieval_index_takedown",
 ]
 
 
