@@ -80,8 +80,29 @@ def main() -> None:
     similarity.append_ivf_index(spark, newv, cent_p, cells_p)
     print("ANN index appended; searches now see the new vectors")
 
+    # --- lexical twin: persisted BM25 posting index ---
+    from sdc_spark.operators import retrieval
+
+    retrieval.drop_posting_index(spark, "example_lex")
+    retrieval.write_posting_index(spark, corpus, "text", "doc_id", "example_lex")
+    queries = spark.createDataFrame(
+        [(0, "vector"), (0, "stream"), (1, "merge")], "qid int, term string"
+    )
+    print(
+        "BM25 scored rows from the index:",
+        retrieval.bm25_from_index(spark, "example_lex", queries).count(),
+    )
+    retrieval.append_posting_index(spark, batch1, "text", "doc_id", "example_lex")
+    print("posting index appended; stats rows stay additive")
+    retrieval.compact_posting_index(spark, "example_lex")
+    retrieval.delete_from_posting_index(
+        spark, batch1.select("doc_id"), "example_lex"
+    )
+    print("lexical takedown: idf/avgdl recomputed without the removed docs")
+
     dedup.drop_lsh_index(spark, name)
     similarity.drop_ivf_index("example_ann")
+    retrieval.drop_posting_index(spark, "example_lex")
     spark.stop()
 
 
