@@ -125,6 +125,38 @@ def curriculum_phases(
     return out.drop("__pos__", "__n__")
 
 
+def snake_sharding(
+    df: DataFrame,
+    weight_col: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weight-balanced shard assignment by boustrophedon (snake) order:
+    rows sorted by weight DESC are dealt across shards left-to-right,
+    then right-to-left, alternating — the classic deterministic greedy
+    that keeps per-shard totals within one heavy item of each other
+    (what a distributed training job needs so no data-parallel rank
+    starves). Returns the input plus ``shard`` (0-based).
+
+    Deterministic and exactly oracle-able: shard is a closed-form
+    function of the global (weight desc, id) position — which rides
+    order.with_position (range exchange + P-row broadcast), never a
+    single-partition sort."""
+    if n_shards < 1:
+        raise ValueError("snake_sharding: n_shards must be >= 1")
+    from sdc_spark.operators.order import with_position
+
+    pos = with_position(
+        df, [F.col(weight_col).desc(), F.col(id_col)], "__pos__"
+    )
+    rnd = F.floor(F.col("__pos__") / n_shards)
+    within = F.col("__pos__") % n_shards
+    shard = F.when(rnd % 2 == 0, within).otherwise(
+        n_shards - 1 - within
+    )
+    return pos.withColumn("shard", shard.cast("int")).drop("__pos__")
+
+
 def sample_stratified(
     df: DataFrame,
     strata_col: str,

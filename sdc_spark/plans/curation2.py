@@ -116,6 +116,58 @@ oracle(
 )
 
 
+@query("curation_balanced_shards")
+def curation_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-balanced training-shard export: documents dealt across 8
+    shards in boustrophedon (snake) order of token count — per-shard
+    token totals stay within one heavy document of each other, so no
+    data-parallel rank starves. Per-shard manifest graded exactly (shard
+    is a closed-form function of the distributed global position; oracle
+    recomputes it from row_number arithmetic)."""
+    from sdc_spark.functions.text import ws_token_count
+    from sdc_spark.operators.curation import snake_sharding
+
+    doc = read_table(spark, sf_dir, "documents").select(
+        "doc_id", ws_token_count("text").alias("n_tokens")
+    )
+    sharded = snake_sharding(doc, "n_tokens", 8)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+oracle(
+    "curation_balanced_shards",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        FROM documents
+    ), p AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS pos
+        FROM t
+    ), s AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN (pos // 8) % 2 = 0 THEN pos % 8
+                    ELSE 7 - (pos % 8) END AS shard
+        FROM p
+    )
+    SELECT CAST(shard AS INT) AS shard, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           min(doc_id) AS min_doc
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+)
+
+
 @query("scd2_customer_status")
 def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-type-2 history construction (the CDC pattern `cdc_latest_state`

@@ -166,3 +166,30 @@ def test_curriculum_phases_matches_ntile(spark):
 
     with _pt.raises(ValueError):
         curriculum_phases(spark.createDataFrame([(1, 1.0)], "doc_id long, s double"), ["s"], 0)
+
+
+def test_snake_sharding_balance_and_semantics(spark):
+    """Snake deal: shard is the boustrophedon function of the (weight
+    desc, id) position, and per-shard totals stay within one heaviest
+    item of each other on adversarial weights."""
+    import pytest as _pt
+
+    from sdc_spark.operators.curation import snake_sharding
+
+    rows = [(i, float(100 - i)) for i in range(20)]  # strictly decreasing
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r["doc_id"]: r["shard"] for r in snake_sharding(df, "w", 4).collect()}
+    # positions == doc_id here; snake of width 4: 0123 3210 0123 ...
+    want = {}
+    for pos in range(20):
+        within = pos % 4
+        want[pos] = within if (pos // 4) % 2 == 0 else 3 - within
+    assert got == want
+    # balance bound: max-min per-shard total <= heaviest weight
+    totals = {}
+    for i, w in rows:
+        totals[got[i]] = totals.get(got[i], 0.0) + w
+    assert max(totals.values()) - min(totals.values()) <= 100.0
+    assert len(totals) == 4
+    with _pt.raises(ValueError):
+        snake_sharding(df, "w", 0)
