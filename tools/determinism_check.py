@@ -81,6 +81,9 @@ DEFAULT_SET = [
     "pipeline_dump_release",
     "retrieval_index_ingest_loop",
     "retrieval_index_takedown",
+    # distributed-global-position consumers (range-boundary hazard class)
+    "curation_curriculum",
+    "curation_balanced_shards",
 ]
 
 
