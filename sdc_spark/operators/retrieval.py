@@ -340,10 +340,33 @@ def compact_posting_index(
 ) -> None:
     """Compact back to ~one file per bucket after append-driven file
     growth (appends are new-doc-only, so rows are already unique — this
-    is pure file coalescing; contents bit-identical, pinned by test).
-    The stats table is a handful of additive rows and never needs it."""
+    is pure file coalescing; contents bit-identical when no takedowns
+    are pending, pinned by test) AND apply any pending tombstones
+    physically (the LSM contract: deletes are logged O(|batch|) at
+    takedown time, amortized into this scheduled rewrite). After a
+    tombstone-applying compaction the stats table is re-based to one
+    exact row recomputed from the surviving postings."""
     content = spark.read.parquet(f"{path_root}/{name}/postings")
+    tomb = posting_tombstones(spark, name)
+    if tomb is not None:
+        content = content.join(tomb, "doc", "left_anti")
     _rewrite_posting_table(spark, name, content, path_root, n_buckets)
+    if tomb is not None:
+        _rebuild_posting_stats(spark, name, path_root)
+        import shutil
+
+        spark.sql(f"DROP TABLE IF EXISTS lexdel_{name}")
+        shutil.rmtree(f"{path_root}/{name}/tombstones", ignore_errors=True)
+
+
+def posting_tombstones(spark, name: str) -> DataFrame | None:
+    """The index's delete log: a (doc) frame of tombstoned ids, or None
+    when no takedown has happened since the last compaction. Serve paths
+    anti-join it; ``compact_posting_index`` applies it physically."""
+    t = f"lexdel_{name}"
+    if not spark.catalog.tableExists(t):
+        return None
+    return spark.table(t)
 
 
 def delete_from_posting_index(
@@ -353,22 +376,70 @@ def delete_from_posting_index(
     id_col: str = "doc_id",
     n_buckets: int = _POSTING_BUCKETS,
     path_root: str = "/tmp/sdc_spark_postidx",
+    deferred: bool = True,
 ) -> None:
     """Takedown/expiry: remove documents from the persisted index.
-    Postings anti-join the id set and rewrite under the same layout;
-    the stats table is REBUILT from the surviving postings (additive
-    rows can't subtract), so served (N, avgdl) — and therefore idf and
-    length normalization — immediately reflect the removal, exactly as
-    if the index had been built without those docs."""
-    ids = doc_ids.select(F.col(id_col).alias("doc")).distinct()
-    remaining = (
-        spark.read.parquet(f"{path_root}/{name}/postings")
-        .join(F.broadcast(ids), "doc", "left_anti")
-    )
+
+    Default is the LSM answer — a TOMBSTONE log: the id batch appends to
+    a tiny ``lexdel_<name>`` side table (write cost O(|batch|), the
+    multi-TB posting table is not touched) and the stats table gains one
+    NEGATIVE additive row (-n_docs, -sum_dl) for the removed docs, so
+    the reader's existing sum-of-rows reduction yields post-takedown
+    (N, avgdl) with no rebuild. ``bm25_from_index`` anti-joins the log
+    at serve time; physical deletion is deferred to
+    ``compact_posting_index``. A weekly takedown batch on a 100-TB index
+    therefore writes kilobytes, not the index.
+
+    ``deferred=False`` keeps the eager path (anti-join + full rewrite +
+    stats rebuild) for callers that need the files gone NOW (e.g. a
+    storage-level compliance wipe). Neither path hints the anti-join
+    join strategy: a bulk expiry's id set can be corpus-scale, and a
+    forced broadcast of it would OOM the driver — AQE picks."""
     from sdc_spark.materialize import materialize
 
+    ids = doc_ids.select(F.col(id_col).alias("doc")).distinct()
+    if deferred:
+        prior = posting_tombstones(spark, name)
+        if prior is not None:
+            # already-tombstoned ids must not subtract their stats twice
+            ids = ids.join(prior, "doc", "left_anti")
+        fresh = materialize(ids, truncate=True)
+        neg = (
+            spark.table(f"postings_{name}")
+            .join(fresh, "doc", "left_semi")
+            .groupBy("doc")
+            .agg(F.max("dl").alias("dl"))
+            .agg(
+                (-F.count(F.lit(1))).alias("n_docs"),
+                (-F.coalesce(F.sum("dl"), F.lit(0))).alias("sum_dl"),
+            )
+        )
+        neg.write.mode("append").saveAsTable(f"lexstats_{name}")
+        t = f"lexdel_{name}"
+        if spark.catalog.tableExists(t):
+            fresh.write.mode("append").saveAsTable(t)
+        else:
+            (
+                fresh.write.mode("overwrite")
+                .option("path", f"{path_root}/{name}/tombstones")
+                .saveAsTable(t)
+            )
+        return
+    remaining = (
+        spark.read.parquet(f"{path_root}/{name}/postings")
+        .join(ids, "doc", "left_anti")
+    )
     staged = materialize(remaining, truncate=True)
     _rewrite_posting_table(spark, name, staged, path_root, n_buckets)
+    _rebuild_posting_stats(spark, name, path_root)
+
+
+def _rebuild_posting_stats(spark, name: str, path_root: str) -> None:
+    """Overwrite the stats table with one exact row recomputed from the
+    current (physically surviving) postings — the compaction-time reset
+    that re-bases the additive row stream."""
+    from sdc_spark.materialize import materialize
+
     stats_t = f"lexstats_{name}"
     new_stats = (
         spark.table(f"postings_{name}")
@@ -394,7 +465,7 @@ def drop_posting_index(
     """Drop the posting index tables and files (test/rebuild lifecycle)."""
     import shutil
 
-    for t in (f"postings_{name}", f"lexstats_{name}"):
+    for t in (f"postings_{name}", f"lexstats_{name}", f"lexdel_{name}"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     shutil.rmtree(f"{path_root}/{name}", ignore_errors=True)
 
@@ -414,7 +485,11 @@ def bm25_from_index(
     exactly what the graded ingest-loop query pins. The corpus text is
     never touched: query terms broadcast onto the bucketed posting scan,
     df aggregates over matched postings only, and (N, avgdl) reduce from
-    the additive stats rows."""
+    the additive stats rows. Pending takedowns are honored WITHOUT any
+    index rewrite: the matched postings anti-join the tombstone log
+    (strategy left to AQE — the log may be corpus-scale under bulk
+    expiry) and the stats sum already includes the negative takedown
+    rows, so (N, avgdl, idf) all reflect the removals immediately."""
     posted = spark.table(f"postings_{name}")
     stats = spark.table(f"lexstats_{name}").agg(
         F.sum("n_docs").alias("n_docs"),
@@ -425,7 +500,14 @@ def bm25_from_index(
     q = queries.select(
         F.col(qid_col).alias("qid"), F.col(term_col).alias("token")
     ).distinct()
-    matched = posted.join(F.broadcast(q), "token").transform(_materialize)
+    matched = posted.join(F.broadcast(q), "token")
+    tomb = posting_tombstones(spark, name)
+    if tomb is not None:
+        # applied AFTER the query-term match, so the anti-join touches
+        # only query-term postings, never the whole index; no strategy
+        # hint — the log can be corpus-scale under bulk expiry, AQE picks
+        matched = matched.join(tomb, "doc", "left_anti")
+    matched = matched.transform(_materialize)
     return score_matched_postings(matched, stats, k1=k1, b=b)
 
 
