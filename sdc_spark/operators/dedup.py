@@ -1012,12 +1012,19 @@ def compact_lsh_index(
     append adds a file per bucket, so a year of batches decays scan
     latency (open/footer cost per file) even though the bucket layout —
     and the zero-Exchange screen plan — survives; schedule this like any
-    LSM-ish maintenance. Contents are bit-identical before/after
-    (pinned by test)."""
+    LSM-ish maintenance. Pending tombstones (deferred takedowns) are
+    applied physically here and the log cleared; with none pending,
+    contents are bit-identical before/after (pinned by test)."""
+    tomb = lsh_tombstones(spark, name)
+    bands = spark.read.parquet(f"{path_root}/{name}/bands")
+    grams = spark.read.parquet(f"{path_root}/{name}/grams")
+    if tomb is not None:
+        bands = bands.join(tomb, "doc", "left_anti")
+        grams = grams.join(tomb, "doc", "left_anti")
     _rewrite_lsh_table(
         spark,
         f"lsh_bands_{name}",
-        spark.read.parquet(f"{path_root}/{name}/bands"),
+        bands,
         ("band", "bhash"),
         f"{path_root}/{name}/bands",
         n_buckets,
@@ -1025,11 +1032,27 @@ def compact_lsh_index(
     _rewrite_lsh_table(
         spark,
         f"lsh_grams_{name}",
-        spark.read.parquet(f"{path_root}/{name}/grams"),
+        grams,
         ("doc",),
         f"{path_root}/{name}/grams",
         n_buckets,
     )
+    if tomb is not None:
+        import shutil
+
+        spark.sql(f"DROP TABLE IF EXISTS lsh_dels_{name}")
+        shutil.rmtree(f"{path_root}/{name}/tombstones", ignore_errors=True)
+
+
+def lsh_tombstones(spark, name: str) -> "DataFrame | None":
+    """The LSH index's delete log: a (doc) frame of tombstoned corpus
+    ids, or None when no takedown is pending. Pass it to
+    ``screen_against_index(tombstones=...)``; ``compact_lsh_index``
+    applies it physically and clears it."""
+    t = f"lsh_dels_{name}"
+    if not spark.catalog.tableExists(t):
+        return None
+    return spark.table(t)
 
 
 def delete_from_lsh_index(
@@ -1038,15 +1061,42 @@ def delete_from_lsh_index(
     name: str,
     n_buckets: int = _LSH_INDEX_BUCKETS,
     path_root: str = "/tmp/sdc_spark_lshidx",
+    deferred: bool = True,
 ) -> None:
     """Remove documents from a persisted index (takedown/expiry — the
-    compliance path every long-lived corpus index needs): anti-join both
-    tables against the id frame (single column named ``doc``) and
-    rewrite under the same bucket spec. After deletion the index is
-    indistinguishable from one built without those docs (the signature
-    family is content-deterministic — pinned by test), so screens stop
-    reporting them immediately."""
+    compliance path every long-lived corpus index needs).
+
+    Default is a TOMBSTONE log: the id batch appends to a tiny
+    ``lsh_dels_<name>`` side table — write cost O(|batch|); the band and
+    gram tables are untouched. Screens exclude tombstoned docs at serve
+    time (``screen_against_index`` anti-joins the log against the
+    batch-sized candidate set, AFTER the zero-Exchange bucket join — so
+    the filter costs nothing at corpus scale); physical deletion is
+    amortized into ``compact_lsh_index``, after which the index is
+    bit-identical to one built without those docs (the signature family
+    is content-deterministic — pinned by test).
+
+    ``deferred=False`` keeps the eager full-rewrite for storage-level
+    compliance wipes. No join-strategy hints on any path: a bulk
+    expiry's id set can be corpus-scale — AQE picks."""
     ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc")).distinct()
+    if deferred:
+        from sdc_spark.materialize import materialize
+
+        t = f"lsh_dels_{name}"
+        prior = lsh_tombstones(spark, name)
+        if prior is not None:
+            ids = ids.join(prior, "doc", "left_anti")
+        fresh = materialize(ids, truncate=True)
+        if spark.catalog.tableExists(t):
+            fresh.write.mode("append").saveAsTable(t)
+        else:
+            (
+                fresh.write.mode("overwrite")
+                .option("path", f"{path_root}/{name}/tombstones")
+                .saveAsTable(t)
+            )
+        return
     _rewrite_lsh_table(
         spark,
         f"lsh_bands_{name}",
@@ -1069,7 +1119,7 @@ def drop_lsh_index(spark, name: str, path_root: str = "/tmp/sdc_spark_lshidx") -
     """Drop a persisted index's tables and files (fresh-rebuild path)."""
     import shutil
 
-    for t in (f"lsh_bands_{name}", f"lsh_grams_{name}"):
+    for t in (f"lsh_bands_{name}", f"lsh_grams_{name}", f"lsh_dels_{name}"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     shutil.rmtree(f"{path_root}/{name}", ignore_errors=True)
 
@@ -1129,6 +1179,7 @@ def screen_against_index(
     num_hashes: int = 128,
     bands: int = 32,
     ngram: int = 3,
+    tombstones: "DataFrame | None" = None,
 ) -> DataFrame:
     """Screen a new batch against a MATERIALIZED corpus index — the loop
     body of persisted incremental dedup: ``band_index`` is a
@@ -1138,7 +1189,15 @@ def screen_against_index(
     corpus text is NEVER touched: candidates come from the band-bucket
     join, exact-Jaccard verification joins the candidates' gram sets
     from the index. num_hashes/bands/ngram must match the values the
-    index was built with (the band hashes embed them)."""
+    index was built with (the band hashes embed them).
+
+    ``tombstones`` is the index's delete log (``lsh_tombstones``): a
+    (doc) frame of corpus ids taken down since the last compaction.
+    Tombstoned docs are excluded from the CANDIDATE set — after the
+    zero-Exchange bucket join and before the verify aggregation, so the
+    anti-join touches only the batch-sized candidate frame and the
+    verify prune never loads a deleted doc's grams. No strategy hint:
+    the log can be corpus-scale under bulk expiry; AQE picks."""
     base_n = _hashed_grams(new, text_col, id_col, ngram).transform(_materialize)
     band_n = _minhash_bands(base_n, num_hashes, bands)
 
@@ -1153,8 +1212,14 @@ def screen_against_index(
         )
         .select(F.col("e.doc").alias("corpus_doc"), F.col("n.doc").alias("new_doc"))
         .distinct()
-        .transform(_materialize)
     )
+    if tombstones is not None:
+        cands = cands.join(
+            tombstones.select(F.col("doc").alias("corpus_doc")),
+            "corpus_doc",
+            "left_anti",
+        )
+    cands = cands.transform(_materialize)
 
     # Semi-join-prune the CORPUS gram index down to candidate docs BEFORE
     # the collect_set aggregation. Catalyst cannot push the verify join

@@ -463,7 +463,32 @@ def ann_ivf_search_index(
     idx = spark.read.parquet(cells_path).filter(
         F.col("cell").isin([int(c) for c in probe_cells])
     )
+    tomb = ivf_tombstones(spark, cells_path)
+    if tomb is not None:
+        # pending takedowns: exclude logged ids at serve time (the scan is
+        # already pruned to probed cells, so the anti-join is cell-sized);
+        # no strategy hint — bulk-expiry logs can be large, AQE picks
+        idx = idx.join(tomb, "nid", "left_anti")
     return _ivf_rank(idx, probes, k)
+
+
+def _ivf_tomb_path(cells_path: str) -> str:
+    import os
+
+    return os.path.join(os.path.dirname(cells_path.rstrip("/")), "tombstones")
+
+
+def ivf_tombstones(spark, cells_path: str) -> "DataFrame | None":
+    """The IVF index's delete log: a (nid) frame of tombstoned vector
+    ids, or None when no takedown is pending. Lives beside the cell
+    directories, so every consumer that can reach the index can reach
+    its log."""
+    import os
+
+    p = _ivf_tomb_path(cells_path)
+    if not os.path.exists(os.path.join(p, "_SUCCESS")):
+        return None
+    return spark.read.parquet(p)
 
 
 def append_ivf_index(
@@ -517,11 +542,21 @@ def compact_ivf_index(
 ) -> None:
     """Compact a persisted IVF index back to ~one file per cell (every
     append adds a file per touched cell — the same LSM-ish decay the LSH
-    index compaction answers). Contents are bit-identical before/after."""
+    index compaction answers). Pending tombstones are applied physically
+    here and the log cleared; with none pending, contents are
+    bit-identical before/after."""
+    import shutil
+
     cent_p = f"{path_root}/{name}/centroids"
     cells_p = f"{path_root}/{name}/cells"
     n_cells = spark.read.parquet(cent_p).count()
-    _rewrite_ivf_cells(spark, cells_p, spark.read.parquet(cells_p), int(n_cells))
+    content = spark.read.parquet(cells_p)
+    tomb = ivf_tombstones(spark, cells_p)
+    if tomb is not None:
+        content = content.join(tomb, "nid", "left_anti")
+    _rewrite_ivf_cells(spark, cells_p, content, int(n_cells))
+    if tomb is not None:
+        shutil.rmtree(_ivf_tomb_path(cells_p), ignore_errors=True)
 
 
 def delete_from_ivf_index(
@@ -529,14 +564,27 @@ def delete_from_ivf_index(
     ids: DataFrame,
     name: str,
     path_root: str = "/tmp/sdc_spark_ivfidx",
+    deferred: bool = True,
 ) -> None:
-    """Remove vectors from a persisted IVF index (takedown/expiry): anti-
-    join the cell files against the id frame (single column, matched to
-    ``nid``) and rewrite. Searches stop returning the ids immediately."""
+    """Remove vectors from a persisted IVF index (takedown/expiry).
+
+    Default is a TOMBSTONE log beside the cell directories: the id batch
+    appends O(|batch|) bytes and the multi-TB cell files are untouched;
+    ``ann_ivf_search_index`` anti-joins the log at serve time (over the
+    already-cell-pruned scan), so searches stop returning the ids
+    immediately. Physical deletion is amortized into
+    ``compact_ivf_index``. ``deferred=False`` keeps the eager full
+    cell rewrite for storage-level wipes. No join-strategy hints —
+    AQE picks (bulk-expiry id sets can be corpus-scale)."""
     cent_p = f"{path_root}/{name}/centroids"
     cells_p = f"{path_root}/{name}/cells"
-    n_cells = spark.read.parquet(cent_p).count()
     idf = ids.select(F.col(ids.columns[0]).alias("nid")).distinct()
+    if deferred:
+        # re-logging an already-tombstoned id is harmless (anti-join is
+        # idempotent) — no read of the existing log needed
+        idf.write.mode("append").parquet(_ivf_tomb_path(cells_p))
+        return
+    n_cells = spark.read.parquet(cent_p).count()
     _rewrite_ivf_cells(
         spark,
         cells_p,

@@ -17,6 +17,7 @@ incremental near-dedup O(|batch|) per batch at a 100-TB corpus:
 from __future__ import annotations
 
 import glob
+import os
 import sys
 
 import pytest
@@ -182,18 +183,47 @@ def test_compact_restores_file_bound_and_content(
 def test_delete_equals_index_built_without_docs(
     spark, corpus_and_batch, index_tables, tmp_path_factory
 ):
-    """Takedown path: deleting the appended batch's docs leaves an index
-    bit-identical to one built fresh WITHOUT them (the signature family
-    is content-deterministic), and screens stop reporting them."""
+    """Takedown path, deferred (default): the delete writes only the tiny
+    tombstone log — the band/gram files are byte-untouched — yet screens
+    passing the log stop reporting the docs immediately. Compaction then
+    applies the log physically, leaving an index bit-identical to one
+    built fresh WITHOUT the docs (the signature family is
+    content-deterministic), and clears the log."""
     (bands_t, grams_t), root = index_tables
     existing, new = corpus_and_batch
     batch1 = new.filter(F.col("doc_id") % 2 == 0)
 
+    def _files():
+        return {
+            (f, os.path.getsize(f))
+            for sub in ("bands", "grams")
+            for f in glob.glob(f"{root}/{NAME}/{sub}/*.parquet")
+        }
+
+    before_files = _files()
     sdedup.delete_from_lsh_index(
         spark, batch1.select("doc_id"), NAME, path_root=root
     )
+    # O(|batch|) write: index files untouched, only the log was written
+    assert _files() == before_files
+    tomb = sdedup.lsh_tombstones(spark, NAME)
+    assert tomb is not None
+
+    deleted_ids = {r.doc_id for r in batch1.select("doc_id").collect()}
+    still = sdedup.screen_against_index(
+        spark.table(bands_t),
+        spark.table(grams_t),
+        new,
+        "text",
+        "doc_id",
+        tombstones=tomb,
+    )
+    assert not [r for r in still.collect() if r.corpus_doc in deleted_ids]
+
+    sdedup.compact_lsh_index(spark, NAME, path_root=root)
     spark.catalog.refreshTable(bands_t)
     spark.catalog.refreshTable(grams_t)
+    assert sdedup.lsh_tombstones(spark, NAME) is None
 
     ref_root = str(tmp_path_factory.mktemp("lshref"))
     rb, rg = sdedup.write_lsh_index(
@@ -205,13 +235,11 @@ def test_delete_equals_index_built_without_docs(
     assert {tuple(r) for r in spark.table(grams_t).collect()} == {
         tuple(r) for r in spark.table(rg).collect()
     }
-    deleted_ids = {r.doc_id for r in batch1.select("doc_id").collect()}
-    still = sdedup.screen_against_index(
+    # post-compaction screens need no tombstone frame
+    still2 = sdedup.screen_against_index(
         spark.table(bands_t), spark.table(grams_t), new, "text", "doc_id"
     )
-    assert not [
-        r for r in still.collect() if r.corpus_doc in deleted_ids
-    ]
+    assert not [r for r in still2.collect() if r.corpus_doc in deleted_ids]
     sdedup.drop_lsh_index(spark, "layoutref", path_root=ref_root)
 
 

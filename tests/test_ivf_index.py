@@ -8,6 +8,7 @@ round-trip through parquet must not move a single neighbor).
 from __future__ import annotations
 
 import glob
+import os
 import sys
 
 import pytest
@@ -131,7 +132,36 @@ def test_compact_and_delete_maintenance(spark, sf_dir, tmp_path_factory):
     doomed = batch.select("vec_id").filter(F.col("vec_id") < 100)
     doomed_ids = {r.vec_id for r in doomed.collect()}
     assert doomed_ids
+
+    def _cell_files():
+        return {
+            (f, os.path.getsize(f))
+            for d in glob.glob(f"{cells_p}/cell=*")
+            for f in glob.glob(f"{d}/*.parquet")
+        }
+
+    before_files = _cell_files()
     ssim.delete_from_ivf_index(spark, doomed, "ivfmaint", path_root=root)
+    # deferred default: O(|batch|) tombstone log, cell files byte-untouched
+    assert _cell_files() == before_files
+    assert ssim.ivf_tombstones(spark, cells_p) is not None
     q = emb.filter(F.col("vec_id") < 10)
     res = ssim.ann_ivf_search_index(spark, cent_p, cells_p, q, k=5, nprobe=16)
     assert not [r for r in res.collect() if r.nid in doomed_ids]
+    # the tombstone anti-join must not break static cell pruning
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PartitionFilters: [cell" in ln and "IN" in ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "cells" in ln
+    ), plan
+
+    # compaction applies the log physically and clears it
+    ssim.compact_ivf_index(spark, "ivfmaint", path_root=root)
+    assert ssim.ivf_tombstones(spark, cells_p) is None
+    stored_after = {
+        r.nid for r in spark.read.parquet(cells_p).select("nid").collect()
+    }
+    assert stored_after == {c[1] for c in before} - doomed_ids
+    res2 = ssim.ann_ivf_search_index(spark, cent_p, cells_p, q, k=5, nprobe=16)
+    assert not [r for r in res2.collect() if r.nid in doomed_ids]
