@@ -1626,13 +1626,17 @@ def write_substring_index(
     path_root: str = "/tmp/sdc_spark_subidx",
     overwrite: bool = False,
 ) -> str:
-    """Persist the corpus's DISTINCT ``min_len``-gram hash set as a
-    BUCKETED table (on ``h`` — the screen-join key) and return the table
-    name. This is the whole persisted state of INCREMENTAL exact
-    substring dedup: a batch position is duplicated in corpus ∪ batch
-    iff its gram hash is in this set OR repeats within the batch, so
-    membership (8 bytes/distinct gram) is sufficient — no doc ids, no
-    positions, no text. Bucketing means every subsequent
+    """Persist the corpus's COUNTED ``min_len``-gram hash multiset —
+    (h, cnt) rows, cnt = total occurrences — as a BUCKETED table (on
+    ``h``, the screen-join key) and return the table name. This is the
+    whole persisted state of INCREMENTAL exact substring dedup: a batch
+    position is duplicated in corpus ∪ batch iff its gram hash is in
+    this set OR repeats within the batch, so membership (16 bytes per
+    distinct gram) is sufficient — no doc ids, no positions, no text.
+    The counts exist ONLY for takedown bookkeeping
+    (``delete_from_substring_index`` logs negative counts; a gram dies
+    when its net count reaches zero) — screens never aggregate them.
+    Bucketing means every subsequent
     ``screen_substrings_against_index`` reads the corpus side with NO
     Exchange; only the incoming batch shuffles — per-batch screening is
     O(|batch|) at a 100-TB corpus. Same layout discipline as
@@ -1643,8 +1647,8 @@ def write_substring_index(
         return table
     (
         _kgram_positions(df, text_col, id_col, int(min_len))
-        .select("h")
-        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .repartition(n_buckets, "h")
         .write.mode("overwrite")
         .bucketBy(n_buckets, "h")
@@ -1664,18 +1668,18 @@ def append_substring_index(
     min_len: int = 50,
     n_buckets: int = _SUB_INDEX_BUCKETS,
 ) -> None:
-    """Append one ingested batch's distinct gram hashes under the same
+    """Append one ingested batch's (h, cnt) gram counts under the same
     bucket spec (co-location — and the zero-Exchange screen plan —
     survives growth; ~one new file per bucket per append). Hashes the
-    corpus already holds are appended again rather than anti-joined
-    away: duplicates cannot change a membership semi-join, and the
-    anti-join would cost a full index read per batch —
-    ``compact_substring_index`` dedups them during scheduled
-    maintenance instead."""
+    corpus already holds are appended again rather than merged: extra
+    rows cannot change a membership semi-join (and counts are summed
+    wherever they matter), while merging would cost a full index
+    rewrite per batch — ``compact_substring_index`` merges them during
+    scheduled maintenance instead."""
     (
         _kgram_positions(batch, text_col, id_col, int(min_len))
-        .select("h")
-        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .repartition(n_buckets, "h")
         .write.mode("append")
         .bucketBy(n_buckets, "h")
@@ -1690,28 +1694,164 @@ def compact_substring_index(
     n_buckets: int = _SUB_INDEX_BUCKETS,
     path_root: str = "/tmp/sdc_spark_subidx",
 ) -> None:
-    """Compact back to ~one file per bucket AND drop the cross-append
-    duplicate hashes (the set semantics make compaction here a true
-    dedup, not just a file merge). Same staged-rewrite discipline as
+    """Compact back to ~one file per bucket AND merge cross-append rows
+    into one (h, cnt) row per gram (summed counts). Pending takedowns
+    (``delete_from_substring_index``'s negative-count log) are applied
+    physically here — net-zero grams drop out — and the delete-side
+    tables are cleared. Same staged-rewrite discipline as
     ``compact_lsh_index`` — raw-path read, eager materialization before
     the old files are deleted."""
+    merged = (
+        spark.read.parquet(f"{path_root}/{name}/grams")
+        .groupBy("h")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    dels_t = f"sub_dels_{name}"
+    had_dels = spark.catalog.tableExists(dels_t)
+    if had_dels:
+        lognet = spark.table(dels_t).groupBy("h").agg(F.sum("cnt").alias("dcnt"))
+        merged = (
+            merged.join(lognet, "h", "left")
+            .select(
+                "h",
+                (F.col("cnt") + F.coalesce(F.col("dcnt"), F.lit(0))).alias("cnt"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
     _rewrite_lsh_table(
         spark,
         f"sub_grams_{name}",
-        spark.read.parquet(f"{path_root}/{name}/grams").distinct(),
+        merged,
         ("h",),
         f"{path_root}/{name}/grams",
         n_buckets,
     )
+    if had_dels:
+        import shutil
+
+        for t, sub in (
+            (dels_t, "dels"),
+            (f"sub_dead_{name}", "dead"),
+            (f"sub_deldocs_{name}", "deldocs"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{path_root}/{name}/{sub}", ignore_errors=True)
+
+
+def delete_from_substring_index(
+    spark,
+    removed_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    name: str,
+    min_len: int = 50,
+    path_root: str = "/tmp/sdc_spark_subidx",
+) -> None:
+    """Takedown for the persisted ExactSubstr index. The index stores no
+    doc ids — only (h, cnt) gram counts — so removal is COUNT
+    SUBTRACTION: the removed documents' text (the caller has it; a
+    takedown names docs in the corpus snapshot) is re-grammed, the
+    negative per-gram counts append to a ``sub_dels_<name>`` log
+    (write O(|batch|); the multi-TB gram table is untouched), and the
+    DEAD set — grams whose net count hits zero, i.e. grams that existed
+    ONLY in removed docs — is refreshed into a tiny ``sub_dead_<name>``
+    table that every screen anti-joins. Grams the removed docs shared
+    with surviving text keep net > 0 and stay members, which is exactly
+    ExactSubstr's semantics over the surviving corpus.
+
+    Cost: one read over the gram table restricted to the log's suspect
+    hashes (to re-derive net counts), O(|batch| + |log|) writes —
+    never an index rewrite; that is amortized into
+    ``compact_substring_index``. Contract (same as the LSH/posting
+    takedowns): docs passed here must currently be IN the index, each
+    at most once — a ``sub_deldocs_<name>`` id log makes re-deletes
+    no-ops."""
+    k = int(min_len)
+    deldocs_t = f"sub_deldocs_{name}"
+    ids = removed_docs.select(F.col(id_col).alias("doc")).distinct()
+    if spark.catalog.tableExists(deldocs_t):
+        ids = ids.join(spark.table(deldocs_t), "doc", "left_anti")
+    fresh_ids = _materialize_iter(ids)
+    batch = removed_docs.join(
+        fresh_ids.select(F.col("doc").alias(id_col)), id_col, "left_semi"
+    )
+    negs = (
+        _kgram_positions(batch, text_col, id_col, k)
+        .groupBy("h")
+        .agg((-F.count(F.lit(1))).alias("cnt"))
+    )
+    dels_t = f"sub_dels_{name}"
+    if spark.catalog.tableExists(dels_t):
+        negs.write.mode("append").saveAsTable(dels_t)
+    else:
+        (
+            negs.write.mode("overwrite")
+            .option("path", f"{path_root}/{name}/dels")
+            .saveAsTable(dels_t)
+        )
+    if spark.catalog.tableExists(deldocs_t):
+        fresh_ids.write.mode("append").saveAsTable(deldocs_t)
+    else:
+        (
+            fresh_ids.write.mode("overwrite")
+            .option("path", f"{path_root}/{name}/deldocs")
+            .saveAsTable(deldocs_t)
+        )
+    # refresh the dead set from net counts over the log's suspect hashes
+    # (the gram-table read is semi-join-pruned to those hashes; no hint —
+    # a bulk expiry's suspect set can be large, AQE picks)
+    lognet = spark.table(dels_t).groupBy("h").agg(F.sum("cnt").alias("dcnt"))
+    base = (
+        spark.table(f"sub_grams_{name}")
+        .join(lognet.select("h"), "h", "left_semi")
+        .groupBy("h")
+        .agg(F.sum("cnt").alias("bcnt"))
+    )
+    dead = (
+        base.join(lognet, "h")
+        .filter(F.col("bcnt") + F.col("dcnt") <= 0)
+        .select("h")
+    )
+    staged_dead = _materialize_iter(dead)
+    dead_t = f"sub_dead_{name}"
+    spark.sql(f"DROP TABLE IF EXISTS {dead_t}")
+    import shutil
+
+    shutil.rmtree(f"{path_root}/{name}/dead", ignore_errors=True)
+    (
+        staged_dead.write.mode("overwrite")
+        .option("path", f"{path_root}/{name}/dead")
+        .saveAsTable(dead_t)
+    )
+
+
+def substring_membership(spark, name: str) -> DataFrame:
+    """The index's live gram-hash membership set — the (h) frame both
+    the batch screen and the streaming gate join against: every hash in
+    the gram table minus the dead set (grams whose net count reached
+    zero through takedowns). With no takedowns pending this is exactly
+    the raw table's hash column (duplicates across appends are harmless
+    to membership joins)."""
+    member = spark.table(f"sub_grams_{name}").select("h")
+    dead_t = f"sub_dead_{name}"
+    if spark.catalog.tableExists(dead_t):
+        member = member.join(spark.table(dead_t), "h", "left_anti")
+    return member
 
 
 def drop_substring_index(
     spark, name: str, path_root: str = "/tmp/sdc_spark_subidx"
 ) -> None:
-    """Drop a persisted substring index's table and files."""
+    """Drop a persisted substring index's tables and files."""
     import shutil
 
-    spark.sql(f"DROP TABLE IF EXISTS sub_grams_{name}")
+    for t in (
+        f"sub_grams_{name}",
+        f"sub_dels_{name}",
+        f"sub_dead_{name}",
+        f"sub_deldocs_{name}",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
     shutil.rmtree(f"{path_root}/{name}", ignore_errors=True)
 
 
@@ -1747,7 +1887,10 @@ def screen_substrings_against_index(
         .filter(F.col("n") >= 2)
         .select("h")
     )
-    idx = spark.table(f"sub_grams_{name}").select("h")
+    # membership = raw hash column minus the (tiny) takedown dead set;
+    # screens never aggregate the counts — the semi-join below still
+    # reads the bucketed table in place with no Exchange
+    idx = substring_membership(spark, name)
     marked = (
         grams.join(idx, "h", "left_semi")
         .unionByName(grams.join(batch_dup, "h", "left_semi"))

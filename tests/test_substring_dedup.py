@@ -335,3 +335,92 @@ def test_min_len_validation(spark):
         pass
     else:
         raise AssertionError("min_len=1 must raise")
+
+
+def test_persisted_index_takedown_tombstones(spark, tmp_path_factory):
+    """Takedown on the counted-gram index: delete logs NEGATIVE counts —
+    O(|batch|) writes, gram files byte-untouched — and a screen after
+    the delete equals a full ExactSubstr run over the SURVIVING corpus ∪
+    batch (shared grams stay members, sole-owner grams die). Compaction
+    then applies the log physically (net-zero grams gone, one row per
+    gram) and the answer is unchanged."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sdc_spark.operators.dedup import (
+        compact_substring_index,
+        delete_from_substring_index,
+        drop_substring_index,
+        screen_substrings_against_index,
+        write_substring_index,
+    )
+
+    rng = random.Random(4242)
+    mk = lambda n: "".join(rng.choice("abcd ") for _ in range(n))
+    boiler = mk(25)  # shared by several corpus docs AND a removed doc
+    solo = mk(25)  # exists ONLY in removed docs
+    k = 10
+    texts = {}
+    for d in range(10):
+        texts[d] = mk(rng.randint(15, 40)) + (boiler if d % 3 == 0 else "")
+    texts[3] = texts[3] + solo  # doc 3 will be removed
+    texts[6] = texts[6] + solo[:k - 1]  # shares a sub-threshold prefix only
+    corpus = {d: t for d, t in texts.items() if d < 10}
+    batch = {100: boiler + " xx " + solo, 101: mk(30)}
+
+    root = str(tmp_path_factory.mktemp("subtomb"))
+    name = "subtomb_unittest"
+    drop_substring_index(spark, name, path_root=root)
+    cdf = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    bdf = spark.createDataFrame(list(batch.items()), ["doc_id", "text"])
+    write_substring_index(spark, cdf, "text", "doc_id", name, min_len=k, path_root=root)
+
+    removed = {3}
+    rdf = cdf.filter(F.col("doc_id").isin(list(removed)))
+
+    def _files():
+        return {
+            (f, os.path.getsize(f))
+            for f in glob.glob(f"{root}/{name}/grams/*.parquet")
+        }
+
+    before_files = _files()
+    delete_from_substring_index(
+        spark, rdf, "text", "doc_id", name, min_len=k, path_root=root
+    )
+    assert _files() == before_files  # O(|batch|) write: index untouched
+
+    surviving = {d: t for d, t in corpus.items() if d not in removed}
+
+    def screen() -> set:
+        return {
+            (r.doc, r.span_start, r.span_end)
+            for r in screen_substrings_against_index(
+                spark, bdf, "text", "doc_id", name, min_len=k
+            ).collect()
+        }
+
+    expect = {
+        s for s in _brute_spans({**surviving, **batch}, k) if s[0] >= 100
+    }
+    assert screen() == expect
+    # the boiler (shared with survivors) must still mark; solo must not
+    assert any(s[0] == 100 for s in expect)
+
+    # re-delete of the same doc is a no-op (deldocs guard)
+    delete_from_substring_index(
+        spark, rdf, "text", "doc_id", name, min_len=k, path_root=root
+    )
+    assert screen() == expect
+
+    compact_substring_index(spark, name, path_root=root)
+    spark.catalog.refreshTable(f"sub_grams_{name}")
+    assert not spark.catalog.tableExists(f"sub_dels_{name}")
+    assert not spark.catalog.tableExists(f"sub_dead_{name}")
+    assert screen() == expect
+    tbl = spark.table(f"sub_grams_{name}")
+    assert tbl.count() == tbl.select("h").distinct().count()
+    assert tbl.filter(F.col("cnt") <= 0).count() == 0
+    drop_substring_index(spark, name, path_root=root)
