@@ -86,12 +86,20 @@ def curriculum_phases(
     range exchange + P-row broadcast offsets) so the global rank — and
     therefore the phase cut — never single-partitions. Assignment is
     exactly ntile's: phase = the unique p with cum_rows(p-1) <= pos <
-    cum_rows(p), computed in closed form from the 0-based position."""
+    cum_rows(p), computed in closed form from the 0-based position.
+
+    ``id_col`` is appended as the FINAL ordering key (when not already
+    in ``order_cols``), so the global position — and therefore the phase
+    cut — is a total order and deterministic even when ``order_cols``
+    ties span a phase boundary."""
     if n_phases < 1:
         raise ValueError("curriculum_phases: n_phases must be >= 1")
     from sdc_spark.operators.order import with_position
 
-    pos = with_position(df, list(order_cols), "__pos__")
+    keys = list(order_cols)
+    if id_col not in keys:
+        keys.append(id_col)
+    pos = with_position(df, keys, "__pos__")
     n = pos.agg(F.count(F.lit(1)).alias("__n__"))
     # ntile closed form over 0-based pos: big phases (size q+1) come
     # first; q = n div k, r = n mod k

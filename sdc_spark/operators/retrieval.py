@@ -603,15 +603,38 @@ def rrf_fuse(
     nothing. Returns (doc, n_rankers, rrf_score).
 
     Inputs should be depth-truncated (``topk_ranking``) so the union is
-    bounded by depth x n_rankers; the sum map-side-combines. With two
-    rankers the float sum is order-independent (binary fp addition is
-    commutative), so the fused scores are exactly reproducible."""
+    bounded by depth x n_rankers; the per-ranker min-rank aggregates
+    map-side-combine. Fused scores are BIT-REPRODUCIBLE for any number
+    of rankers: each ranker's contribution lands in its own conditional
+    aggregate column (a doc appears at most once per ranker, so min()
+    is exact selection, not accumulation) and the float additions happen
+    in FIXED list order as a column expression — never through
+    F.sum(float), whose accumulation order is partition-dependent and
+    can flip scores near a rounding or top-k boundary with 3+ rankers."""
     if not rankings:
         raise ValueError("rrf_fuse: need at least one ranking")
-    tagged = rankings[0].select("doc", "rank")
-    for r in rankings[1:]:
-        tagged = tagged.unionByName(r.select("doc", "rank"))
-    return tagged.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n_rankers"),
-        F.sum(1.0 / (F.lit(float(k)) + F.col("rank"))).alias("rrf_score"),
+    tagged = rankings[0].select(
+        "doc", "rank", F.lit(0).alias("__ranker")
     )
+    for i, r in enumerate(rankings[1:], start=1):
+        tagged = tagged.unionByName(
+            r.select("doc", "rank", F.lit(i).alias("__ranker"))
+        )
+    per = tagged.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_rankers"),
+        *[
+            F.min(F.when(F.col("__ranker") == i, F.col("rank"))).alias(f"__r{i}")
+            for i in range(len(rankings))
+        ],
+    )
+    contrib = [
+        F.when(
+            F.col(f"__r{i}").isNotNull(),
+            1.0 / (F.lit(float(k)) + F.col(f"__r{i}")),
+        ).otherwise(F.lit(0.0))
+        for i in range(len(rankings))
+    ]
+    score = contrib[0]
+    for c in contrib[1:]:
+        score = score + c
+    return per.select("doc", "n_rankers", score.alias("rrf_score"))

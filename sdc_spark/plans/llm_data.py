@@ -141,8 +141,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("text"),
     )
+    # max_doc_freq=None: the oracle computes exact uncapped all-pairs, so
+    # the graded query must be exact too — the injected boilerplate tail
+    # is shared by 10% of docs, and at corpora past ~10k docs the default
+    # df cap would prune those grams while the oracle counts them (the
+    # documented convention, same as dedup_ngram_jaccard's docstring)
     pairs = sdedup.ngram_containment_pairs(
-        doc.unionByName(wrapped), "text", "doc_id", threshold=0.8
+        doc.unionByName(wrapped), "text", "doc_id", threshold=0.8,
+        max_doc_freq=None,
     )
     return pairs.select(
         "doc_a",

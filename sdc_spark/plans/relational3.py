@@ -241,10 +241,23 @@ def stats_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle on the group key into a per-group sort
     (row_number from both ends), then a plain aggregate — the same cost
     class as any per-group rank; no full-data window, no driver
-    collection."""
-    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
-    wa = W.partitionBy("event_type").orderBy(F.col("value").asc())
-    wd = W.partitionBy("event_type").orderBy(F.col("value").desc())
+    collection.
+
+    The two rankings carry event_id as a mirrored tiebreaker (ASC with
+    value ASC, DESC with value DESC) so ra + rd = n + 1 is an identity
+    and the bottom-k / top-k removal tails are provably disjoint even
+    when one value's tie group spans both tails (a near-constant group);
+    without it the trim sets could overlap and the means become
+    tie-order-dependent."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    wa = W.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wd = W.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").desc()
+    )
     ranked = ev.select(
         "event_type",
         "value",
@@ -287,8 +300,10 @@ oracle(
     """
     WITH ranked AS (
         SELECT event_type, value,
-               row_number() OVER (PARTITION BY event_type ORDER BY value ASC) AS ra,
-               row_number() OVER (PARTITION BY event_type ORDER BY value DESC) AS rd,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value ASC, event_id ASC) AS ra,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id DESC) AS rd,
                count(*) OVER (PARTITION BY event_type) AS n
         FROM events
     ), mid AS (
