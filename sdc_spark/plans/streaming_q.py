@@ -161,3 +161,121 @@ oracle(
     FROM w
     """,
 )
+
+
+@query("streaming_bm25_gate_e2e")
+def streaming_bm25_gate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming serve, graded through the driver oracle (the
+    other streaming registry queries are batch twins; this one RUNS a
+    Structured Streaming job): the (qid, term) query workload arrives as
+    a FILE STREAM, stream-static joins the persisted bucketed posting
+    index (streaming/dedup_join.streaming_bm25_candidates), and each
+    micro-batch completes scoring + top-5 in foreachBatch via the SAME
+    score_matched_postings the batch server uses. Driven by
+    trigger(availableNow) to a deterministic end; the oracle recomputes
+    batch BM25 from raw text in DuckDB, so a drift between the streaming
+    and batch halves — or a stale posting — is a value mismatch.
+
+    Scale shape: identical to bm25_from_index — the corpus tokenizes
+    once at index-build time, query terms stream onto the bucketed
+    posting table (stream-static joins are stateless on the stream
+    side), df aggregates over matched postings only. The one-file query
+    drop makes availableNow a single micro-batch; a production feed
+    would trickle many, each completing independently."""
+    import shutil
+    import tempfile
+
+    import sdc_spark.operators.retrieval as sret
+    from sdc_spark.plans.retrieval_q import _BATCH_QUERIES, _sf_tag
+    from sdc_spark.streaming.dedup_join import streaming_bm25_candidates
+
+    doc = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    name = f"lexgate_{_sf_tag(sf_dir)}"
+    sret.drop_posting_index(spark, name)
+    sret.write_posting_index(spark, doc, "text", "doc_id", name)
+
+    work = tempfile.mkdtemp(prefix="sdc_bm25_gate_")
+    try:
+        qdf = spark.createDataFrame(_BATCH_QUERIES, "qid int, term string")
+        qdf.coalesce(1).write.mode("overwrite").parquet(f"{work}/queries")
+        qstream = spark.readStream.schema("qid int, term string").parquet(
+            f"{work}/queries"
+        )
+        cands = streaming_bm25_candidates(
+            qstream, spark.table(f"postings_{name}")
+        )
+        stats = spark.table(f"lexstats_{name}").agg(
+            F.sum("n_docs").alias("n_docs"),
+            (
+                F.sum("sum_dl").cast("double") / F.sum("n_docs").cast("double")
+            ).alias("avgdl"),
+        )
+        collected: list = []
+
+        def complete(batch_df, _bid):
+            from pyspark.sql.window import Window as W
+
+            scored = sret.score_matched_postings(batch_df, stats)
+            # depth-bound INSIDE the micro-batch (rank window over the
+            # per-qid scored set, top-5 kept) so what crosses to the
+            # driver is O(queries x depth), never O(matched corpus)
+            w = W.partitionBy("qid").orderBy(
+                F.col("score").desc(), F.col("doc")
+            )
+            top = (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 5)
+                .drop("rank")
+            )
+            collected.extend(top.collect())
+
+        sq = (
+            cands.writeStream.foreachBatch(complete)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{work}/ck")
+            .start()
+        )
+        sq.awaitTermination()
+        out = spark.createDataFrame(
+            collected, "qid int, doc long, n_hit_terms bigint, score double"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        sret.drop_posting_index(spark, name)
+
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc"))
+    return (
+        out.select("qid", "doc", "n_hit_terms", F.round("score", 4).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "qid",
+            "rank",
+            F.col("doc").alias("doc_id"),
+            F.col("n_hit_terms").cast("int").alias("n_hit_terms"),
+            "score",
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+def _bm25_gate_oracle() -> str:
+    from sdc_spark.plans.retrieval_q import _bm25_batch_sql
+
+    return (
+        r"""
+    WITH q(qid, term) AS (
+        VALUES (0, 'vector'), (0, 'stream'),
+               (1, 'hash'), (1, 'join'),
+               (2, 'customer'), (2, 'filter'), (2, 'merge')
+    )
+    """
+        + "SELECT qid, rank, doc_id, n_hit_terms, score FROM ("
+        + _bm25_batch_sql("1 = 1", 1)
+        + ") ORDER BY qid, rank"
+    )
+
+
+oracle("streaming_bm25_gate_e2e", _bm25_gate_oracle())
