@@ -947,28 +947,33 @@ def append_lsh_index(
     bands: int = 32,
     ngram: int = 3,
     n_buckets: int = _LSH_INDEX_BUCKETS,
+    path_root: str = "/tmp/sdc_spark_lshidx",
 ) -> None:
     """Append one ingested batch's band+gram rows to a persisted index
     written by ``write_lsh_index`` — the index is never rewritten; the
     bucket spec matches the original so co-location is preserved and the
     append adds ~one file per bucket (repartition-first), not a
-    small-files blizzard."""
-    (
-        lsh_band_table(batch, text_col, id_col, num_hashes, bands, ngram)
-        .repartition(n_buckets, "band", "bhash")
-        .write.mode("append")
-        .bucketBy(n_buckets, "band", "bhash")
-        .sortBy("band", "bhash")
-        .saveAsTable(f"lsh_bands_{name}")
-    )
-    (
-        gram_index(batch, text_col, id_col, ngram)
-        .repartition(n_buckets, "doc")
-        .write.mode("append")
-        .bucketBy(n_buckets, "doc")
-        .sortBy("doc")
-        .saveAsTable(f"lsh_grams_{name}")
-    )
+    small-files blizzard. Serialized against concurrent compaction via
+    the index maintenance lock (operators/maintenance.py)."""
+    from sdc_spark.operators.maintenance import index_lock
+
+    with index_lock(f"{path_root}/{name}"):
+        (
+            lsh_band_table(batch, text_col, id_col, num_hashes, bands, ngram)
+            .repartition(n_buckets, "band", "bhash")
+            .write.mode("append")
+            .bucketBy(n_buckets, "band", "bhash")
+            .sortBy("band", "bhash")
+            .saveAsTable(f"lsh_bands_{name}")
+        )
+        (
+            gram_index(batch, text_col, id_col, ngram)
+            .repartition(n_buckets, "doc")
+            .write.mode("append")
+            .bucketBy(n_buckets, "doc")
+            .sortBy("doc")
+            .saveAsTable(f"lsh_grams_{name}")
+        )
 
 
 def _rewrite_lsh_table(
@@ -1014,34 +1019,38 @@ def compact_lsh_index(
     and the zero-Exchange screen plan — survives; schedule this like any
     LSM-ish maintenance. Pending tombstones (deferred takedowns) are
     applied physically here and the log cleared; with none pending,
-    contents are bit-identical before/after (pinned by test)."""
-    tomb = lsh_tombstones(spark, name)
-    bands = spark.read.parquet(f"{path_root}/{name}/bands")
-    grams = spark.read.parquet(f"{path_root}/{name}/grams")
-    if tomb is not None:
-        bands = bands.join(tomb, "doc", "left_anti")
-        grams = grams.join(tomb, "doc", "left_anti")
-    _rewrite_lsh_table(
-        spark,
-        f"lsh_bands_{name}",
-        bands,
-        ("band", "bhash"),
-        f"{path_root}/{name}/bands",
-        n_buckets,
-    )
-    _rewrite_lsh_table(
-        spark,
-        f"lsh_grams_{name}",
-        grams,
-        ("doc",),
-        f"{path_root}/{name}/grams",
-        n_buckets,
-    )
-    if tomb is not None:
-        import shutil
+    contents are bit-identical before/after (pinned by test). Holds the
+    index maintenance lock across the whole stage-then-replace window."""
+    from sdc_spark.operators.maintenance import index_lock
 
-        spark.sql(f"DROP TABLE IF EXISTS lsh_dels_{name}")
-        shutil.rmtree(f"{path_root}/{name}/tombstones", ignore_errors=True)
+    with index_lock(f"{path_root}/{name}"):
+        tomb = lsh_tombstones(spark, name)
+        bands = spark.read.parquet(f"{path_root}/{name}/bands")
+        grams = spark.read.parquet(f"{path_root}/{name}/grams")
+        if tomb is not None:
+            bands = bands.join(tomb, "doc", "left_anti")
+            grams = grams.join(tomb, "doc", "left_anti")
+        _rewrite_lsh_table(
+            spark,
+            f"lsh_bands_{name}",
+            bands,
+            ("band", "bhash"),
+            f"{path_root}/{name}/bands",
+            n_buckets,
+        )
+        _rewrite_lsh_table(
+            spark,
+            f"lsh_grams_{name}",
+            grams,
+            ("doc",),
+            f"{path_root}/{name}/grams",
+            n_buckets,
+        )
+        if tomb is not None:
+            import shutil
+
+            spark.sql(f"DROP TABLE IF EXISTS lsh_dels_{name}")
+            shutil.rmtree(f"{path_root}/{name}/tombstones", ignore_errors=True)
 
 
 def lsh_tombstones(spark, name: str) -> "DataFrame | None":
@@ -1079,40 +1088,47 @@ def delete_from_lsh_index(
     ``deferred=False`` keeps the eager full-rewrite for storage-level
     compliance wipes. No join-strategy hints on any path: a bulk
     expiry's id set can be corpus-scale — AQE picks."""
-    ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc")).distinct()
-    if deferred:
-        from sdc_spark.materialize import materialize
+    from sdc_spark.operators.maintenance import index_lock
 
-        t = f"lsh_dels_{name}"
-        prior = lsh_tombstones(spark, name)
-        if prior is not None:
-            ids = ids.join(prior, "doc", "left_anti")
-        fresh = materialize(ids, truncate=True)
-        if spark.catalog.tableExists(t):
-            fresh.write.mode("append").saveAsTable(t)
-        else:
-            (
-                fresh.write.mode("overwrite")
-                .option("path", f"{path_root}/{name}/tombstones")
-                .saveAsTable(t)
-            )
-        return
-    _rewrite_lsh_table(
-        spark,
-        f"lsh_bands_{name}",
-        spark.read.parquet(f"{path_root}/{name}/bands").join(ids, "doc", "left_anti"),
-        ("band", "bhash"),
-        f"{path_root}/{name}/bands",
-        n_buckets,
-    )
-    _rewrite_lsh_table(
-        spark,
-        f"lsh_grams_{name}",
-        spark.read.parquet(f"{path_root}/{name}/grams").join(ids, "doc", "left_anti"),
-        ("doc",),
-        f"{path_root}/{name}/grams",
-        n_buckets,
-    )
+    ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc")).distinct()
+    with index_lock(f"{path_root}/{name}"):
+        if deferred:
+            from sdc_spark.materialize import materialize
+
+            t = f"lsh_dels_{name}"
+            prior = lsh_tombstones(spark, name)
+            if prior is not None:
+                ids = ids.join(prior, "doc", "left_anti")
+            fresh = materialize(ids, truncate=True)
+            if spark.catalog.tableExists(t):
+                fresh.write.mode("append").saveAsTable(t)
+            else:
+                (
+                    fresh.write.mode("overwrite")
+                    .option("path", f"{path_root}/{name}/tombstones")
+                    .saveAsTable(t)
+                )
+            return
+        _rewrite_lsh_table(
+            spark,
+            f"lsh_bands_{name}",
+            spark.read.parquet(f"{path_root}/{name}/bands").join(
+                ids, "doc", "left_anti"
+            ),
+            ("band", "bhash"),
+            f"{path_root}/{name}/bands",
+            n_buckets,
+        )
+        _rewrite_lsh_table(
+            spark,
+            f"lsh_grams_{name}",
+            spark.read.parquet(f"{path_root}/{name}/grams").join(
+                ids, "doc", "left_anti"
+            ),
+            ("doc",),
+            f"{path_root}/{name}/grams",
+            n_buckets,
+        )
 
 
 def drop_lsh_index(spark, name: str, path_root: str = "/tmp/sdc_spark_lshidx") -> None:
@@ -1667,6 +1683,7 @@ def append_substring_index(
     name: str,
     min_len: int = 50,
     n_buckets: int = _SUB_INDEX_BUCKETS,
+    path_root: str = "/tmp/sdc_spark_subidx",
 ) -> None:
     """Append one ingested batch's (h, cnt) gram counts under the same
     bucket spec (co-location — and the zero-Exchange screen plan —
@@ -1675,17 +1692,21 @@ def append_substring_index(
     rows cannot change a membership semi-join (and counts are summed
     wherever they matter), while merging would cost a full index
     rewrite per batch — ``compact_substring_index`` merges them during
-    scheduled maintenance instead."""
-    (
-        _kgram_positions(batch, text_col, id_col, int(min_len))
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .repartition(n_buckets, "h")
-        .write.mode("append")
-        .bucketBy(n_buckets, "h")
-        .sortBy("h")
-        .saveAsTable(f"sub_grams_{name}")
-    )
+    scheduled maintenance instead. Serialized against concurrent
+    compaction via the index maintenance lock."""
+    from sdc_spark.operators.maintenance import index_lock
+
+    with index_lock(f"{path_root}/{name}"):
+        (
+            _kgram_positions(batch, text_col, id_col, int(min_len))
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .repartition(n_buckets, "h")
+            .write.mode("append")
+            .bucketBy(n_buckets, "h")
+            .sortBy("h")
+            .saveAsTable(f"sub_grams_{name}")
+        )
 
 
 def compact_substring_index(
@@ -1700,42 +1721,50 @@ def compact_substring_index(
     physically here — net-zero grams drop out — and the delete-side
     tables are cleared. Same staged-rewrite discipline as
     ``compact_lsh_index`` — raw-path read, eager materialization before
-    the old files are deleted."""
-    merged = (
-        spark.read.parquet(f"{path_root}/{name}/grams")
-        .groupBy("h")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
-    dels_t = f"sub_dels_{name}"
-    had_dels = spark.catalog.tableExists(dels_t)
-    if had_dels:
-        lognet = spark.table(dels_t).groupBy("h").agg(F.sum("cnt").alias("dcnt"))
-        merged = (
-            merged.join(lognet, "h", "left")
-            .select(
-                "h",
-                (F.col("cnt") + F.coalesce(F.col("dcnt"), F.lit(0))).alias("cnt"),
-            )
-            .filter(F.col("cnt") > 0)
-        )
-    _rewrite_lsh_table(
-        spark,
-        f"sub_grams_{name}",
-        merged,
-        ("h",),
-        f"{path_root}/{name}/grams",
-        n_buckets,
-    )
-    if had_dels:
-        import shutil
+    the old files are deleted. Holds the index maintenance lock across
+    the stage-then-replace window."""
+    from sdc_spark.operators.maintenance import index_lock
 
-        for t, sub in (
-            (dels_t, "dels"),
-            (f"sub_dead_{name}", "dead"),
-            (f"sub_deldocs_{name}", "deldocs"),
-        ):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
-            shutil.rmtree(f"{path_root}/{name}/{sub}", ignore_errors=True)
+    with index_lock(f"{path_root}/{name}"):
+        merged = (
+            spark.read.parquet(f"{path_root}/{name}/grams")
+            .groupBy("h")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        dels_t = f"sub_dels_{name}"
+        had_dels = spark.catalog.tableExists(dels_t)
+        if had_dels:
+            lognet = (
+                spark.table(dels_t).groupBy("h").agg(F.sum("cnt").alias("dcnt"))
+            )
+            merged = (
+                merged.join(lognet, "h", "left")
+                .select(
+                    "h",
+                    (F.col("cnt") + F.coalesce(F.col("dcnt"), F.lit(0))).alias(
+                        "cnt"
+                    ),
+                )
+                .filter(F.col("cnt") > 0)
+            )
+        _rewrite_lsh_table(
+            spark,
+            f"sub_grams_{name}",
+            merged,
+            ("h",),
+            f"{path_root}/{name}/grams",
+            n_buckets,
+        )
+        if had_dels:
+            import shutil
+
+            for t, sub in (
+                (dels_t, "dels"),
+                (f"sub_dead_{name}", "dead"),
+                (f"sub_deldocs_{name}", "deldocs"),
+            ):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+                shutil.rmtree(f"{path_root}/{name}/{sub}", ignore_errors=True)
 
 
 def delete_from_substring_index(
@@ -1766,6 +1795,17 @@ def delete_from_substring_index(
     takedowns): docs passed here must currently be IN the index, each
     at most once — a ``sub_deldocs_<name>`` id log makes re-deletes
     no-ops."""
+    from sdc_spark.operators.maintenance import index_lock
+
+    with index_lock(f"{path_root}/{name}"):
+        _delete_from_substring_index_locked(
+            spark, removed_docs, text_col, id_col, name, min_len, path_root
+        )
+
+
+def _delete_from_substring_index_locked(
+    spark, removed_docs, text_col, id_col, name, min_len, path_root
+) -> None:
     k = int(min_len)
     deldocs_t = f"sub_deldocs_{name}"
     ids = removed_docs.select(F.col(id_col).alias("doc")).distinct()

@@ -281,28 +281,35 @@ def append_posting_index(
     id_col: str,
     name: str,
     n_buckets: int = _POSTING_BUCKETS,
+    path_root: str = "/tmp/sdc_spark_postidx",
 ) -> None:
     """Append one ingested batch (NEW doc ids — the same contract as the
     LSH/IVF/substring appends) to a persisted posting index: postings
     append under the original bucket spec (~one file per bucket); the
-    stats table gains one additive (n_docs, sum_dl) row."""
+    stats table gains one additive (n_docs, sum_dl) row. Serialized
+    against concurrent compaction via the index maintenance lock
+    (operators/maintenance.py) — an append landing inside compaction's
+    stage-then-replace window would otherwise be lost."""
+    from sdc_spark.operators.maintenance import index_lock
+
     posted = posting_table(batch, text_col, id_col).transform(_materialize)
-    (
-        posted.repartition(n_buckets, "token")
-        .write.mode("append")
-        .bucketBy(n_buckets, "token")
-        .sortBy("token")
-        .saveAsTable(f"postings_{name}")
-    )
-    (
-        posted.groupBy("doc")
-        .agg(F.max("dl").alias("dl"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    with index_lock(f"{path_root}/{name}"):
+        (
+            posted.repartition(n_buckets, "token")
+            .write.mode("append")
+            .bucketBy(n_buckets, "token")
+            .sortBy("token")
+            .saveAsTable(f"postings_{name}")
         )
-        .write.mode("append")
-        .saveAsTable(f"lexstats_{name}")
-    )
+        (
+            posted.groupBy("doc")
+            .agg(F.max("dl").alias("dl"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+            )
+            .write.mode("append")
+            .saveAsTable(f"lexstats_{name}")
+        )
 
 
 def _rewrite_posting_table(
@@ -345,18 +352,22 @@ def compact_posting_index(
     physically (the LSM contract: deletes are logged O(|batch|) at
     takedown time, amortized into this scheduled rewrite). After a
     tombstone-applying compaction the stats table is re-based to one
-    exact row recomputed from the surviving postings."""
-    content = spark.read.parquet(f"{path_root}/{name}/postings")
-    tomb = posting_tombstones(spark, name)
-    if tomb is not None:
-        content = content.join(tomb, "doc", "left_anti")
-    _rewrite_posting_table(spark, name, content, path_root, n_buckets)
-    if tomb is not None:
-        _rebuild_posting_stats(spark, name, path_root)
-        import shutil
+    exact row recomputed from the surviving postings. Holds the index
+    maintenance lock for the whole stage-then-replace window."""
+    from sdc_spark.operators.maintenance import index_lock
 
-        spark.sql(f"DROP TABLE IF EXISTS lexdel_{name}")
-        shutil.rmtree(f"{path_root}/{name}/tombstones", ignore_errors=True)
+    with index_lock(f"{path_root}/{name}"):
+        content = spark.read.parquet(f"{path_root}/{name}/postings")
+        tomb = posting_tombstones(spark, name)
+        if tomb is not None:
+            content = content.join(tomb, "doc", "left_anti")
+        _rewrite_posting_table(spark, name, content, path_root, n_buckets)
+        if tomb is not None:
+            _rebuild_posting_stats(spark, name, path_root)
+            import shutil
+
+            spark.sql(f"DROP TABLE IF EXISTS lexdel_{name}")
+            shutil.rmtree(f"{path_root}/{name}/tombstones", ignore_errors=True)
 
 
 def posting_tombstones(spark, name: str) -> DataFrame | None:
@@ -396,42 +407,44 @@ def delete_from_posting_index(
     join strategy: a bulk expiry's id set can be corpus-scale, and a
     forced broadcast of it would OOM the driver — AQE picks."""
     from sdc_spark.materialize import materialize
+    from sdc_spark.operators.maintenance import index_lock
 
     ids = doc_ids.select(F.col(id_col).alias("doc")).distinct()
-    if deferred:
-        prior = posting_tombstones(spark, name)
-        if prior is not None:
-            # already-tombstoned ids must not subtract their stats twice
-            ids = ids.join(prior, "doc", "left_anti")
-        fresh = materialize(ids, truncate=True)
-        neg = (
-            spark.table(f"postings_{name}")
-            .join(fresh, "doc", "left_semi")
-            .groupBy("doc")
-            .agg(F.max("dl").alias("dl"))
-            .agg(
-                (-F.count(F.lit(1))).alias("n_docs"),
-                (-F.coalesce(F.sum("dl"), F.lit(0))).alias("sum_dl"),
+    with index_lock(f"{path_root}/{name}"):
+        if deferred:
+            prior = posting_tombstones(spark, name)
+            if prior is not None:
+                # already-tombstoned ids must not subtract stats twice
+                ids = ids.join(prior, "doc", "left_anti")
+            fresh = materialize(ids, truncate=True)
+            neg = (
+                spark.table(f"postings_{name}")
+                .join(fresh, "doc", "left_semi")
+                .groupBy("doc")
+                .agg(F.max("dl").alias("dl"))
+                .agg(
+                    (-F.count(F.lit(1))).alias("n_docs"),
+                    (-F.coalesce(F.sum("dl"), F.lit(0))).alias("sum_dl"),
+                )
             )
+            neg.write.mode("append").saveAsTable(f"lexstats_{name}")
+            t = f"lexdel_{name}"
+            if spark.catalog.tableExists(t):
+                fresh.write.mode("append").saveAsTable(t)
+            else:
+                (
+                    fresh.write.mode("overwrite")
+                    .option("path", f"{path_root}/{name}/tombstones")
+                    .saveAsTable(t)
+                )
+            return
+        remaining = (
+            spark.read.parquet(f"{path_root}/{name}/postings")
+            .join(ids, "doc", "left_anti")
         )
-        neg.write.mode("append").saveAsTable(f"lexstats_{name}")
-        t = f"lexdel_{name}"
-        if spark.catalog.tableExists(t):
-            fresh.write.mode("append").saveAsTable(t)
-        else:
-            (
-                fresh.write.mode("overwrite")
-                .option("path", f"{path_root}/{name}/tombstones")
-                .saveAsTable(t)
-            )
-        return
-    remaining = (
-        spark.read.parquet(f"{path_root}/{name}/postings")
-        .join(ids, "doc", "left_anti")
-    )
-    staged = materialize(remaining, truncate=True)
-    _rewrite_posting_table(spark, name, staged, path_root, n_buckets)
-    _rebuild_posting_stats(spark, name, path_root)
+        staged = materialize(remaining, truncate=True)
+        _rewrite_posting_table(spark, name, staged, path_root, n_buckets)
+        _rebuild_posting_stats(spark, name, path_root)
 
 
 def _rebuild_posting_stats(spark, name: str, path_root: str) -> None:

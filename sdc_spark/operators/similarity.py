@@ -507,21 +507,27 @@ def append_ivf_index(
     its cell directories, one file per touched cell. Codebook drift
     under a shifted embedding distribution is the operator's documented
     trade: rebuild with write_ivf_index(overwrite=True) on a schedule,
-    exactly like periodic LSH-index compaction."""
-    centroids = spark.read.parquet(cent_path)
-    n_cells = centroids.count()
-    v = new_vectors.select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("nvec"),
-        norm(F.col(vec_col)).alias("nrm"),
-    )
-    (
-        ivf_assign(v, centroids, "nid", "nvec")
-        .repartition(int(n_cells), "cell")
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(cells_path)
-    )
+    exactly like periodic LSH-index compaction. Serialized against
+    concurrent compaction via the index maintenance lock."""
+    import os
+
+    from sdc_spark.operators.maintenance import index_lock
+
+    with index_lock(os.path.dirname(cells_path.rstrip("/"))):
+        centroids = spark.read.parquet(cent_path)
+        n_cells = centroids.count()
+        v = new_vectors.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nvec"),
+            norm(F.col(vec_col)).alias("nrm"),
+        )
+        (
+            ivf_assign(v, centroids, "nid", "nvec")
+            .repartition(int(n_cells), "cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(cells_path)
+        )
 
 
 def _rewrite_ivf_cells(spark, cells_path: str, content: DataFrame, n_cells: int) -> None:
@@ -544,19 +550,23 @@ def compact_ivf_index(
     append adds a file per touched cell — the same LSM-ish decay the LSH
     index compaction answers). Pending tombstones are applied physically
     here and the log cleared; with none pending, contents are
-    bit-identical before/after."""
+    bit-identical before/after. Holds the index maintenance lock across
+    the stage-then-replace window."""
     import shutil
+
+    from sdc_spark.operators.maintenance import index_lock
 
     cent_p = f"{path_root}/{name}/centroids"
     cells_p = f"{path_root}/{name}/cells"
-    n_cells = spark.read.parquet(cent_p).count()
-    content = spark.read.parquet(cells_p)
-    tomb = ivf_tombstones(spark, cells_p)
-    if tomb is not None:
-        content = content.join(tomb, "nid", "left_anti")
-    _rewrite_ivf_cells(spark, cells_p, content, int(n_cells))
-    if tomb is not None:
-        shutil.rmtree(_ivf_tomb_path(cells_p), ignore_errors=True)
+    with index_lock(f"{path_root}/{name}"):
+        n_cells = spark.read.parquet(cent_p).count()
+        content = spark.read.parquet(cells_p)
+        tomb = ivf_tombstones(spark, cells_p)
+        if tomb is not None:
+            content = content.join(tomb, "nid", "left_anti")
+        _rewrite_ivf_cells(spark, cells_p, content, int(n_cells))
+        if tomb is not None:
+            shutil.rmtree(_ivf_tomb_path(cells_p), ignore_errors=True)
 
 
 def delete_from_ivf_index(
@@ -576,21 +586,24 @@ def delete_from_ivf_index(
     ``compact_ivf_index``. ``deferred=False`` keeps the eager full
     cell rewrite for storage-level wipes. No join-strategy hints —
     AQE picks (bulk-expiry id sets can be corpus-scale)."""
+    from sdc_spark.operators.maintenance import index_lock
+
     cent_p = f"{path_root}/{name}/centroids"
     cells_p = f"{path_root}/{name}/cells"
     idf = ids.select(F.col(ids.columns[0]).alias("nid")).distinct()
-    if deferred:
-        # re-logging an already-tombstoned id is harmless (anti-join is
-        # idempotent) — no read of the existing log needed
-        idf.write.mode("append").parquet(_ivf_tomb_path(cells_p))
-        return
-    n_cells = spark.read.parquet(cent_p).count()
-    _rewrite_ivf_cells(
-        spark,
-        cells_p,
-        spark.read.parquet(cells_p).join(idf, "nid", "left_anti"),
-        int(n_cells),
-    )
+    with index_lock(f"{path_root}/{name}"):
+        if deferred:
+            # re-logging an already-tombstoned id is harmless (anti-join
+            # is idempotent) — no read of the existing log needed
+            idf.write.mode("append").parquet(_ivf_tomb_path(cells_p))
+            return
+        n_cells = spark.read.parquet(cent_p).count()
+        _rewrite_ivf_cells(
+            spark,
+            cells_p,
+            spark.read.parquet(cells_p).join(idf, "nid", "left_anti"),
+            int(n_cells),
+        )
 
 
 def drop_ivf_index(name: str, path_root: str = "/tmp/sdc_spark_ivfidx") -> None:
