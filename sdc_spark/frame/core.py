@@ -883,10 +883,17 @@ class SparkFrame:
 
         return FrameGroupBy(self, [by] if isinstance(by, str) else list(by))
 
-    def rolling(self, window: int, min_periods: int | None = None, center: bool = False):
+    def rolling(
+        self,
+        window: int,
+        min_periods: int | None = None,
+        center: bool = False,
+        win_type=None,
+        closed: str = "right",
+    ):
         from sdc_spark.frame.rolling import FrameRolling
 
-        return FrameRolling(self, window, min_periods, center)
+        return FrameRolling(self, window, min_periods, center, win_type, closed)
 
     def resample(self, rule: str, on: str):
         """Downsample into ``rule``-sized time buckets keyed by column

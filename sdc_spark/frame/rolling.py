@@ -33,8 +33,11 @@ from sdc_spark.operators.rolling import (
 
 
 def _ctx_window(df: DataFrame, before: int, after: int):
-    """(context-replicated frame, per-partition window spec)."""
-    c = sorder.with_context(df, [IDX], before=before, after=after)
+    """(context-replicated frame, per-partition window spec). ``after``
+    may be negative (closed='left'/'neither' windows end one row BEFORE
+    the current row) — context replication only ever needs the clamped
+    positive lookahead."""
+    c = sorder.with_context(df, [IDX], before=before, after=max(after, 0))
     w = (
         W.partitionBy(sorder.PID)
         .orderBy(IDX)
@@ -43,19 +46,71 @@ def _ctx_window(df: DataFrame, before: int, after: int):
     return c, w
 
 
-def _bounds(window: int, center: bool) -> tuple[int, int]:
+_CLOSED = ("right", "left", "both", "neither")
+
+
+def _bounds(window: int, center: bool, closed: str = "right") -> tuple[int, int]:
+    """(rows-behind, rows-ahead) of the window frame. ``closed`` follows
+    pandas' fixed-window semantics: the conceptual interval is
+    (i - window, i] and each end is included/excluded — 'right' is the
+    classic trailing window (i-window+1 .. i), 'left' shifts it one row
+    back (i-window .. i-1), 'both' keeps both ends (window+1 rows),
+    'neither' drops both (window-1 rows). Pure frame-bound arithmetic:
+    every kernel's min_periods guard counts rows inside the frame, so
+    the semantics compose with no per-kernel changes (pandas
+    differentials in tests/test_rolling_grid.py pin them)."""
+    if closed not in _CLOSED:
+        raise ValueError(f"rolling: closed={closed!r}; expected one of {_CLOSED}")
     if center:
+        if closed != "right":
+            raise NotImplementedError(
+                "rolling: closed= with center=True is not implemented "
+                "(the reference's kernels execute only trailing windows — "
+                "sdc/datatypes/hpat_pandas_rolling_types.py:36-72)"
+            )
         # pandas centered window: (window-1)//2 behind, window//2 ahead
         return (window - 1) // 2, window // 2
-    return window - 1, 0
+    if closed == "right":
+        return window - 1, 0
+    if closed == "left":
+        if window == 1:
+            raise NotImplementedError(
+                "rolling: window=1 with closed='left' (empty frame)"
+            )
+        return window, -1
+    if closed == "both":
+        return window, 0
+    # neither
+    if window == 1:
+        raise NotImplementedError(
+            "rolling: window=1 with closed='neither' (empty frame)"
+        )
+    return window - 1, -1
+
+
+def _check_win_type(win_type) -> None:
+    if win_type is not None:
+        raise NotImplementedError(
+            "rolling: win_type weighted windows are not implemented. The "
+            "reference carries win_type in its RollingType "
+            "(sdc/datatypes/hpat_pandas_rolling_types.py:36-72) but its "
+            "kernels likewise execute only unweighted windows."
+        )
 
 
 class SeriesRolling:
     def __init__(
-        self, s: SparkSeries, window: int, min_periods: int | None, center: bool = False
+        self,
+        s: SparkSeries,
+        window: int,
+        min_periods: int | None,
+        center: bool = False,
+        win_type=None,
+        closed: str = "right",
     ):
+        _check_win_type(win_type)
         self._s = s
-        self._before, self._after = _bounds(window, center)
+        self._before, self._after = _bounds(window, center, closed)
         # pandas: min_periods defaults to window for value kernels but to 0
         # for count
         self._minp = window if min_periods is None else min_periods
@@ -263,10 +318,17 @@ class FrameRolling:
     column vs it)."""
 
     def __init__(
-        self, frame, window: int, min_periods: int | None, center: bool = False
+        self,
+        frame,
+        window: int,
+        min_periods: int | None,
+        center: bool = False,
+        win_type=None,
+        closed: str = "right",
     ):
+        _check_win_type(win_type)
         self._frame = frame
-        self._before, self._after = _bounds(window, center)
+        self._before, self._after = _bounds(window, center, closed)
         self._minp = window if min_periods is None else min_periods
         self._minp_count = 0 if min_periods is None else min_periods
 

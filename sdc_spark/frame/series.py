@@ -744,13 +744,22 @@ class SparkSeries:
         values, bounded rank error otherwise."""
         return SeriesExpanding(self, min_periods)
 
-    def rolling(self, window: int, min_periods: int | None = None, center: bool = False):
-        """ref RollingType carries `center` (sdc/datatypes/
+    def rolling(
+        self,
+        window: int,
+        min_periods: int | None = None,
+        center: bool = False,
+        win_type=None,
+        closed: str = "right",
+    ):
+        """ref RollingType carries `center`/`win_type` (sdc/datatypes/
         hpat_pandas_rolling_types.py:36-72) though its kernels only do
-        trailing windows — we support both."""
+        trailing unweighted windows — we support center and closed
+        (frame-bound arithmetic; pandas-differential-tested); win_type
+        raises loudly."""
         from sdc_spark.frame.rolling import SeriesRolling
 
-        return SeriesRolling(self, window, min_periods, center)
+        return SeriesRolling(self, window, min_periods, center, win_type, closed)
 
     def resample(self, rule: str):
         """pandas Series.resample over a datetime index: floor the index
