@@ -1955,3 +1955,73 @@ oracle(
     FROM synth ORDER BY doc_id
     """,
 )
+
+
+@query("dedup_index_takedown")
+def dedup_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-LSH takedown graded end-to-end, BOTH phases of the
+    tombstone lifecycle: build the corpus index (doc_id%5!=0), tombstone-
+    delete every corpus doc with doc_id%3==0 (delete_from_lsh_index
+    deferred default — an O(|batch|) delete-log write, the band/gram
+    files untouched), then screen the batch (doc_id%5==0) passing the
+    log (snapshot 1: serve-time exclusion via the candidate anti-join);
+    compact (physical apply + log clear) and screen again (snapshot 2:
+    post-compaction index). Both snapshots must hash-match exact
+    cross-pairs Jaccard against the SURVIVING corpus — a leaked
+    tombstoned doc in either phase, or a compaction that drops a
+    survivor, is a value mismatch."""
+    from sdc_spark.materialize import materialize
+
+    name = f"lshtd_{_sf_tag(sf_dir)}"
+    # the index MUTATES (delete + compact) — rebuild fresh per run
+    sdedup.drop_lsh_index(spark, name)
+    doc = _t(spark, sf_dir, "documents")
+    corpus = doc.filter(F.col("doc_id") % 5 != 0)
+    batch = doc.filter(F.col("doc_id") % 5 == 0)
+    bands_t, grams_t = sdedup.write_lsh_index(
+        spark, corpus, "text", "doc_id", name
+    )
+    sdedup.delete_from_lsh_index(
+        spark,
+        corpus.filter(F.col("doc_id") % 3 == 0).select("doc_id"),
+        name,
+    )
+
+    def screen(n: int, tomb) -> DataFrame:
+        pairs = sdedup.screen_against_index(
+            spark.table(bands_t),
+            spark.table(grams_t),
+            batch,
+            "text",
+            "doc_id",
+            threshold=0.8,
+            tombstones=tomb,
+        )
+        return materialize(pairs.select(F.lit(n).alias("snapshot"), "*"))
+
+    out1 = screen(1, sdedup.lsh_tombstones(spark, name))
+    sdedup.compact_lsh_index(spark, name)
+    spark.catalog.refreshTable(bands_t)
+    spark.catalog.refreshTable(grams_t)
+    out2 = screen(2, sdedup.lsh_tombstones(spark, name))
+    return out1.unionByName(out2)
+
+
+oracle(
+    "dedup_index_takedown",
+    f"""
+    WITH {_GRAMS_SQL},
+    cross_pairs AS (
+        SELECT doc_a AS corpus_doc, doc_b AS new_doc, jac FROM pairs
+        WHERE jac >= 0.8 AND doc_a % 5 <> 0 AND doc_a % 3 <> 0
+          AND doc_b % 5 = 0
+        UNION ALL
+        SELECT doc_b, doc_a, jac FROM pairs
+        WHERE jac >= 0.8 AND doc_b % 5 <> 0 AND doc_b % 3 <> 0
+          AND doc_a % 5 = 0
+    )
+    SELECT 1 AS snapshot, corpus_doc, new_doc, jac FROM cross_pairs
+    UNION ALL
+    SELECT 2, corpus_doc, new_doc, jac FROM cross_pairs
+    """,
+)
