@@ -97,7 +97,9 @@ def curriculum_phases(
     from sdc_spark.operators.order import with_position
 
     keys = list(order_cols)
-    if id_col not in keys:
+    # membership test against STRING entries only: Column.__eq__ builds an
+    # expression, so `id_col in keys` would raise on Column-typed keys
+    if id_col not in [k for k in keys if isinstance(k, str)]:
         keys.append(id_col)
     pos = with_position(df, keys, "__pos__")
     n = pos.agg(F.count(F.lit(1)).alias("__n__"))
