@@ -64,6 +64,9 @@ HEADLINE = [
     "dedup_keep_best_quality",
     "text_substring_dedup",
     "pipeline_dump_release",
+    # round-11 marquee additions
+    "retrieval_index_takedown",
+    "streaming_bm25_gate_e2e",
 ]
 
 
