@@ -112,3 +112,109 @@ def break_index_lock(index_root: str) -> None:
     maintenance job. Only safe when no maintenance job is alive."""
     with contextlib.suppress(OSError):
         os.rmdir(_lock_path(os.path.abspath(index_root)))
+
+
+def takedown_documents(
+    spark,
+    removed_docs,
+    indexes,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """One takedown request, every persisted index — the compliance
+    primitive a long-lived corpus actually needs: a removal request
+    names documents once, but the documents' derived state lives in
+    FOUR index families (posting lists, LSH bands/grams, IVF cells,
+    substring gram counts). This fans a single ``removed_docs`` frame
+    across all of them, each as its family's deferred tombstone delete
+    (O(|batch|) writes everywhere; physical deletion amortizes into the
+    per-index compactions), each under its own maintenance lock.
+
+    ``removed_docs`` must carry ``id_col``; when a substring index is
+    listed it must carry ``text_col`` too (that family stores no doc
+    ids — removal is count subtraction over the removed text, see
+    delete_from_substring_index). For IVF indexes the id column doubles
+    as the vector id.
+
+    ``indexes`` is a list of descriptors:
+        {"kind": "posting",   "name": n, "path_root": ...}
+        {"kind": "lsh",       "name": n, "path_root": ...}
+        {"kind": "ivf",       "name": n, "path_root": ...}
+        {"kind": "substring", "name": n, "path_root": ..., "min_len": k}
+    path_root defaults to each family's default; unknown kinds raise
+    BEFORE any delete runs (a compliance batch must be all-or-nothing
+    in intent — partial fan-out by typo is the worst failure mode).
+
+    The id frame is materialized once and shared by every delete, so
+    the request's lineage (often a join against a takedown queue) runs
+    one time, not once per index."""
+    from sdc_spark.materialize import materialize
+
+    kinds = {d.get("kind") for d in indexes}
+    unknown = kinds - {"posting", "lsh", "ivf", "substring"}
+    if unknown:
+        raise ValueError(f"takedown_documents: unknown index kinds {unknown}")
+    if any(d.get("kind") == "substring" for d in indexes):
+        if text_col not in removed_docs.columns:
+            raise ValueError(
+                "takedown_documents: a substring index is listed but "
+                f"removed_docs has no {text_col!r} column — that family "
+                "removes by re-gramming the removed text"
+            )
+    docs = materialize(removed_docs, truncate=True)
+    ids = docs.select(id_col).distinct()
+
+    import sdc_spark.operators.dedup as _dedup
+    import sdc_spark.operators.retrieval as _ret
+    import sdc_spark.operators.similarity as _sim
+
+    for d in indexes:
+        kind, name = d["kind"], d["name"]
+        if kind == "posting":
+            kw = {"path_root": d["path_root"]} if "path_root" in d else {}
+            _ret.delete_from_posting_index(spark, ids, name, id_col=id_col, **kw)
+        elif kind == "lsh":
+            kw = {"path_root": d["path_root"]} if "path_root" in d else {}
+            _dedup.delete_from_lsh_index(spark, ids, name, **kw)
+        elif kind == "ivf":
+            kw = {"path_root": d["path_root"]} if "path_root" in d else {}
+            _sim.delete_from_ivf_index(spark, ids, name, **kw)
+        else:  # substring
+            kw = {"path_root": d["path_root"]} if "path_root" in d else {}
+            if "min_len" in d:
+                kw["min_len"] = d["min_len"]
+            _dedup.delete_from_substring_index(
+                spark, docs, text_col, id_col, name, **kw
+            )
+
+
+def compact_indexes(spark, indexes):
+    """Apply pending tombstones physically across every listed index
+    (same descriptors as ``takedown_documents``) — the scheduled
+    maintenance half of the LSM contract. Each compaction takes its own
+    index lock; a failure in one index does not silently skip the rest
+    (exceptions propagate after the loop, first error wins)."""
+    import sdc_spark.operators.dedup as _dedup
+    import sdc_spark.operators.retrieval as _ret
+    import sdc_spark.operators.similarity as _sim
+
+    first_err = None
+    for d in indexes:
+        kind, name = d["kind"], d["name"]
+        kw = {"path_root": d["path_root"]} if "path_root" in d else {}
+        try:
+            if kind == "posting":
+                _ret.compact_posting_index(spark, name, **kw)
+            elif kind == "lsh":
+                _dedup.compact_lsh_index(spark, name, **kw)
+            elif kind == "ivf":
+                _sim.compact_ivf_index(spark, name, **kw)
+            elif kind == "substring":
+                _dedup.compact_substring_index(spark, name, **kw)
+            else:
+                raise ValueError(f"compact_indexes: unknown kind {kind!r}")
+        except Exception as e:  # noqa: BLE001
+            if first_err is None:
+                first_err = e
+    if first_err is not None:
+        raise first_err
