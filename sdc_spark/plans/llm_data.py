@@ -1653,7 +1653,14 @@ def dedup_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             threshold=0.8,
         )
-        return materialize(pairs.select(F.lit(n).alias("batch"), "*"))
+        # truncate=True: batch 1's screen precedes the append — kept
+        # lineage (persist mode) recomputing an evicted partition AFTER
+        # the append would read the grown index and silently change the
+        # snapshot (same hazard class as the takedown query's deleted
+        # files, caught by the 2 GiB memory probe)
+        return materialize(
+            pairs.select(F.lit(n).alias("batch"), "*"), truncate=True
+        )
 
     out1 = screen(batch1, 1)
     sdedup.append_lsh_index(spark, batch1, "text", "doc_id", name)
@@ -1997,7 +2004,14 @@ def dedup_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
             threshold=0.8,
             tombstones=tomb,
         )
-        return materialize(pairs.select(F.lit(n).alias("snapshot"), "*"))
+        # truncate=True: snapshot 1 is computed FROM files the compaction
+        # below DELETES (the tombstone log, then the pre-compaction index
+        # files). Under persist-mode materialization kept lineage would
+        # recompute any uncached partition from those deleted files
+        # (FAILED_READ_FILE — caught by the 2 GiB memory probe).
+        return materialize(
+            pairs.select(F.lit(n).alias("snapshot"), "*"), truncate=True
+        )
 
     out1 = screen(1, sdedup.lsh_tombstones(spark, name))
     sdedup.compact_lsh_index(spark, name)

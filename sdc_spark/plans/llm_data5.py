@@ -382,7 +382,13 @@ def substring_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         spans = screen_substrings_against_index(
             spark, batch, "text", "doc_id", name, min_len=_K
         )
-        return materialize(spans.select(F.lit(n).alias("batch"), "*"))
+        # truncate=True: the screen precedes the append — kept lineage
+        # (persist mode) recomputing an evicted partition AFTER the
+        # append would read the grown index and silently change the
+        # snapshot
+        return materialize(
+            spans.select(F.lit(n).alias("batch"), "*"), truncate=True
+        )
 
     out1 = screen(batch1, 1)
     append_substring_index(spark, batch1, "text", "doc_id", name, min_len=_K)

@@ -360,7 +360,11 @@ def retrieval_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_hit_terms").cast("int").alias("n_hit_terms"),
                 "score",
             )
-            .transform(_materialize)
+            # truncate=True: snapshot 1 is served BEFORE the append —
+            # kept lineage (persist mode) recomputing an evicted
+            # partition after the append would read the grown index and
+            # silently change the snapshot
+            .transform(lambda df: _materialize(df, truncate=True))
         )
 
     r1 = serve(1)
