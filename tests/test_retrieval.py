@@ -131,3 +131,31 @@ def test_bm25_multi_agrees_with_single_set(spark):
     for d, (hits, score) in single.items():
         assert multi[d][0] == hits
         assert multi[d][1] == _pt.approx(score, rel=1e-12)
+
+
+def test_rrf_fuse_three_rankers_bit_reproducible(spark):
+    """3+ rankers (the ADVICE r10 case): per-ranker contributions add in
+    FIXED list order, so fused floats are bit-equal to the Python
+    left-fold in the same order — and stable across repeated runs."""
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc", "rank"])
+    b = spark.createDataFrame([(2, 1), (3, 2), (4, 3)], ["doc", "rank"])
+    c = spark.createDataFrame([(3, 1), (1, 2), (5, 3)], ["doc", "rank"])
+    expected = {}
+    ranks_by_doc = {
+        1: [1, None, 2], 2: [2, 1, None], 3: [3, 2, 1],
+        4: [None, 3, None], 5: [None, None, 3],
+    }
+    for doc, rs in ranks_by_doc.items():
+        s = 0.0
+        n = 0
+        for r in rs:  # fixed list order, like the operator
+            if r is not None:
+                s = s + 1.0 / (60.0 + r)
+                n += 1
+        expected[doc] = (n, s)
+    for _ in range(3):
+        got = {
+            r["doc"]: (r["n_rankers"], r["rrf_score"])
+            for r in rrf_fuse([a, b, c], k=60).collect()
+        }
+        assert got == expected  # exact ==, not approx: bit-equality
