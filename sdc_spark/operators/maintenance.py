@@ -188,12 +188,28 @@ def takedown_documents(
             )
 
 
-def compact_indexes(spark, indexes):
+_DEFAULT_ROOTS = {
+    "posting": "/tmp/sdc_spark_postidx",
+    "lsh": "/tmp/sdc_spark_lshidx",
+    "ivf": "/tmp/sdc_spark_ivfidx",
+    "substring": "/tmp/sdc_spark_subidx",
+}
+
+
+def compact_indexes(spark, indexes, only_if_needed: bool = False):
     """Apply pending tombstones physically across every listed index
     (same descriptors as ``takedown_documents``) — the scheduled
     maintenance half of the LSM contract. Each compaction takes its own
     index lock; a failure in one index does not silently skip the rest
-    (exceptions propagate after the loop, first error wins)."""
+    (exceptions propagate after the loop, first error wins).
+
+    ``only_if_needed=True`` consults ``needs_compaction`` per index
+    (descriptors may carry ``n_buckets``, ``max_files_per_bucket``,
+    ``max_log_fraction`` to tune the thresholds; defaults 16 / 4.0 /
+    0.05) and skips indexes under both the file-count and
+    tombstone-pressure thresholds — the cheap idempotent form a
+    maintenance cron calls hourly, paying rewrites only when the LSM
+    decay warrants them."""
     import sdc_spark.operators.dedup as _dedup
     import sdc_spark.operators.retrieval as _ret
     import sdc_spark.operators.similarity as _sim
@@ -202,6 +218,15 @@ def compact_indexes(spark, indexes):
     for d in indexes:
         kind, name = d["kind"], d["name"]
         kw = {"path_root": d["path_root"]} if "path_root" in d else {}
+        if only_if_needed:
+            root = d.get("path_root", _DEFAULT_ROOTS.get(kind, "/tmp"))
+            if not needs_compaction(
+                f"{root}/{name}",
+                n_buckets=int(d.get("n_buckets", 16)),
+                max_files_per_bucket=float(d.get("max_files_per_bucket", 4.0)),
+                max_log_fraction=float(d.get("max_log_fraction", 0.05)),
+            ):
+                continue
         try:
             if kind == "posting":
                 _ret.compact_posting_index(spark, name, **kw)
@@ -218,3 +243,62 @@ def compact_indexes(spark, indexes):
                 first_err = e
     if first_err is not None:
         raise first_err
+
+
+_LOG_DIRS = ("tombstones", "dels", "dead", "deldocs")
+
+
+def index_file_stats(index_root: str) -> dict:
+    """Physical-layout stats for one persisted index root: per-subdir
+    parquet file count and bytes, split into DATA dirs (bands/grams/
+    postings/cells/...) and delete-side LOG dirs. This is the input to
+    the compaction decision — the two pressures that decay an LSM-ish
+    index are file-count growth (every append adds ~one file per
+    bucket: open/footer cost per scan) and tombstone growth (every
+    serve pays the anti-join until the log is applied)."""
+    import glob as _glob
+
+    root = os.path.abspath(index_root)
+    out: dict = {"data": {}, "logs": {}, "data_files": 0, "data_bytes": 0,
+                 "log_bytes": 0}
+    if not os.path.isdir(root):
+        return out
+    for sub in sorted(os.listdir(root)):
+        if sub == _LOCK_DIRNAME:
+            continue
+        subp = os.path.join(root, sub)
+        if not os.path.isdir(subp):
+            continue
+        files = _glob.glob(os.path.join(subp, "**", "*.parquet"), recursive=True)
+        st = {"files": len(files), "bytes": sum(os.path.getsize(f) for f in files)}
+        if sub in _LOG_DIRS:
+            out["logs"][sub] = st
+            out["log_bytes"] += st["bytes"]
+        else:
+            out["data"][sub] = st
+            out["data_files"] += st["files"]
+            out["data_bytes"] += st["bytes"]
+    return out
+
+
+def needs_compaction(
+    index_root: str,
+    n_buckets: int = 16,
+    max_files_per_bucket: float = 4.0,
+    max_log_fraction: float = 0.05,
+) -> bool:
+    """Compaction policy for one index root: True when any data subdir
+    holds more than ``max_files_per_bucket`` files per bucket (append
+    decay — each append adds ~one file per bucket, so this threshold is
+    "~N appends since the last compaction"), or when the delete-log
+    bytes exceed ``max_log_fraction`` of the data bytes (tombstone decay
+    — the serve-side anti-join cost, and the staleness of physically
+    retained deleted rows). Pure filesystem arithmetic; no Spark jobs."""
+    st = index_file_stats(index_root)
+    for sub in st["data"].values():
+        if sub["files"] > max_files_per_bucket * n_buckets:
+            return True
+    if st["logs"] and st["data_bytes"] > 0:
+        if st["log_bytes"] > max_log_fraction * st["data_bytes"]:
+            return True
+    return False

@@ -126,3 +126,59 @@ def test_append_racing_compaction_loses_nothing(spark, docs):
         assert served == insession
     finally:
         sret.drop_posting_index(spark, NAME)
+
+
+def test_compaction_policy_from_file_stats(spark, docs):
+    """needs_compaction reads pure filesystem arithmetic: fresh index →
+    False; after enough appends (one file per bucket each) → True;
+    after compaction → False again; a large tombstone log trips the
+    log-fraction threshold independently of file counts."""
+    from sdc_spark.operators.maintenance import (
+        index_file_stats,
+        needs_compaction,
+    )
+
+    root = "/tmp/sdc_spark_postidx"
+    name = "pytest_policylex"
+    idx_root = f"{root}/{name}"
+    sret.drop_posting_index(spark, name)
+    try:
+        base = docs.filter(F.col("doc_id") % 6 == 5)
+        sret.write_posting_index(spark, base, "text", "doc_id", name)
+        assert not needs_compaction(idx_root, max_files_per_bucket=2.0)
+
+        for i in range(3):
+            sret.append_posting_index(
+                spark, docs.filter(F.col("doc_id") % 6 == i), "text", "doc_id", name
+            )
+        st = index_file_stats(idx_root)
+        assert st["data"]["postings"]["files"] > 2 * sret._POSTING_BUCKETS
+        assert needs_compaction(idx_root, max_files_per_bucket=2.0)
+
+        sret.compact_posting_index(spark, name)
+        assert not needs_compaction(idx_root, max_files_per_bucket=2.0)
+
+        # tombstone pressure: delete most of the corpus -> log bytes
+        # cross the fraction threshold even though file counts are fine
+        gone = docs.filter(F.col("doc_id") % 6 <= 3).select("doc_id")
+        sret.delete_from_posting_index(spark, gone, name)
+        st2 = index_file_stats(idx_root)
+        assert st2["log_bytes"] > 0
+        assert needs_compaction(
+            idx_root, max_files_per_bucket=100.0, max_log_fraction=0.01
+        )
+        # and the cron form applies exactly the needed compactions
+        from sdc_spark.operators.maintenance import compact_indexes
+
+        compact_indexes(
+            spark,
+            [{"kind": "posting", "name": name, "path_root": root,
+              "max_files_per_bucket": 100.0, "max_log_fraction": 0.01}],
+            only_if_needed=True,
+        )
+        assert sret.posting_tombstones(spark, name) is None
+        assert not needs_compaction(
+            idx_root, max_files_per_bucket=100.0, max_log_fraction=0.01
+        )
+    finally:
+        sret.drop_posting_index(spark, name)
