@@ -44,6 +44,38 @@ def normalized_text(col) -> Column:
     return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
 
 
+def spread_scan(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Scale-adaptive parallelism floor for heavy per-row compute above a
+    low-parallelism scan (guide §2.5, "input skew: one huge unsplittable
+    file … repartition immediately after the read").
+
+    The shingle/hash/tokenize operators below do orders of magnitude more
+    per-row work than the scan itself; when the input resolves to fewer
+    scan partitions than the session has cores (small files, one
+    unsplittable file, a single row group), the whole pass runs on one
+    core while the rest idle — measured on this repo's bench: the
+    1-task shingle+MinHash stage of the LSH index write was 3.8s warm
+    (159s on a cold JVM, where one core pays the whole interpreter
+    penalty of the generated aggregate code).
+
+    Deterministic by construction: a hash repartition on ``key_cols``
+    (the per-document id), never round-robin — task retries reproduce the
+    same row→partition mapping, and every consumer below is keyed on the
+    same id, so results are partitioning-independent. Self-disabling at
+    scale: when the scan already has at least half as many partitions as
+    cores (any real corpus), the input is returned untouched — so a
+    100-TB run never pays a full-text shuffle for this."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001  (Connect or exotic plans: keep as-is)
+        return df
+    if 2 * n >= target:
+        return df
+    return df.repartition(target, *[F.col(c) for c in key_cols])
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: group on md5(normalized text), keep the lowest id
     (pandas drop_duplicates(keep='first') order semantics, made
@@ -94,9 +126,16 @@ def ngrams_of_tokens(toks: Column, n: int = 3) -> Column:
 
 def with_grams(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """(id → doc, grams) with tokens materialized between the two stages so
-    the normalize+split pipeline runs once per row, not once per element."""
-    toks = df.select(
-        F.col(id_col).alias("doc"), F.split(normalized_text(text_col), " ").alias("__toks__")
+    the normalize+split pipeline runs once per row, not once per element.
+    The scan is spread to core-count parallelism first (spread_scan — a
+    no-op on real multi-file corpora) so the shingle compute never runs
+    single-task above a one-file input."""
+    base = spread_scan(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__txt__")),
+        "doc",
+    )
+    toks = base.select(
+        "doc", F.split(normalized_text(F.col("__txt__")), " ").alias("__toks__")
     )
     return toks.select("doc", ngrams_of_tokens(F.col("__toks__"), n).alias("grams"))
 
@@ -916,8 +955,14 @@ def write_lsh_index(
     have = spark.catalog.tableExists(bands_t) and spark.catalog.tableExists(grams_t)
     if have and not overwrite:
         return bands_t, grams_t
+    # ONE hashed-gram scan feeds both tables (band signatures and the
+    # verify-side gram set) — un-shared, the normalize+shingle+hash pass
+    # over the corpus ran twice per index build, i.e. one redundant
+    # full-text scan at 100 TB (minhash_lsh_pairs already shares this
+    # scan; the write path now applies the same discipline).
+    base = _hashed_grams(df, text_col, id_col, ngram).transform(_materialize)
     (
-        lsh_band_table(df, text_col, id_col, num_hashes, bands, ngram)
+        _minhash_bands(base, num_hashes, bands)
         .repartition(n_buckets, "band", "bhash")
         .write.mode("overwrite")
         .bucketBy(n_buckets, "band", "bhash")
@@ -926,7 +971,7 @@ def write_lsh_index(
         .saveAsTable(bands_t)
     )
     (
-        gram_index(df, text_col, id_col, ngram)
+        base.distinct()
         .repartition(n_buckets, "doc")
         .write.mode("overwrite")
         .bucketBy(n_buckets, "doc")
@@ -934,6 +979,7 @@ def write_lsh_index(
         .option("path", f"{path_root}/{name}/grams")
         .saveAsTable(grams_t)
     )
+    _unmaterialize(base)
     return bands_t, grams_t
 
 
@@ -958,8 +1004,11 @@ def append_lsh_index(
     from sdc_spark.operators.maintenance import index_lock
 
     with index_lock(f"{path_root}/{name}"):
+        # same shared-scan discipline as write_lsh_index: one hashed-gram
+        # pass over the batch feeds both appends
+        base = _hashed_grams(batch, text_col, id_col, ngram).transform(_materialize)
         (
-            lsh_band_table(batch, text_col, id_col, num_hashes, bands, ngram)
+            _minhash_bands(base, num_hashes, bands)
             .repartition(n_buckets, "band", "bhash")
             .write.mode("append")
             .bucketBy(n_buckets, "band", "bhash")
@@ -967,13 +1016,14 @@ def append_lsh_index(
             .saveAsTable(f"lsh_bands_{name}")
         )
         (
-            gram_index(batch, text_col, id_col, ngram)
+            base.distinct()
             .repartition(n_buckets, "doc")
             .write.mode("append")
             .bucketBy(n_buckets, "doc")
             .sortBy("doc")
             .saveAsTable(f"lsh_grams_{name}")
         )
+        _unmaterialize(base)
 
 
 def _rewrite_lsh_table(
@@ -1390,8 +1440,11 @@ def _kgram_positions(df: DataFrame, text_col: str, id_col: str, k: int) -> DataF
     """(doc, pos, h) for every char offset: the k-gram is hashed in the
     SAME projection that explodes positions, so only 24-byte triples
     ever leave the scan stage — never text."""
-    base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text")).filter(
-        F.length("text") >= k
+    base = spread_scan(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text")).filter(
+            F.length("text") >= k
+        ),
+        "doc",
     )
     pos = base.select(
         "doc",

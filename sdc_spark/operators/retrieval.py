@@ -38,17 +38,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sdc_spark.materialize import materialize as _materialize
-from sdc_spark.operators.dedup import normalized_text
+from sdc_spark.operators.dedup import normalized_text, spread_scan
 
 
 def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc, token) stream: lowercase, whitespace-split, empties dropped
     (the corpus-wide tokenization convention — dedup/tfidf/entropy all
-    split the same way, so statistics agree across operators)."""
+    split the same way, so statistics agree across operators). The scan
+    is spread to core-count parallelism first (dedup.spread_scan — a
+    no-op on real multi-file corpora) so tokenization never runs
+    single-task above a one-file input."""
+    base = spread_scan(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__txt__")),
+        "doc",
+    )
     return (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+        base.select(
+            "doc",
+            F.explode(F.split(normalized_text(F.col("__txt__")), " ")).alias(
                 "token"
             ),
         )

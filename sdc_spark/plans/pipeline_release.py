@@ -78,9 +78,22 @@ def pipeline_dump_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = sdedup.decontaminate(
         s2, bench, "text", "doc_id", ngram=8
     ).select(F.col("doc").alias("doc_id"))
-    s3 = s2.join(contaminated, "doc_id", "left_anti").transform(_materialize)
-
-    s4 = s3.filter(F.col("quality") >= _Q_CUT)
+    # Stages 3 and 4 differ only by the (already-computed) quality gate,
+    # and neither feeds a later stage — so instead of materializing s3
+    # (a localCheckpoint carrying full text) and running two separate
+    # aggregate jobs, ONE conditional aggregate over the anti-join
+    # computes both manifest rows in a single pass. The 1-row result is
+    # materialized so its two row-projections don't replay the chain.
+    s3 = s2.join(contaminated, "doc_id", "left_anti").select(
+        "quality", "n_tokens"
+    )
+    gate = F.col("quality") >= _Q_CUT
+    tail = s3.agg(
+        F.count(F.lit(1)).alias("n3"),
+        F.sum("n_tokens").alias("t3"),
+        F.sum(gate.cast("long")).alias("n4"),
+        F.sum(F.when(gate, F.col("n_tokens"))).alias("t4"),
+    ).transform(_materialize)
 
     def manifest(stage: int, name: str, d: DataFrame) -> DataFrame:
         return d.agg(
@@ -93,12 +106,20 @@ def pipeline_dump_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
         )
 
+    def tail_row(stage: int, name: str, n: str, t: str) -> DataFrame:
+        return tail.select(
+            F.lit(stage).alias("stage"),
+            F.lit(name).alias("gate"),
+            F.col(n).alias("n_docs"),
+            F.col(t).alias("n_tokens"),
+        )
+
     rows = [
         manifest(0, "raw", corpus),
         manifest(1, "exact_dedup", s1),
         manifest(2, "neardup_best_quality", s2),
-        manifest(3, "decontaminated", s3),
-        manifest(4, "quality_gate", s4),
+        tail_row(3, "decontaminated", "n3", "t3"),
+        tail_row(4, "quality_gate", "n4", "t4"),
     ]
     out = rows[0]
     for r in rows[1:]:
