@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from sdc_spark.materialize import materialize as _materialize
 from sdc_spark.materialize import unmaterialize as _unmaterialize
+from sdc_spark.operators.scan import spread_scan
 
 
 def _materialize_iter(df):
@@ -42,38 +43,6 @@ def normalized_text(col) -> Column:
     """Canonical text form for hashing: lowercase, collapsed whitespace."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
-
-
-def spread_scan(df: DataFrame, *key_cols: str) -> DataFrame:
-    """Scale-adaptive parallelism floor for heavy per-row compute above a
-    low-parallelism scan (guide §2.5, "input skew: one huge unsplittable
-    file … repartition immediately after the read").
-
-    The shingle/hash/tokenize operators below do orders of magnitude more
-    per-row work than the scan itself; when the input resolves to fewer
-    scan partitions than the session has cores (small files, one
-    unsplittable file, a single row group), the whole pass runs on one
-    core while the rest idle — measured on this repo's bench: the
-    1-task shingle+MinHash stage of the LSH index write was 3.8s warm
-    (159s on a cold JVM, where one core pays the whole interpreter
-    penalty of the generated aggregate code).
-
-    Deterministic by construction: a hash repartition on ``key_cols``
-    (the per-document id), never round-robin — task retries reproduce the
-    same row→partition mapping, and every consumer below is keyed on the
-    same id, so results are partitioning-independent. Self-disabling at
-    scale: when the scan already has at least half as many partitions as
-    cores (any real corpus), the input is returned untouched — so a
-    100-TB run never pays a full-text shuffle for this."""
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:  # noqa: BLE001  (Connect or exotic plans: keep as-is)
-        return df
-    if 2 * n >= target:
-        return df
-    return df.repartition(target, *[F.col(c) for c in key_cols])
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -43,7 +43,13 @@ FEATURE_SCHEMA = (
 
 def attach_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Build a binary modality column (here: utf-8 bytes of a text column —
-    the test corpus has no real images; the pipeline is payload-agnostic)."""
+    the test corpus has no real images; the pipeline is payload-agnostic).
+    The scan is spread to half-core parallelism first (scan.spread_scan_py
+    — a no-op on real multi-file corpora) so the chained Arrow stages
+    above never run single-task over a one-file input."""
+    from sdc_spark.operators.scan import spread_scan_py
+
+    df = spread_scan_py(df.select(id_col, text_col), id_col)
     return df.select(
         F.col(id_col).alias("id"),
         F.encode(F.col(text_col), "utf-8").alias("content"),

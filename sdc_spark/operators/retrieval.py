@@ -38,7 +38,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sdc_spark.materialize import materialize as _materialize
-from sdc_spark.operators.dedup import normalized_text, spread_scan
+from sdc_spark.operators.dedup import normalized_text
+from sdc_spark.operators.scan import spread_scan
 
 
 def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -26,6 +26,7 @@ from sdc_spark.materialize import materialize as _materialize
 from sdc_spark.functions import text as stext
 from sdc_spark.operators.curation import recipe_mix_tokens, resample_to_mix
 from sdc_spark.operators.dedup import normalized_text
+from sdc_spark.operators.scan import spread_scan_py
 from sdc_spark.operators import similarity as ssim
 from sdc_spark.operators.similarity import semantic_dedup
 from sdc_spark.plans.registry import oracle, query
@@ -901,7 +902,9 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sdc_spark.operators.multimodal import decode_png, encode_png
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    emb = spread_scan_py(
+        _t(spark, sf_dir, "embeddings").select("vec_id", "label"), "vec_id"
+    )
 
     def synth(batches):
         for pdf in batches:
@@ -1788,7 +1791,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_images,
     )
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    emb = spread_scan_py(
+        _t(spark, sf_dir, "embeddings").select("vec_id", "label"), "vec_id"
+    )
 
     def synth(batches):
         for pdf in batches:
