@@ -930,24 +930,35 @@ def write_lsh_index(
     # full-text scan at 100 TB (minhash_lsh_pairs already shares this
     # scan; the write path now applies the same discipline).
     base = _hashed_grams(df, text_col, id_col, ngram).transform(_materialize)
-    (
-        _minhash_bands(base, num_hashes, bands)
-        .repartition(n_buckets, "band", "bhash")
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, "band", "bhash")
-        .sortBy("band", "bhash")
-        .option("path", f"{path_root}/{name}/bands")
-        .saveAsTable(bands_t)
-    )
-    (
-        base.distinct()
-        .repartition(n_buckets, "doc")
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, "doc")
-        .sortBy("doc")
-        .option("path", f"{path_root}/{name}/grams")
-        .saveAsTable(grams_t)
-    )
+
+    def _write_bands() -> None:
+        (
+            _minhash_bands(base, num_hashes, bands)
+            .repartition(n_buckets, "band", "bhash")
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, "band", "bhash")
+            .sortBy("band", "bhash")
+            .option("path", f"{path_root}/{name}/bands")
+            .saveAsTable(bands_t)
+        )
+
+    def _write_grams() -> None:
+        (
+            base.distinct()
+            .repartition(n_buckets, "doc")
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, "doc")
+            .sortBy("doc")
+            .option("path", f"{path_root}/{name}/grams")
+            .saveAsTable(grams_t)
+        )
+
+    # the two table writes read the same materialized base and are
+    # independent — overlap them so the second's tasks back-fill the
+    # executors the first's commit tail leaves idle (guide §2.6)
+    from sdc_spark.operators.maintenance import run_concurrently
+
+    run_concurrently(_write_bands, _write_grams)
     _unmaterialize(base)
     return bands_t, grams_t
 
@@ -970,28 +981,35 @@ def append_lsh_index(
     append adds ~one file per bucket (repartition-first), not a
     small-files blizzard. Serialized against concurrent compaction via
     the index maintenance lock (operators/maintenance.py)."""
-    from sdc_spark.operators.maintenance import index_lock
+    from sdc_spark.operators.maintenance import index_lock, run_concurrently
 
     with index_lock(f"{path_root}/{name}"):
         # same shared-scan discipline as write_lsh_index: one hashed-gram
-        # pass over the batch feeds both appends
+        # pass over the batch feeds both appends — and the two appends
+        # target different tables, so they overlap (guide §2.6)
         base = _hashed_grams(batch, text_col, id_col, ngram).transform(_materialize)
-        (
-            _minhash_bands(base, num_hashes, bands)
-            .repartition(n_buckets, "band", "bhash")
-            .write.mode("append")
-            .bucketBy(n_buckets, "band", "bhash")
-            .sortBy("band", "bhash")
-            .saveAsTable(f"lsh_bands_{name}")
-        )
-        (
-            base.distinct()
-            .repartition(n_buckets, "doc")
-            .write.mode("append")
-            .bucketBy(n_buckets, "doc")
-            .sortBy("doc")
-            .saveAsTable(f"lsh_grams_{name}")
-        )
+
+        def _append_bands() -> None:
+            (
+                _minhash_bands(base, num_hashes, bands)
+                .repartition(n_buckets, "band", "bhash")
+                .write.mode("append")
+                .bucketBy(n_buckets, "band", "bhash")
+                .sortBy("band", "bhash")
+                .saveAsTable(f"lsh_bands_{name}")
+            )
+
+        def _append_grams() -> None:
+            (
+                base.distinct()
+                .repartition(n_buckets, "doc")
+                .write.mode("append")
+                .bucketBy(n_buckets, "doc")
+                .sortBy("doc")
+                .saveAsTable(f"lsh_grams_{name}")
+            )
+
+        run_concurrently(_append_bands, _append_grams)
         _unmaterialize(base)
 
 
@@ -1042,6 +1060,8 @@ def compact_lsh_index(
     index maintenance lock across the whole stage-then-replace window."""
     from sdc_spark.operators.maintenance import index_lock
 
+    from sdc_spark.operators.maintenance import run_concurrently
+
     with index_lock(f"{path_root}/{name}"):
         tomb = lsh_tombstones(spark, name)
         bands = spark.read.parquet(f"{path_root}/{name}/bands")
@@ -1049,21 +1069,25 @@ def compact_lsh_index(
         if tomb is not None:
             bands = bands.join(tomb, "doc", "left_anti")
             grams = grams.join(tomb, "doc", "left_anti")
-        _rewrite_lsh_table(
-            spark,
-            f"lsh_bands_{name}",
-            bands,
-            ("band", "bhash"),
-            f"{path_root}/{name}/bands",
-            n_buckets,
-        )
-        _rewrite_lsh_table(
-            spark,
-            f"lsh_grams_{name}",
-            grams,
-            ("doc",),
-            f"{path_root}/{name}/grams",
-            n_buckets,
+        # the two rewrites touch disjoint tables/paths and each stages
+        # its content before dropping anything — overlap them (§2.6)
+        run_concurrently(
+            lambda: _rewrite_lsh_table(
+                spark,
+                f"lsh_bands_{name}",
+                bands,
+                ("band", "bhash"),
+                f"{path_root}/{name}/bands",
+                n_buckets,
+            ),
+            lambda: _rewrite_lsh_table(
+                spark,
+                f"lsh_grams_{name}",
+                grams,
+                ("doc",),
+                f"{path_root}/{name}/grams",
+                n_buckets,
+            ),
         )
         if tomb is not None:
             import shutil

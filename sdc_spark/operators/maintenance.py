@@ -114,6 +114,42 @@ def break_index_lock(index_root: str) -> None:
         os.rmdir(_lock_path(os.path.abspath(index_root)))
 
 
+def run_concurrently(*thunks) -> None:
+    """Run INDEPENDENT Spark write actions from concurrent driver
+    threads (optimization guide §2.6 "overlap independent jobs"): the
+    index lifecycle ops below write two tables per operation (LSH bands
+    + grams; postings + stats) whose inputs share one already-
+    materialized frame, so the second write has no dependency on the
+    first — submitted sequentially, each write's commit/catalog latency
+    and task tail leaves the executors idle; submitted concurrently,
+    the second job's tasks back-fill them. Uses ``InheritableThread`` so
+    job group/description thread-locals propagate (the documented
+    PySpark way to run driver threads). Exceptions from any thunk are
+    re-raised after all threads finish — partial completion is the same
+    outcome a sequential failure leaves, and every caller's contract is
+    idempotent-rebuild or lock-guarded maintenance."""
+    from pyspark import InheritableThread
+
+    errs: list[BaseException] = []
+
+    def wrap(fn):
+        def go() -> None:
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001  (re-raised below)
+                errs.append(e)
+
+        return go
+
+    threads = [InheritableThread(target=wrap(t)) for t in thunks]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+
+
 def takedown_documents(
     spark,
     removed_docs,

@@ -39,19 +39,21 @@ from pyspark.sql import functions as F
 
 from sdc_spark.materialize import materialize as _materialize
 from sdc_spark.operators.dedup import normalized_text
-from sdc_spark.operators.scan import spread_scan
 
 
 def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc, token) stream: lowercase, whitespace-split, empties dropped
     (the corpus-wide tokenization convention — dedup/tfidf/entropy all
-    split the same way, so statistics agree across operators). The scan
-    is spread to core-count parallelism first (dedup.spread_scan — a
-    no-op on real multi-file corpora) so tokenization never runs
-    single-task above a one-file input."""
-    base = spread_scan(
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__txt__")),
-        "doc",
+    split the same way, so statistics agree across operators).
+
+    Deliberately NOT spread_scan'd: whitespace tokenize is ~100x lighter
+    per row than the shingle+MinHash pipelines that do spread, and the
+    within-session A/B (r11) showed the extra full-text exchange costing
+    more than the parallelism buys on the BM25 serve path (retrieval_bm25
+    2.4-4.3s spread vs 1.5-1.8s unspread; the index-build consumers were
+    a wash — their cost is the bucketed write, not tokenize)."""
+    base = df.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("__txt__")
     )
     return (
         base.select(
@@ -261,24 +263,34 @@ def write_posting_index(
     if have and not overwrite:
         return post_t, stats_t
     posted = posting_table(df, text_col, id_col).transform(_materialize)
-    (
-        posted.repartition(n_buckets, "token")
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, "token")
-        .sortBy("token")
-        .option("path", f"{path_root}/{name}/postings")
-        .saveAsTable(post_t)
-    )
-    (
-        posted.groupBy("doc")
-        .agg(F.max("dl").alias("dl"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+
+    def _write_postings() -> None:
+        (
+            posted.repartition(n_buckets, "token")
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, "token")
+            .sortBy("token")
+            .option("path", f"{path_root}/{name}/postings")
+            .saveAsTable(post_t)
         )
-        .write.mode("overwrite")
-        .option("path", f"{path_root}/{name}/stats")
-        .saveAsTable(stats_t)
-    )
+
+    def _write_stats() -> None:
+        (
+            posted.groupBy("doc")
+            .agg(F.max("dl").alias("dl"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+            )
+            .write.mode("overwrite")
+            .option("path", f"{path_root}/{name}/stats")
+            .saveAsTable(stats_t)
+        )
+
+    # both writes read the one materialized posting frame and target
+    # disjoint tables — overlap them (optimization guide §2.6)
+    from sdc_spark.operators.maintenance import run_concurrently
+
+    run_concurrently(_write_postings, _write_stats)
     return post_t, stats_t
 
 
@@ -300,24 +312,34 @@ def append_posting_index(
     stage-then-replace window would otherwise be lost."""
     from sdc_spark.operators.maintenance import index_lock
 
+    from sdc_spark.operators.maintenance import run_concurrently
+
     posted = posting_table(batch, text_col, id_col).transform(_materialize)
     with index_lock(f"{path_root}/{name}"):
-        (
-            posted.repartition(n_buckets, "token")
-            .write.mode("append")
-            .bucketBy(n_buckets, "token")
-            .sortBy("token")
-            .saveAsTable(f"postings_{name}")
-        )
-        (
-            posted.groupBy("doc")
-            .agg(F.max("dl").alias("dl"))
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+
+        def _append_postings() -> None:
+            (
+                posted.repartition(n_buckets, "token")
+                .write.mode("append")
+                .bucketBy(n_buckets, "token")
+                .sortBy("token")
+                .saveAsTable(f"postings_{name}")
             )
-            .write.mode("append")
-            .saveAsTable(f"lexstats_{name}")
-        )
+
+        def _append_stats() -> None:
+            (
+                posted.groupBy("doc")
+                .agg(F.max("dl").alias("dl"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("sum_dl"),
+                )
+                .write.mode("append")
+                .saveAsTable(f"lexstats_{name}")
+            )
+
+        # disjoint tables fed by the one materialized frame (§2.6)
+        run_concurrently(_append_postings, _append_stats)
 
 
 def _rewrite_posting_table(

@@ -702,6 +702,7 @@ def ann_pq_topk(
     m: int = 8,
     ksub: int = 16,
     refine: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance (ADC) scoring and
     exact re-ranking — the memory-bound scale path of the ANN family: each
@@ -717,7 +718,10 @@ def ann_pq_topk(
     ``refine * k`` ADC candidates per query are re-ranked by exact cosine;
     output schema matches ann_bruteforce_topk (qid, rank, nid) and recall
     is tested against it."""
-    dim = len(vectors.select(vec_col).first()[0])
+    # dim is schema-invisible for array columns; callers that know it
+    # pass it and skip this probe (one extra driver job per call)
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
     v = vectors.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("raw"),

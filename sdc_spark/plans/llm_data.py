@@ -1832,7 +1832,7 @@ def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out an individual query's top-5)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    approx = ssim.ann_pq_topk(emb, q, k=5, m=8, ksub=16, refine=4)
+    approx = ssim.ann_pq_topk(emb, q, k=5, m=8, ksub=16, refine=4, dim=64)
     exact = ssim.ann_bruteforce_topk(emb, q, k=5)
     return _ann_recall_audit(approx, exact, q, k=5, theta=0.15, per_query=False)
 
