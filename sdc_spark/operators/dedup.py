@@ -630,50 +630,82 @@ def dedup_components(
     Pregel-lite min-label propagation: every node starts labeled with its
     own id; each round takes the min of its label and its neighbors',
     until a fixpoint (driver-side convergence check — the loop count is
-    the cluster diameter, tiny for dup clusters). Each iteration is one
-    shuffle (join + groupBy on node); ``localCheckpoint`` truncates the
-    lineage so plans don't grow exponentially. Deterministic: component
-    id = min doc id in the component."""
-    sym = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    edges = sym.union(
-        pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
-    ).distinct()
-    edges = edges.transform(_materialize)
-    labels = edges.select("u").distinct().select("u", F.col("u").alias("lbl"))
+    the cluster diameter, tiny for dup clusters). Deterministic:
+    component id = min doc id in the component.
+
+    Round mechanics (r11 restructure — same fixpoint, half the per-round
+    fixed cost): the edge set carries a SELF-LOOP per node, so one round
+    is a single join + min-aggregate referencing the label frame ONCE
+    (min over self ∪ neighbors == least(own, min(neighbors))); TWO
+    rounds are fused per ``localCheckpoint`` + convergence check, since
+    the unmaterialized 2-round chain is still linear (each subplan
+    consumed once — no duplicated work), while checkpoints and
+    convergence jobs are pure driver-side fixed cost at scale.
+    Convergence: labels are per-node monotone non-increasing, so the
+    label SUM (exact decimal) is strictly decreasing until fixpoint —
+    equal consecutive sums == no node changed. An extra no-op round
+    inside the last fused block is a no-op by idempotence."""
+    # one reference to `pairs` (it usually arrives UN-materialized — e.g.
+    # minhash's verify subtree — so N references would replay it N times):
+    # each input pair explodes into both edge directions plus both
+    # endpoints' self-loops, then one distinct. The self-loops make a
+    # propagation round's min over the in-neighborhood include the node's
+    # own label, removing the second reference to the label frame.
+    edges_self = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("u"), F.col(b_col).alias("v")),
+                    F.struct(F.col(b_col).alias("u"), F.col(a_col).alias("v")),
+                    F.struct(F.col(a_col).alias("u"), F.col(a_col).alias("v")),
+                    F.struct(F.col(b_col).alias("u"), F.col(b_col).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+        .transform(_materialize)
+    )
+    # every node carries a self-loop, so the u side of the checkpointed
+    # edge set IS the node set
+    labels = edges_self.select("u").distinct().select("u", F.col("u").alias("lbl"))
     prev_snap = None
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(
-                labels.select(F.col("u").alias("v"), F.col("lbl").alias("vlbl")), "v"
+    prev_sum = None
+    converged = False
+    rounds = 0
+    while rounds < max_iter:
+        cur = labels
+        for _ in range(2):  # two propagation rounds per checkpoint
+            cur = (
+                edges_self.join(
+                    cur.select(F.col("u").alias("v"), F.col("lbl").alias("vlbl")),
+                    "v",
+                )
+                .groupBy("u")
+                .agg(F.min("vlbl").alias("lbl"))
             )
-            .groupBy("u")
-            .agg(F.min("vlbl").alias("nlbl"))
-        )
-        # one materialization per round carrying BOTH labels: the
-        # convergence count then reads the checkpointed snapshot instead of
-        # re-running the propagation join a second time
-        snap = (
-            labels.join(nbr, "u", "left")
-            .select(
-                "u",
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
-                    "new_lbl"
-                ),
-                "lbl",
-            )
-            .transform(_materialize_iter)
-        )
-        changed = snap.filter(F.col("new_lbl") != F.col("lbl")).count()
-        labels = snap.select("u", F.col("new_lbl").alias("lbl"))
+            rounds += 1
+            if rounds >= max_iter:
+                break
+        snap = cur.transform(_materialize_iter)
+        s = snap.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        labels = snap
         # persist-mode hygiene: the superseded round's blocks are never
         # read again — release them so unbounded iteration can't
         # accumulate cached state (no-op under the checkpoint modes)
         if prev_snap is not None:
             _unmaterialize(prev_snap)
         prev_snap = snap
-        if changed == 0:
+        # s is None only for an EMPTY label set (sum over zero rows) —
+        # trivially a fixpoint; otherwise equal consecutive exact sums
+        # == no node changed (monotone non-increasing labels)
+        if s is None or (prev_sum is not None and s == prev_sum):
+            converged = True
             break
-    else:
+        prev_sum = s
+    if not converged:
         # propagation moves a label ONE hop per round, so a component whose
         # diameter exceeds max_iter would silently mislabel its far nodes —
         # fail loudly and point at the diameter-independent alternative

@@ -52,6 +52,10 @@ def pipeline_dump_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (plan audit: scans=150; materialized: each gate runs once).
     # quality and the token count are computed once here and carried as
     # columns, so no later stage touches the text except decontamination.
+    # (r11 note: spreading this union before the quality pass was A/B'd —
+    # alternating same-session runs, median 13.9s spread vs 13.4s not —
+    # and kept out; the 2-task stage overlaps AQE sibling stages and is
+    # not on the critical path.)
     corpus = doc.unionByName(dupes).select(
         "doc_id",
         "text",
