@@ -75,6 +75,26 @@ def range_partitioned(
     return part.withColumn(PID, F.spark_partition_id()).transform(_materialize)
 
 
+def _pid_grouped(part: DataFrame):
+    """``groupBy(PID)`` behind an EXPLICIT same-count hash repartition.
+
+    The Arrow passes below group a range-partitioned frame by its P pid
+    values and run heavy vectorized per-group compute (chunked 2-D
+    histograms, decay scans). A bare ``groupBy(PID)`` inserts an
+    ENSURE_REQUIREMENTS exchange that AQE coalesces by SIZE — and the
+    (order_col, value) projections are tiny even when the compute is
+    not, so at bench scale every group landed on ONE task (profiled:
+    series_expanding_quantile's pass B ran 10s single-task while 31
+    cores idled). A user-specified ``repartition(n, PID)`` pins the
+    partition count (AQE never coalesces explicit repartitions), and
+    ``groupBy`` on the same key/count reuses the exchange — so the plan
+    still has exactly one shuffle, now guaranteed ≥ session-parallelism
+    wide. At real scale the groups are size-dominated and AQE would not
+    have coalesced anyway — this only removes the small-input collapse."""
+    n = int(part.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return part.repartition(n, PID).groupBy(PID)
+
+
 def global_fill(
     df: DataFrame,
     order_cols: Sequence[str | Column],
@@ -519,7 +539,7 @@ def scan_quantile(
             {"pid": [int(pdf["__pid__"].iloc[0])], "hist": [h.astype("int64").tobytes()]}
         )
 
-    per = part.groupBy(PID).applyInPandas(_hist, "pid int, hist binary").collect()
+    per = _pid_grouped(part).applyInPandas(_hist, "pid int, hist binary").collect()
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     mat = np.zeros((n_part, k), dtype="int64")
     for r in per:
@@ -571,7 +591,7 @@ def scan_quantile(
             res[c] = o
         return res
 
-    return part.groupBy(PID).applyInPandas(_quant, out_schema)
+    return _pid_grouped(part).applyInPandas(_quant, out_schema)
 
 
 def scan_ewm(
@@ -658,7 +678,7 @@ def scan_ewm(
             }
         )
 
-    rows = part.groupBy(PID).applyInPandas(
+    rows = _pid_grouped(part).applyInPandas(
         _summary, "pid int, n long, nvalid long, num double, den double"
     ).collect()
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -741,7 +761,7 @@ def scan_ewm(
         res[out_col] = out
         return res
 
-    return part.groupBy(PID).applyInPandas(_ewm, out_schema)
+    return _pid_grouped(part).applyInPandas(_ewm, out_schema)
 
 
 def scan_ewm_moments(
@@ -810,7 +830,7 @@ def scan_ewm_moments(
             }
         )
 
-    rows = part.groupBy(PID).applyInPandas(
+    rows = _pid_grouped(part).applyInPandas(
         _summary,
         "pid int, n long, nvalid long, num double, num2 double, den double, den2 double",
     ).collect()
@@ -871,7 +891,7 @@ def scan_ewm_moments(
         res["__cnt__"] = c_cnt + np.cumsum(valid.astype("int64"))
         return res
 
-    return part.groupBy(PID).applyInPandas(_scan, out_schema)
+    return _pid_grouped(part).applyInPandas(_scan, out_schema)
 
 
 def scan_multi(
@@ -1042,7 +1062,7 @@ def scan_ewm_grouped(
             row[f"__nv_{c}__"] = [nv]
         return pd.DataFrame(row)
 
-    rows = part.groupBy(PID).applyInPandas(_summary, sum_schema).collect()
+    rows = _pid_grouped(part).applyInPandas(_summary, sum_schema).collect()
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     info = {r["pid"]: r for r in rows}
     # carries[p] = (open_key tuple | None, {col: [num, den, num2, den2, cnt]})
@@ -1151,4 +1171,4 @@ def scan_ewm_grouped(
             res[c] = col
         return res
 
-    return part.groupBy(PID).applyInPandas(_stat_part, out_schema)
+    return _pid_grouped(part).applyInPandas(_stat_part, out_schema)
