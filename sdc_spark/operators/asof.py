@@ -95,7 +95,14 @@ def _with_carries(
     pid_axis_df = spark.range(n_part).select(
         F.col("id").cast("int").alias("__pid__")
     )
-    cur = part
+    # EXPLICIT pid repartition for the carry windows: the checkpoint's
+    # physical layout is range(__key__), so partitionBy("__pid__") would
+    # insert an ENSURE_REQUIREMENTS exchange that AQE coalesces by SIZE —
+    # at small inputs the whole carry+finalize pipeline then ran on ONE
+    # task (profiled: merge_asof_nearest's final stage, 1.7s single-task).
+    # A user-specified repartition pins the width; the windows reuse it,
+    # so the exchange count is unchanged (same fix as order._pid_grouped).
+    cur = part.repartition(n_part, "__pid__")
     for prefix, backward in directions:
         ordk = F.col("__key__").asc() if backward else F.col("__key__").desc()
         w = (

@@ -91,20 +91,32 @@ def logreg_fit_gd(
     with labels y ∈ {−1, +1}. Each iteration is ONE aggregate; w enters
     the plan as literals, so every pass is a fresh codegen'd scan with
     the current weights constant-folded."""
-    feats = [F.col(c).cast("double") for c in feature_cols]
+    from sdc_spark.materialize import materialize, unmaterialize
+
+    # materialized ONCE (narrow: d+1 doubles per row): every GD step is
+    # its own aggregate action, and un-materialized each step replays
+    # the caller's upstream plan — iterations full corpus scans at scale
+    v = materialize(
+        df.select(
+            F.col(label_col).cast("double").alias("__y__"),
+            *[F.col(c).cast("double").alias(f"__x{i}__") for i, c in enumerate(feature_cols)],
+        )
+    )
+    feats = [F.col(f"__x{i}__") for i in range(len(feature_cols))]
     d = len(feats)
     w = [init] * d
-    y = F.col(label_col).cast("double")
+    y = F.col("__y__")
     for _ in range(iterations):
         margin: Column = F.lit(0.0)
         for wi, xi in zip(w, feats):
             margin = margin + F.lit(wi) * xi
         s = F.lit(1.0) / (F.lit(1.0) + F.exp(-(y * margin)))
         coef = (s - F.lit(1.0)) * y
-        grad_row = df.agg(
+        grad_row = v.agg(
             *[F.sum(coef * xi).alias(f"g_{i}") for i, xi in enumerate(feats)]
         ).collect()[0]
         w = [wi - lr * grad_row[f"g_{i}"] for i, wi in enumerate(w)]
+    unmaterialize(v)
     return w
 
 
@@ -147,8 +159,14 @@ def kmeans_fit(
     no shuffle of the feature matrix, no Python in the loop. The center
     table (k·d doubles) is collected per round: driver state independent
     of row count."""
+    from sdc_spark.materialize import materialize, unmaterialize
+
     feats = [F.col(c).cast("double").alias(c) for c in feature_cols]
-    v = df.select(*feats)
+    # materialized ONCE: the seed pass plus every Lloyd round is a
+    # separate action over this frame — un-materialized, each action
+    # replays the source scan+cast, i.e. iterations+1 full corpus scans
+    # at 100 TB for a frame that is d doubles per row
+    v = materialize(df.select(*feats))
     seed_key = F.xxhash64(*[F.col(c) for c in feature_cols])
     centers = [
         [r[c] for c in feature_cols]
@@ -183,6 +201,8 @@ def kmeans_fit(
         for r in rows:
             new_centers[r["__cid__"]] = [r[c] for c in feature_cols]
         centers = new_centers
+    # the centers are driver state now; release the feature blocks
+    unmaterialize(v)
     spark = df.sparkSession
     return spark.createDataFrame(
         [
