@@ -485,21 +485,39 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = read_table(spark, sf_dir, "supplier")
     cust = read_table(spark, sf_dir, "customer")
 
-    def orphans(fact, fk, dim, pk, edge):
-        n = (
-            fact.select(fk)
-            .join(F.broadcast(dim.select(pk)), fact[fk] == dim[pk], "left_anti")
-            .count()
-        )
-        total = fact.count()
-        return (edge, n, total)
+    # ONE pass per fact table (r11: the per-edge anti-join+count form
+    # scanned lineitem six times — 3 orphan counts + 3 totals): all of a
+    # fact's FK edges check in a single scan via broadcast left joins to
+    # the dim key sets + one conditional aggregate. Identical counts —
+    # an orphan is exactly a null-matched dim key.
+    def audit(fact, edges):
+        j = fact.select(*[fk for fk, _, _, _ in edges])
+        for fk, dim, pk, _ in edges:
+            # distinct: a (hypothetically) duplicated dim key must not
+            # fan the fact rows out — NOT EXISTS semantics, like the
+            # anti-join this replaces
+            d = dim.select(pk).distinct()
+            j = j.join(F.broadcast(d), j[fk] == d[pk], "left")
+        row = j.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.col(pk).isNull().cast("long")).alias(f"o_{i}")
+                for i, (_, _, pk, _) in enumerate(edges)
+            ],
+        ).collect()[0]
+        return [
+            (edge, int(row[f"o_{i}"]), int(row["n"]))
+            for i, (_, _, _, edge) in enumerate(edges)
+        ]
 
-    rows = [
-        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
-        orphans(li, "l_partkey", part, "p_partkey", "lineitem->part"),
-        orphans(li, "l_suppkey", supp, "s_suppkey", "lineitem->supplier"),
-        orphans(orders, "o_custkey", cust, "c_custkey", "orders->customer"),
-    ]
+    rows = audit(
+        li,
+        [
+            ("l_orderkey", orders, "o_orderkey", "lineitem->orders"),
+            ("l_partkey", part, "p_partkey", "lineitem->part"),
+            ("l_suppkey", supp, "s_suppkey", "lineitem->supplier"),
+        ],
+    ) + audit(orders, [("o_custkey", cust, "c_custkey", "orders->customer")])
     return spark.createDataFrame(
         rows, "edge string, n_orphans long, n_rows long"
     ).orderBy("edge")
