@@ -215,12 +215,42 @@ def main() -> None:
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     n_err = sum(1 for t in timings.values() if t < 0)
 
+    # Host-noise canary (round-12 addition, additions-only): the VM has
+    # hypervisor co-tenant steal — two consecutive rounds showed ~1.24x/
+    # 1.34x UNIFORM cross-session drift on untouched code, so raw
+    # round-over-round wall-clock deltas are not decision-grade. The
+    # committed reference (bench_canary_ref.json) records this run
+    # protocol's medians for a fixed set of stable, rarely-touched
+    # queries on a known-idle host; the median now/ref ratio measures
+    # the host factor of THIS run, so per-query deltas can be
+    # host-normalized (divide by the ratio) before calling regressions.
+    canary_ratio = None
+    canary_n = 0
+    try:
+        ref_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_canary_ref.json"
+        )
+        with open(ref_path) as f:
+            ref = json.load(f).get("queries", {})
+        ratios = sorted(
+            timings[q] / ref_q
+            for q, ref_q in ref.items()
+            if ref_q > 0 and timings.get(q, -1) > 0
+        )
+        if ratios:
+            canary_n = len(ratios)
+            canary_ratio = round(ratios[(len(ratios) - 1) // 2], 3)
+    except Exception:  # noqa: BLE001  (missing/invalid ref: emit null)
+        pass
+
     # Full per-query map goes to a file; stdout gets ONE compact line
     # (headline subset only) so the driver's capture never truncates.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
         json.dump({"total_sec": total, "n_queries": len(timings), "errors": n_err,
                    "queries": timings, "sf": sf,
                    "runs": raw_runs, "loadavg1": load1,
+                   "canary_median_ratio": canary_ratio,
+                   "canary_n": canary_n,
                    "host": {"cpus": os.cpu_count(),
                             "loadavg_start": round(load_start, 2),
                             "loadavg_end": round(os.getloadavg()[0], 2),
@@ -238,6 +268,8 @@ def main() -> None:
                 "errors": n_err,
                 "sf": sf,
                 "load_flagged": load_gate["flagged"],
+                "canary_median_ratio": canary_ratio,
+                "canary_n": canary_n,
             },
             separators=(",", ":"),
         )

@@ -644,7 +644,12 @@ def dedup_components(
     Convergence: labels are per-node monotone non-increasing, so the
     label SUM (exact decimal) is strictly decreasing until fixpoint —
     equal consecutive sums == no node changed. An extra no-op round
-    inside the last fused block is a no-op by idempotence."""
+    inside the last fused block is a no-op by idempotence. Because
+    sum-equality observes the fixpoint one fused block late, ``max_iter``
+    should exceed the expected component diameter by ~2; a final
+    uncounted single-round probe rescues the boundary case before the
+    loud failure. Ids must be INTEGRAL (checked) — the exact-sum check
+    is not injective for strings/floats."""
     # one reference to `pairs` (it usually arrives UN-materialized — e.g.
     # minhash's verify subtree — so N references would replay it N times):
     # each input pair explodes into both edge directions plus both
@@ -669,6 +674,24 @@ def dedup_components(
     # every node carries a self-loop, so the u side of the checkpointed
     # edge set IS the node set
     labels = edges_self.select("u").distinct().select("u", F.col("u").alias("lbl"))
+    # The sum-equality convergence check below is only sound for INTEGRAL
+    # ids: a string id either throws under ANSI (CAST_INVALID_INPUT) or
+    # casts to all-null with ANSI off — the None sum would declare
+    # convergence after one fused block and return silently WRONG
+    # components; zero-padded numeric strings ('007' vs '7') alias under
+    # the non-injective cast; float ids truncate. Fail loudly instead
+    # (the operator's existing diameter-failure contract) — callers with
+    # non-integral ids should hash/recode them to longs first.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    lbl_type = labels.schema["lbl"].dataType
+    if not isinstance(lbl_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            "dedup_components: id/label column must be an integral type "
+            f"(got {lbl_type.simpleString()}) — the exact label-sum "
+            "convergence check is not injective for non-integral ids; "
+            "recode ids to longs (e.g. xxhash64) before calling."
+        )
     prev_snap = None
     prev_sum = None
     converged = False
@@ -706,6 +729,24 @@ def dedup_components(
             break
         prev_sum = s
     if not converged:
+        # Sum-equality observes the fixpoint one block LATE (a block must
+        # change nothing for the sums to match), so a diameter within ~2
+        # of max_iter would raise spuriously even though the labels are
+        # already correct. One extra single-round probe (not counted
+        # against max_iter) distinguishes "at the fixpoint, just not yet
+        # observed" from a genuinely under-iterated component.
+        probe = (
+            edges_self.join(
+                labels.select(F.col("u").alias("v"), F.col("lbl").alias("vlbl")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlbl").alias("lbl"))
+            .agg(F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s"))
+            .first()["s"]
+        )
+        converged = probe is None or probe == prev_sum
+    if not converged:
         # propagation moves a label ONE hop per round, so a component whose
         # diameter exceeds max_iter would silently mislabel its far nodes —
         # fail loudly and point at the diameter-independent alternative
@@ -733,12 +774,18 @@ def components_star(
     converges in O(log n) rounds regardless of diameter: large-star
     re-hangs every strictly-larger neighbor of each center onto the
     neighborhood minimum; small-star then flattens each center's smaller
-    neighbors onto that minimum. Each half-round is a groupBy + join on
-    the SAME key (one co-partitioned exchange pair) + distinct; edge
+    neighbors onto that minimum. Each half-round computes the per-center
+    neighborhood minimum as a WINDOW over the center key (r12 — the
+    groupBy+join form referenced the half-round frame twice, forcing an
+    extra materialization per alternation; the window form is one linear
+    pipeline, so a full alternation runs scan→window→distinct→window→
+    distinct with ONE materialization and no joins) + distinct; edge
     multiplicity never exceeds the input edge count, so per-round cost is
     bounded by the (shrinking) edge set, not by node degree skew.
     Fixpoint = the star graph rooted at each component minimum, detected
     by a (count, hash-sum) checksum — one scalar agg per round."""
+    from pyspark.sql import Window as _W
+
     edges = (
         pairs.select(
             F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
@@ -748,6 +795,7 @@ def components_star(
         .distinct()
         .transform(_materialize)
     )
+    wu = _W.partitionBy("u")
     prev = None
     converged = False
     for _ in range(max_iter):
@@ -756,30 +804,36 @@ def components_star(
         sym = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
         ls = (
-            sym.join(mins, "u")
+            sym.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .transform(_materialize_iter)
         )
         # small-star: center u over its (all strictly smaller) neighbors N;
-        # m = min(N); re-hang N \ {m} and u itself onto m
-        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        # m = min(N); re-hang N \ {m} and u itself onto m. One explode
+        # emits both (neighbor, m) and (center, m); the trailing distinct
+        # collapses the duplicated center rows the join form kept unique.
         old_edges = edges
         edges = (
-            ls.join(mins2, "u")
-            .select(F.col("v").alias("n"), "m")
-            .union(mins2.select(F.col("u").alias("n"), "m"))
+            ls.withColumn("m", F.min("v").over(wu))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("n"), F.col("m")),
+                        F.struct(F.col("u").alias("n"), F.col("m")),
+                    )
+                ).alias("e")
+            )
+            .select("e.n", "e.m")
             .filter(F.col("n") != F.col("m"))
             .distinct()
             .select(F.col("n").alias("u"), F.col("m").alias("v"))
             .transform(_materialize_iter)
         )
         # persist-mode hygiene: this round's edge set is computed, so the
-        # superseded half-round frames' blocks are never read again
-        _unmaterialize(ls)
+        # superseded round's blocks are never read again (ls is a linear
+        # unmaterialized segment of this round's plan — nothing to free)
         _unmaterialize(old_edges)
         # set fingerprint: edges are distinct, so count + bit_xor of row
         # hashes identifies the set (xor never overflows under ANSI mode)
@@ -861,6 +915,20 @@ def _hashed_grams(
         .select("doc", F.explode("grams").alias("g"))
         .select("doc", F.xxhash64("g").alias("h"))
     )
+
+
+def hashed_grams(
+    df: DataFrame, text_col: str, id_col: str, ngram: int = 3
+) -> DataFrame:
+    """Public form of the shared (doc, h) hashed-shingle frame — the one
+    input every LSH path (banding, verification, index writes) derives
+    from. Callers that run MORE than one LSH operation over the same
+    batch (the ingest loop screens then appends; the takedown query
+    screens the same batch twice) should materialize this once and pass
+    it via the operations' ``hashed_grams=`` parameter: un-shared, each
+    operation re-runs the normalize+shingle+hash pass — one redundant
+    full batch text scan per extra operation at corpus scale."""
+    return _hashed_grams(df, text_col, id_col, ngram)
 
 
 def _minhash_bands(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -990,8 +1058,12 @@ def write_lsh_index(
     # executors the first's commit tail leaves idle (guide §2.6)
     from sdc_spark.operators.maintenance import run_concurrently
 
-    run_concurrently(_write_bands, _write_grams)
-    _unmaterialize(base)
+    try:
+        run_concurrently(_write_bands, _write_grams)
+    finally:
+        # always release the materialized full-corpus hashed-gram blocks
+        # — a write failure must not leak them for the session's lifetime
+        _unmaterialize(base)
     return bands_t, grams_t
 
 
@@ -1006,20 +1078,33 @@ def append_lsh_index(
     ngram: int = 3,
     n_buckets: int = _LSH_INDEX_BUCKETS,
     path_root: str = "/tmp/sdc_spark_lshidx",
+    hashed_grams: "DataFrame | None" = None,
 ) -> None:
     """Append one ingested batch's band+gram rows to a persisted index
     written by ``write_lsh_index`` — the index is never rewritten; the
     bucket spec matches the original so co-location is preserved and the
     append adds ~one file per bucket (repartition-first), not a
     small-files blizzard. Serialized against concurrent compaction via
-    the index maintenance lock (operators/maintenance.py)."""
+    the index maintenance lock (operators/maintenance.py).
+
+    ``hashed_grams``: a caller that already SCREENED the batch can pass
+    the materialized ``hashed_grams()`` frame it screened with, so the
+    normalize+shingle+hash pass over the batch text runs once per batch
+    instead of once per operation (one redundant full batch scan saved
+    at corpus scale). The frame must match (batch, text_col, id_col,
+    ngram); ownership stays with the caller (not released here)."""
     from sdc_spark.operators.maintenance import index_lock, run_concurrently
 
+    own_base = hashed_grams is None
     with index_lock(f"{path_root}/{name}"):
         # same shared-scan discipline as write_lsh_index: one hashed-gram
         # pass over the batch feeds both appends — and the two appends
         # target different tables, so they overlap (guide §2.6)
-        base = _hashed_grams(batch, text_col, id_col, ngram).transform(_materialize)
+        base = (
+            _hashed_grams(batch, text_col, id_col, ngram).transform(_materialize)
+            if own_base
+            else hashed_grams
+        )
 
         def _append_bands() -> None:
             (
@@ -1041,8 +1126,11 @@ def append_lsh_index(
                 .saveAsTable(f"lsh_grams_{name}")
             )
 
-        run_concurrently(_append_bands, _append_grams)
-        _unmaterialize(base)
+        try:
+            run_concurrently(_append_bands, _append_grams)
+        finally:
+            if own_base:
+                _unmaterialize(base)
 
 
 def _rewrite_lsh_table(
@@ -1271,6 +1359,7 @@ def screen_against_index(
     bands: int = 32,
     ngram: int = 3,
     tombstones: "DataFrame | None" = None,
+    hashed_grams: "DataFrame | None" = None,
 ) -> DataFrame:
     """Screen a new batch against a MATERIALIZED corpus index — the loop
     body of persisted incremental dedup: ``band_index`` is a
@@ -1288,8 +1377,18 @@ def screen_against_index(
     zero-Exchange bucket join and before the verify aggregation, so the
     anti-join touches only the batch-sized candidate frame and the
     verify prune never loads a deleted doc's grams. No strategy hint:
-    the log can be corpus-scale under bulk expiry; AQE picks."""
-    base_n = _hashed_grams(new, text_col, id_col, ngram).transform(_materialize)
+    the log can be corpus-scale under bulk expiry; AQE picks.
+
+    ``hashed_grams`` lets a caller that ALSO appends (or re-screens) the
+    same batch share ONE materialized (doc, h) frame across operations
+    (see ``hashed_grams()``); it must be the already-MATERIALIZED output
+    of that function for the same (new, text_col, id_col, ngram), and
+    the caller owns its release."""
+    base_n = (
+        hashed_grams
+        if hashed_grams is not None
+        else _hashed_grams(new, text_col, id_col, ngram).transform(_materialize)
+    )
     band_n = _minhash_bands(base_n, num_hashes, bands)
 
     # Materialized so the verify-side semi-join prune below does not
@@ -1481,6 +1580,19 @@ def _kgram_positions(df: DataFrame, text_col: str, id_col: str, k: int) -> DataF
         F.col("pos").cast("long").alias("pos"),
         F.expr(f"xxhash64(substring(text, pos, {k}))").alias("h"),
     )
+
+
+def kgram_positions(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Public form of the (doc, pos, h) per-offset k-gram hash stream —
+    the shared input of every ExactSubstr operation. Callers that run
+    MORE than one substring operation over the same batch (the ingest
+    loop screens then appends) should materialize this once and pass it
+    via the operations' ``kgram_positions=`` parameter: un-shared, each
+    operation re-runs the per-character explode+hash pass over the
+    batch text — the single most expensive batch-side stage."""
+    return _kgram_positions(df, text_col, id_col, k)
 
 
 def _merge_marked_positions(marked: DataFrame, k: int) -> DataFrame:
@@ -1762,6 +1874,7 @@ def append_substring_index(
     min_len: int = 50,
     n_buckets: int = _SUB_INDEX_BUCKETS,
     path_root: str = "/tmp/sdc_spark_subidx",
+    kgram_positions: "DataFrame | None" = None,
 ) -> None:
     """Append one ingested batch's (h, cnt) gram counts under the same
     bucket spec (co-location — and the zero-Exchange screen plan —
@@ -1771,13 +1884,23 @@ def append_substring_index(
     wherever they matter), while merging would cost a full index
     rewrite per batch — ``compact_substring_index`` merges them during
     scheduled maintenance instead. Serialized against concurrent
-    compaction via the index maintenance lock."""
+    compaction via the index maintenance lock.
+
+    ``kgram_positions``: a caller that already SCREENED the batch can
+    pass the materialized ``kgram_positions()`` frame it screened with,
+    so the per-character explode+hash pass over the batch text runs
+    once per batch instead of once per operation. Must match
+    (batch, text_col, id_col, min_len); caller owns its release."""
     from sdc_spark.operators.maintenance import index_lock
 
+    src = (
+        kgram_positions
+        if kgram_positions is not None
+        else _kgram_positions(batch, text_col, id_col, int(min_len))
+    )
     with index_lock(f"{path_root}/{name}"):
         (
-            _kgram_positions(batch, text_col, id_col, int(min_len))
-            .groupBy("h")
+            src.groupBy("h")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .repartition(n_buckets, "h")
             .write.mode("append")
@@ -1980,6 +2103,7 @@ def screen_substrings_against_index(
     id_col: str,
     name: str,
     min_len: int = 50,
+    kgram_positions: "DataFrame | None" = None,
 ) -> DataFrame:
     """Incremental ExactSubstr screen: maximal duplicated spans of the
     BATCH documents against corpus ∪ batch, using only the persisted
@@ -1996,9 +2120,18 @@ def screen_substrings_against_index(
     hashes. The screen never touches corpus text — the 100-TB corpus
     participates as 8-byte hashes only.
 
-    Output: (doc, span_start, span_end, span_len) for batch docs."""
+    Output: (doc, span_start, span_end, span_len) for batch docs.
+
+    ``kgram_positions``: a caller that ALSO appends the same batch can
+    pass ONE materialized ``kgram_positions()`` frame shared across the
+    operations (must match (batch, text_col, id_col, min_len); caller
+    owns its release)."""
     k = int(min_len)
-    grams = _kgram_positions(batch, text_col, id_col, k).transform(_materialize)
+    grams = (
+        kgram_positions
+        if kgram_positions is not None
+        else _kgram_positions(batch, text_col, id_col, k).transform(_materialize)
+    )
     batch_dup = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n"))

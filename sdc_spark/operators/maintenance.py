@@ -147,7 +147,15 @@ def run_concurrently(*thunks) -> None:
     for t in threads:
         t.join()
     if errs:
-        raise errs[0]
+        # simultaneous failures must not vanish: chain the extras onto
+        # the primary so the traceback shows every concurrent error
+        head = errs[0]
+        for extra in errs[1:]:
+            tail = head
+            while tail.__context__ is not None:
+                tail = tail.__context__
+            tail.__context__ = extra
+        raise head
 
 
 def takedown_documents(

@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sdc_spark.materialize import materialize as _materialize
+from sdc_spark.materialize import unmaterialize as _unmaterialize
 from sdc_spark.operators.dedup import normalized_text
 
 
@@ -290,7 +291,12 @@ def write_posting_index(
     # disjoint tables — overlap them (optimization guide §2.6)
     from sdc_spark.operators.maintenance import run_concurrently
 
-    run_concurrently(_write_postings, _write_stats)
+    try:
+        run_concurrently(_write_postings, _write_stats)
+    finally:
+        # release the materialized corpus posting blocks even on write
+        # failure — leaked, they pin a corpus-sized frame for the session
+        _unmaterialize(posted)
     return post_t, stats_t
 
 
@@ -339,7 +345,10 @@ def append_posting_index(
             )
 
         # disjoint tables fed by the one materialized frame (§2.6)
-        run_concurrently(_append_postings, _append_stats)
+        try:
+            run_concurrently(_append_postings, _append_stats)
+        finally:
+            _unmaterialize(posted)
 
 
 def _rewrite_posting_table(

@@ -422,15 +422,28 @@ def write_ivf_index(
         norm(F.col(vec_col)).alias("nrm"),
     )
     cent = ivf_centroids(v, n_cells)
-    cent.write.mode("overwrite").parquet(cent_p)
-    (
-        ivf_assign(v, cent, "nid", "nvec")
-        # one file per cell directory, not tasks x cells small files
-        .repartition(n_cells, "cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(cells_p)
-    )
+
+    # ivf_centroids returns a MATERIALIZED codebook, so the (tiny)
+    # centroid write and the (corpus-scan) assignment+cells write are
+    # independent jobs — overlap them so the centroid write's job and
+    # commit latency hides under the assignment scan (guide §2.6), the
+    # same discipline as the LSH band/gram and posting/stats write pairs.
+    def _write_centroids() -> None:
+        cent.write.mode("overwrite").parquet(cent_p)
+
+    def _write_cells() -> None:
+        (
+            ivf_assign(v, cent, "nid", "nvec")
+            # one file per cell directory, not tasks x cells small files
+            .repartition(n_cells, "cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(cells_p)
+        )
+
+    from sdc_spark.operators.maintenance import run_concurrently
+
+    run_concurrently(_write_centroids, _write_cells)
     return cent_p, cells_p
 
 

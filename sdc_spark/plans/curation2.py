@@ -471,14 +471,31 @@ oracle(
 )
 
 
+def _fk_edge_join(fact: DataFrame, edges) -> DataFrame:
+    """The audit's join frame: the fact's FK columns left-joined to each
+    edge's DISTINCT dim key set (a duplicated dim key must not fan the
+    fact rows out — NOT EXISTS semantics, like the anti-join this
+    replaced). NO broadcast hint anywhere: one referenced side
+    (orders.o_orderkey for lineitem→orders) is FACT-sized, and a forced
+    broadcast of billions of keys OOMs the driver at corpus scale. AQE
+    picks per edge — genuinely small dims still broadcast from size
+    estimates; fact-sized key sets get a shuffled join. Module-level so
+    the plan-shape test can pin the hint's absence."""
+    j = fact.select(*[fk for fk, _, _, _ in edges])
+    for fk, dim, pk, _ in edges:
+        d = dim.select(pk).distinct()
+        j = j.join(d, j[fk] == d[pk], "left")
+    return j
+
+
 @query("fk_integrity_audit")
 def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit (warehouse constraint checking):
     orphan counts for each declared FK edge — lineitem→orders,
-    lineitem→part, lineitem→supplier, orders→customer — via left-anti
-    joins against the distinct key side. Dimension key sets broadcast;
-    the facts are scanned once per edge with only the FK column read
-    (column pruning visible in the scan)."""
+    lineitem→part, lineitem→supplier, orders→customer — via left joins
+    against the distinct key side, one conditional-aggregate scan per
+    fact table, with only the FK columns read (column pruning visible
+    in the scan)."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     part = read_table(spark, sf_dir, "part")
@@ -487,17 +504,12 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ONE pass per fact table (r11: the per-edge anti-join+count form
     # scanned lineitem six times — 3 orphan counts + 3 totals): all of a
-    # fact's FK edges check in a single scan via broadcast left joins to
-    # the dim key sets + one conditional aggregate. Identical counts —
-    # an orphan is exactly a null-matched dim key.
+    # fact's FK edges check in a single scan via left joins to the dim
+    # key sets (strategy AQE-chosen — see _fk_edge_join) + one
+    # conditional aggregate. Identical counts — an orphan is exactly a
+    # null-matched dim key.
     def audit(fact, edges):
-        j = fact.select(*[fk for fk, _, _, _ in edges])
-        for fk, dim, pk, _ in edges:
-            # distinct: a (hypothetically) duplicated dim key must not
-            # fan the fact rows out — NOT EXISTS semantics, like the
-            # anti-join this replaces
-            d = dim.select(pk).distinct()
-            j = j.join(F.broadcast(d), j[fk] == d[pk], "left")
+        j = _fk_edge_join(fact, edges)
         row = j.agg(
             F.count(F.lit(1)).alias("n"),
             *[

@@ -1629,7 +1629,7 @@ def dedup_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     race the append). Oracle: exact cross-pairs per batch from the
     shared grams CTE — the whole loop, including the append round-trip,
     must hash-match exact Jaccard."""
-    from sdc_spark.materialize import materialize
+    from sdc_spark.materialize import materialize, unmaterialize
 
     name = f"lshloop_{_sf_tag(sf_dir)}"
     # the index MUTATES (append) — rebuild fresh per run, never resume
@@ -1644,7 +1644,7 @@ def dedup_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, corpus, "text", "doc_id", name
     )
 
-    def screen(batch: DataFrame, n: int) -> DataFrame:
+    def screen(batch: DataFrame, n: int, base: DataFrame) -> DataFrame:
         pairs = sdedup.screen_against_index(
             spark.table(bands_t),
             spark.table(grams_t),
@@ -1652,6 +1652,7 @@ def dedup_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             "doc_id",
             threshold=0.8,
+            hashed_grams=base,
         )
         # truncate=True: batch 1's screen precedes the append — kept
         # lineage (persist mode) recomputing an evicted partition AFTER
@@ -1662,13 +1663,25 @@ def dedup_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.lit(n).alias("batch"), "*"), truncate=True
         )
 
-    out1 = screen(batch1, 1)
-    sdedup.append_lsh_index(spark, batch1, "text", "doc_id", name)
+    # batch 1 is screened AND appended: ONE materialized hashed-gram
+    # frame feeds both (guide §1.2 — the unshared form re-ran the
+    # normalize+shingle+hash pass over the batch text per operation,
+    # a redundant full batch scan at corpus scale). Safe ordering: the
+    # frame derives only from the immutable batch text, never from the
+    # index the append grows.
+    base1 = materialize(sdedup.hashed_grams(batch1, "text", "doc_id"))
+    out1 = screen(batch1, 1, base1)
+    sdedup.append_lsh_index(
+        spark, batch1, "text", "doc_id", name, hashed_grams=base1
+    )
+    unmaterialize(base1)  # out1 is truncated; nothing reads base1 again
     # refreshed metadata: the append added files the cached relation
     # doesn't know about
     spark.catalog.refreshTable(bands_t)
     spark.catalog.refreshTable(grams_t)
-    out2 = screen(batch2, 2)
+    base2 = materialize(sdedup.hashed_grams(batch2, "text", "doc_id"))
+    out2 = screen(batch2, 2, base2)
+    unmaterialize(base2)
     return out1.unionByName(out2)
 
 
@@ -1977,7 +1990,7 @@ def dedup_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-pairs Jaccard against the SURVIVING corpus — a leaked
     tombstoned doc in either phase, or a compaction that drops a
     survivor, is a value mismatch."""
-    from sdc_spark.materialize import materialize
+    from sdc_spark.materialize import materialize, unmaterialize
 
     name = f"lshtd_{_sf_tag(sf_dir)}"
     # the index MUTATES (delete + compact) — rebuild fresh per run
@@ -1994,6 +2007,18 @@ def dedup_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         name,
     )
 
+    # the SAME batch is screened twice (pre- and post-compaction): ONE
+    # materialized hashed-gram frame feeds both screens (guide §1.2) —
+    # unshared, the normalize+shingle+hash pass over the batch text ran
+    # per snapshot. The frame derives only from the immutable batch
+    # text, so compaction cannot invalidate it. truncate=True: under
+    # persist mode, kept lineage re-reading the batch via an evicted
+    # block would still be safe here, but truncation matches the
+    # snapshot discipline of the screen results below.
+    base = materialize(
+        sdedup.hashed_grams(batch, "text", "doc_id"), truncate=True
+    )
+
     def screen(n: int, tomb) -> DataFrame:
         pairs = sdedup.screen_against_index(
             spark.table(bands_t),
@@ -2003,6 +2028,7 @@ def dedup_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             threshold=0.8,
             tombstones=tomb,
+            hashed_grams=base,
         )
         # truncate=True: snapshot 1 is computed FROM files the compaction
         # below DELETES (the tombstone log, then the pre-compaction index
@@ -2018,6 +2044,7 @@ def dedup_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.refreshTable(bands_t)
     spark.catalog.refreshTable(grams_t)
     out2 = screen(2, sdedup.lsh_tombstones(spark, name))
+    unmaterialize(base)  # both snapshots truncated; base is dead
     return out1.unionByName(out2)
 
 

@@ -360,10 +360,11 @@ def substring_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero Exchange; the 100-TB corpus participates as 8-byte hashes."""
     import re
 
-    from sdc_spark.materialize import materialize
+    from sdc_spark.materialize import materialize, unmaterialize
     from sdc_spark.operators.dedup import (
         append_substring_index,
         drop_substring_index,
+        kgram_positions,
         screen_substrings_against_index,
         write_substring_index,
     )
@@ -378,9 +379,10 @@ def substring_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch2 = doc.filter(F.col("doc_id") % 5 == 1)
     write_substring_index(spark, corpus, "text", "doc_id", name, min_len=_K)
 
-    def screen(batch: DataFrame, n: int) -> DataFrame:
+    def screen(batch: DataFrame, n: int, kpos: DataFrame) -> DataFrame:
         spans = screen_substrings_against_index(
-            spark, batch, "text", "doc_id", name, min_len=_K
+            spark, batch, "text", "doc_id", name, min_len=_K,
+            kgram_positions=kpos,
         )
         # truncate=True: the screen precedes the append — kept lineage
         # (persist mode) recomputing an evicted partition AFTER the
@@ -390,10 +392,22 @@ def substring_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             spans.select(F.lit(n).alias("batch"), "*"), truncate=True
         )
 
-    out1 = screen(batch1, 1)
-    append_substring_index(spark, batch1, "text", "doc_id", name, min_len=_K)
+    # batch 1 is screened AND appended: ONE materialized (doc, pos, h)
+    # frame feeds both (guide §1.2) — unshared, the per-character
+    # explode+hash pass over the batch text ran once per operation. The
+    # frame derives only from the immutable batch text, never from the
+    # index the append grows.
+    kpos1 = materialize(kgram_positions(batch1, "text", "doc_id", _K))
+    out1 = screen(batch1, 1, kpos1)
+    append_substring_index(
+        spark, batch1, "text", "doc_id", name, min_len=_K,
+        kgram_positions=kpos1,
+    )
+    unmaterialize(kpos1)  # out1 is truncated; nothing reads kpos1 again
     spark.catalog.refreshTable(f"sub_grams_{name}")
-    out2 = screen(batch2, 2)
+    kpos2 = materialize(kgram_positions(batch2, "text", "doc_id", _K))
+    out2 = screen(batch2, 2, kpos2)
+    unmaterialize(kpos2)
     return (
         out1.unionByName(out2)
         .select(

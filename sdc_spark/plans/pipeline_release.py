@@ -31,6 +31,24 @@ from sdc_spark.sources.readers import read_table
 _Q_CUT = 0.57  # splits the synthetic corpus ~in half (median 0.569)
 
 
+def _release_tail(s3: DataFrame, q_cut: float) -> DataFrame:
+    """ONE conditional aggregate producing both tail manifest rows'
+    numbers from the stage-3 frame (quality, n_tokens): stage 3's
+    count/tokens plus stage 4's (quality-gated) count/tokens. n4 is
+    coalesced to 0 — a count-like row must report 0 on an empty stage-3
+    frame (F.sum is NULL over zero rows, where the pre-fusion manifest's
+    F.count reported 0); t3/t4 stay plain sums (the old per-stage token
+    sums were likewise NULL on empty). Module-level so the empty-input
+    behavior is unit-testable."""
+    gate = F.col("quality") >= q_cut
+    return s3.agg(
+        F.count(F.lit(1)).alias("n3"),
+        F.sum("n_tokens").alias("t3"),
+        F.coalesce(F.sum(gate.cast("long")), F.lit(0)).alias("n4"),
+        F.sum(F.when(gate, F.col("n_tokens"))).alias("t4"),
+    )
+
+
 @query("pipeline_dump_release")
 def pipeline_dump_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Release-gate manifest: raw → exact-dedup → best-quality near-dup
@@ -91,13 +109,7 @@ def pipeline_dump_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = s2.join(contaminated, "doc_id", "left_anti").select(
         "quality", "n_tokens"
     )
-    gate = F.col("quality") >= _Q_CUT
-    tail = s3.agg(
-        F.count(F.lit(1)).alias("n3"),
-        F.sum("n_tokens").alias("t3"),
-        F.sum(gate.cast("long")).alias("n4"),
-        F.sum(F.when(gate, F.col("n_tokens"))).alias("t4"),
-    ).transform(_materialize)
+    tail = _release_tail(s3, _Q_CUT).transform(_materialize)
 
     def manifest(stage: int, name: str, d: DataFrame) -> DataFrame:
         return d.agg(

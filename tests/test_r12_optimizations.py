@@ -1,0 +1,123 @@
+"""Round-12 hardening + optimization internals.
+
+Pins the r12 mechanisms no other test observes directly:
+
+1. ``fk_integrity_audit``'s edge join carries NO broadcast hint — one
+   referenced side (orders for lineitem→orders) is fact-sized, and a
+   forced broadcast of billions of keys OOMs the driver at corpus
+   scale; AQE must be free to pick per edge.
+2. ``dedup_components`` loudly rejects non-integral id columns (the
+   exact label-sum convergence check is not injective for strings or
+   floats — with ANSI off a string id silently returned WRONG labels).
+3. ``dedup_components`` converges when the component diameter equals
+   ``max_iter`` exactly: sum-equality observes the fixpoint one fused
+   block late, and the final uncounted single-round probe rescues the
+   boundary instead of raising spuriously.
+4. The fused release-manifest tail reports n_docs = 0 (not NULL) for an
+   empty stage-3 frame, matching the pre-fusion F.count behavior.
+5. ``run_concurrently`` chains simultaneous failures: the re-raised
+   primary error carries every other thunk's error in its __context__
+   chain instead of silently dropping them.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import spark  # noqa: F401  (fixture)
+
+
+def test_fk_edge_join_has_no_broadcast_hint(spark):  # noqa: F811
+    from sdc_spark.plans.curation2 import _fk_edge_join
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (None, 10)], "fk_a int, fk_b int"
+    )
+    dim_a = spark.createDataFrame([(1,), (2,), (2,)], "pk_a int")
+    dim_b = spark.createDataFrame([(10,), (20,)], "pk_b int")
+    j = _fk_edge_join(
+        fact,
+        [
+            ("fk_a", dim_a, "pk_a", "fact->a"),
+            ("fk_b", dim_b, "pk_b", "fact->b"),
+        ],
+    )
+    logical = j._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
+    # orphan counts unchanged by the hint removal (NOT EXISTS semantics:
+    # null FK counts as orphan; duplicated dim key must not fan out):
+    # fk_a orphans = {3, NULL} → 2, fk_b orphans = {99} → 1, n = 4 rows
+    row = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("pk_a").isNull().cast("long")).alias("o_a"),
+        F.sum(F.col("pk_b").isNull().cast("long")).alias("o_b"),
+    ).collect()[0]
+    assert (row["n"], row["o_a"], row["o_b"]) == (4, 2, 1)
+
+
+def test_dedup_components_rejects_non_integral_ids(spark):  # noqa: F811
+    from sdc_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "doc_a string, doc_b string"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        dedup_components(pairs)
+
+
+def test_dedup_components_converges_at_diameter_boundary(spark):  # noqa: F811
+    from sdc_spark.operators.dedup import dedup_components
+
+    # chain 1-2-3-4: diameter 3. With max_iter=3 the loop exhausts before
+    # sum-equality can be OBSERVED (it needs one no-op block); the final
+    # uncounted probe must confirm the fixpoint instead of raising.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    out = dedup_components(pairs, max_iter=3)
+    got = {(r["doc"], r["component"]) for r in out.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1)}
+
+
+def test_dedup_components_still_raises_when_under_iterated(spark):  # noqa: F811
+    from sdc_spark.operators.dedup import dedup_components
+
+    # chain of 8 nodes: diameter 7 > max_iter=3 (+1 probe round) — far
+    # nodes genuinely mislabeled, so the loud failure must survive the
+    # boundary-probe change.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(pairs, max_iter=3)
+
+
+def test_release_tail_empty_reports_zero_docs(spark):  # noqa: F811
+    from sdc_spark.plans.pipeline_release import _Q_CUT, _release_tail
+
+    empty = spark.createDataFrame([], "quality double, n_tokens long")
+    row = _release_tail(empty, _Q_CUT).collect()[0]
+    assert row["n3"] == 0
+    assert row["n4"] == 0  # count-like: 0, never NULL, on empty input
+    assert row["t3"] is None and row["t4"] is None  # token sums: NULL
+
+
+def test_run_concurrently_chains_simultaneous_failures(spark):  # noqa: F811
+    from sdc_spark.operators.maintenance import run_concurrently
+
+    def fail_a():
+        raise ValueError("first failure")
+
+    def fail_b():
+        raise KeyError("second failure")
+
+    with pytest.raises((ValueError, KeyError)) as exc_info:
+        run_concurrently(fail_a, fail_b)
+    # both errors must be visible: one as the primary, the other chained
+    seen = set()
+    err = exc_info.value
+    while err is not None:
+        seen.add(type(err))
+        err = err.__context__
+    assert {ValueError, KeyError} <= seen
