@@ -198,7 +198,6 @@ def minhash_lsh_pairs(
     representative), then near-dup with the cap as the safety net; pairs
     lost to the cap are intra-cluster pairs a downstream
     connected-components pass would have merged anyway."""
-    rows = num_hashes // bands
     docs = with_grams(df, text_col, id_col, ngram)
 
     # The hashed shingle index (doc, xxhash64(gram)) is materialized ONCE
@@ -221,28 +220,16 @@ def minhash_lsh_pairs(
     # hashed ONCE; the 128-member family is derived from that 8-byte base
     # (xxhash64(h, seed)) — re-hashing the string per seed was ~2.5x
     # slower end-to-end at sf0.1. The family change is output-invariant:
-    # candidates are exact-Jaccard verified.
-    sig = base.groupBy("doc").agg(
-        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
-    )
+    # candidates are exact-Jaccard verified. Expressions are built as
+    # parsed SQL strings (_sig_agg_exprs) — the Column-object form cost
+    # ~1s of py4j construction per call, the largest driver gap in every
+    # minhash query's profile.
+    sig = base.groupBy("doc").agg(*_sig_agg_exprs(num_hashes))
 
     # band hash directly over the numeric signature slice — no string concat
-    banded = sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"m{b * rows + j}") for j in range(rows)], F.lit(b)
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select("doc", "bh.band", "bh.bhash")
+    banded = sig.selectExpr("doc", _band_explode_sql(num_hashes, bands)).selectExpr(
+        "doc", "bh.band AS band", "bh.bhash AS bhash"
+    )
 
     if max_bucket_size is not None:
         small = (
@@ -522,42 +509,42 @@ def simhash_near_dups(
     # the minhash signature plan; shuffles one 64-long state per doc).
     # The shingle hash is materialized in a projection BEFORE the agg —
     # as a sub-expression of 64 separate aggregate functions it is not
-    # CSE'd and the string would be hashed 64x per row.
-    h = F.col("h")
-    bit = lambda b: F.when(  # noqa: E731
-        F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-    ).otherwise(F.lit(-1))
+    # CSE'd and the string would be hashed 64x per row. All wide
+    # expression lists are built as parsed SQL strings (the Column-object
+    # form cost ~2s of py4j construction per call — half this query's
+    # wall time; same discipline as _sig_agg_exprs, values identical).
     votes = (
         with_grams(df, text_col, id_col, ngram)
         .select("doc", F.explode("grams").alias("g"))
         .select("doc", F.xxhash64("g").alias("h"))
         .groupBy("doc")
-        .agg(*[F.sum(bit(b)).alias(f"v{b}") for b in range(64)])
-    )
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        weight = (1 << b) if b < 63 else -(1 << 63)
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"v{b}") > 0, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
+        .agg(
+            *[
+                F.expr(
+                    f"sum(CASE WHEN (shiftrightunsigned(h, {b}) & 1) = 1 "
+                    f"THEN 1 ELSE -1 END) AS v{b}"
+                )
+                for b in range(64)
+            ]
         )
-    docs = votes.select("doc", sig.alias("sig"))
-    chunks = docs.select(
-        "doc",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned("sig", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("ch"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("c"),
-    ).select("doc", "sig", "c.chunk", "c.ch")
+    )
+    # bit 63's weight is long-min: shiftleft(1L, 63) — constant-folded to
+    # the same literal the old F.lit(-(1 << 63)) produced (a bare
+    # -9223372036854775808 literal would overflow the SQL parser's int
+    # range before the unary minus applies)
+    sig_sql = "CAST(0 AS BIGINT)" + "".join(
+        " | CASE WHEN v%d > 0 THEN %s ELSE CAST(0 AS BIGINT) END"
+        % (b, f"{1 << b}L" if b < 63 else "shiftleft(CAST(1 AS BIGINT), 63)")
+        for b in range(64)
+    )
+    docs = votes.selectExpr("doc", f"({sig_sql}) AS sig")
+    chunk_arr = ",".join(
+        f"named_struct('chunk', {i}, 'ch', shiftrightunsigned(sig, {i * 16}) & 65535)"
+        for i in range(4)
+    )
+    chunks = docs.selectExpr(
+        "doc", "sig", f"explode(array({chunk_arr})) AS c"
+    ).selectExpr("doc", "sig", "c.chunk AS chunk", "c.ch AS ch")
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (
@@ -931,32 +918,40 @@ def hashed_grams(
     return _hashed_grams(df, text_col, id_col, ngram)
 
 
+def _sig_agg_exprs(num_hashes: int) -> list:
+    """The 128 signature aggregates as PARSED SQL strings. Building these
+    as nested Column objects cost ~1s of driver time PER CALL (profiled:
+    each F.min(F.xxhash64(...)).alias(...) is ~5 py4j round trips, times
+    128 + 32x5 for the band structs — the 1.0-1.4s inter-job gaps in
+    every minhash-family query). One F.expr per aggregate is one round
+    trip + a JVM parse: construction drops ~1.0s → ~0.14s, and the
+    analyzed plan is IDENTICAL (verified node-for-node modulo exprIds) —
+    same hash family, same band hashes, same results."""
+    return [F.expr(f"min(xxhash64(h, {i})) AS m{i}") for i in range(num_hashes)]
+
+
+def _band_explode_sql(num_hashes: int, bands: int) -> str:
+    """explode(array(named_struct(...)x bands)) band-hash projection as
+    ONE SQL string (single py4j call; see _sig_agg_exprs)."""
+    rows = num_hashes // bands
+    arr = ",".join(
+        "named_struct('band', %d, 'bhash', xxhash64(%s, %d))"
+        % (b, ",".join(f"m{b * rows + j}" for j in range(rows)), b)
+        for b in range(bands)
+    )
+    return f"explode(array({arr})) AS bh"
+
+
 def _minhash_bands(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(doc, band, bhash) LSH bucket rows from a (doc, h) hashed-gram
     frame. The ONE definition of the signature family + band hashing —
     minhash_lsh_pairs, lsh_band_table, the in-session incremental screen
     and the persisted-index screen all call this, so a parquet index
     written by one run is joinable by any other."""
-    rows = num_hashes // bands
-    sig = base.groupBy("doc").agg(
-        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
+    sig = base.groupBy("doc").agg(*_sig_agg_exprs(num_hashes))
+    return sig.selectExpr("doc", _band_explode_sql(num_hashes, bands)).selectExpr(
+        "doc", "bh.band AS band", "bh.bhash AS bhash"
     )
-    return sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"m{b * rows + j}") for j in range(rows)], F.lit(b)
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select("doc", "bh.band", "bh.bhash")
 
 
 def lsh_band_table(
