@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from sdc_spark.operators.curation import weighted_sample_per_group
 from sdc_spark.plans.registry import oracle, query
-from sdc_spark.sources.readers import read_table
+from sdc_spark.sources.readers import local_rows, read_table
 
 
 @query("sample_weighted")
@@ -530,8 +530,8 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("l_suppkey", supp, "s_suppkey", "lineitem->supplier"),
         ],
     ) + audit(orders, [("o_custkey", cust, "c_custkey", "orders->customer")])
-    return spark.createDataFrame(
-        rows, "edge string, n_orphans long, n_rows long"
+    return local_rows(
+        spark, rows, "edge string, n_orphans long, n_rows long"
     ).orderBy("edge")
 
 

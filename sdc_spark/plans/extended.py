@@ -16,7 +16,7 @@ from sdc_spark.materialize import materialize as _materialize
 from sdc_spark.functions.categorical import encode
 from sdc_spark.functions.expressions import pandas_floordiv
 from sdc_spark.plans.registry import oracle, query
-from sdc_spark.sources.readers import read_csv, read_table
+from sdc_spark.sources.readers import local_rows, read_csv, read_table
 from sdc_spark.sources.writers import to_csv
 
 
@@ -510,7 +510,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = np.full(n, 1.0 / n)
     for _ in range(3):
         r = (1 - d) / n + d * (m @ r)
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [(v, float(round(rv, 6))) for v, rv in zip(nodes, r)],
         "node string, pagerank double",
     ).orderBy("node")

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from sdc_spark.frame.core import IDX, SparkFrame
 from sdc_spark.plans.registry import oracle, query
-from sdc_spark.sources.readers import read_table
+from sdc_spark.sources.readers import local_rows, read_table
 
 
 def _uniq_lineitem(li, *cols):
@@ -186,8 +186,8 @@ def agg_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = SparkSeries(base.select(IDX, F.col("l_quantity").alias(VAL)))
     y = SparkSeries(base.select(IDX, F.col("l_extendedprice").alias(VAL)))
     rho = x.corr(y, method="spearman")
-    return spark.createDataFrame(
-        [(int(round(rho * 1_000_000)),)], "rho_e6 bigint"
+    return local_rows(
+        spark, [(int(round(rho * 1_000_000)),)], "rho_e6 bigint"
     )
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from sdc_spark.operators.ml import kde_log_density, kmeans_fit, linreg_fit, logreg_fit_gd
 from sdc_spark.plans.registry import oracle, query
-from sdc_spark.sources.readers import read_table
+from sdc_spark.sources.readers import local_rows, read_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -63,9 +63,10 @@ def ml_linreg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cramer's rule in SQL."""
     li = _t(spark, sf_dir, "lineitem")
     w = linreg_fit(li, ["l_quantity", "l_discount"], "l_extendedprice")
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [(round(w[0], 4), round(w[1], 4), round(w[2], 4))],
-        ["b_intercept", "b_quantity", "b_discount"],
+        "b_intercept double, b_quantity double, b_discount double",
     )
 
 
@@ -143,8 +144,8 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     w = logreg_fit_gd(li, ["x1", "x2"], "y", iterations=3, lr=0.001, init=0.5)
-    return spark.createDataFrame(
-        [(round(w[0], 4), round(w[1], 4))], ["w_x1", "w_x2"]
+    return local_rows(
+        spark, [(round(w[0], 4), round(w[1], 4))], "w_x1 double, w_x2 double"
     )
 
 
@@ -240,7 +241,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (i, j, round(float(cov[i, j]), 6)) for i in range(4) for j in range(i, 4)
     ]
-    return spark.createDataFrame(rows, "i int, j int, cov double").orderBy("i", "j")
+    return local_rows(spark, rows, "i int, j int, cov double").orderBy("i", "j")
 
 
 oracle(

@@ -58,6 +58,7 @@ def pipeline_dump_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark (its source docs are 100%-contaminated by construction and
     must drop at stage 3)."""
     from sdc_spark.materialize import materialize as _materialize
+    from sdc_spark.operators.scan import spread_scan
 
     doc = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     dupes = doc.filter(F.col("doc_id") % 10 == 0).withColumn(
@@ -70,11 +71,18 @@ def pipeline_dump_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (plan audit: scans=150; materialized: each gate runs once).
     # quality and the token count are computed once here and carried as
     # columns, so no later stage touches the text except decontamination.
-    # (r11 note: spreading this union before the quality pass was A/B'd —
-    # alternating same-session runs, median 13.9s spread vs 13.4s not —
-    # and kept out; the 2-task stage overlaps AQE sibling stages and is
-    # not on the critical path.)
-    corpus = doc.unionByName(dupes).select(
+    # The union is SPREAD before the quality pass (r12): a one-file scan
+    # union resolves to 2 partitions, so un-spread, the heavy quality
+    # regexes ran 2-wide AND every stage checkpoint inherited 1-2
+    # partitions — making the map side of every downstream spread
+    # exchange a 1-task text-reading bottleneck (profiled: two parallel
+    # 2.0s 1-task stages under the fused tail alone). Spread once here,
+    # the stage checkpoints carry 32 partitions and the downstream
+    # spread_scan calls self-disable. (r11's A/B of the bare union
+    # spread predated the shared-frame/expr-construction changes and
+    # measured a wash; re-measured r12 with the inherited-width effect:
+    # see OPTIMIZATION_r12.md.)
+    corpus = spread_scan(doc.unionByName(dupes), "doc_id").select(
         "doc_id",
         "text",
         stext.quality_score("text").alias("quality"),
@@ -96,7 +104,15 @@ def pipeline_dump_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     ).transform(_materialize)
 
-    bench = doc.filter(F.col("doc_id") % 50 == 0)
+    # The held-out slice is read from the MATERIALIZED corpus, not the
+    # parquet file: it is exactly the original docs with doc_id%50==0
+    # (re-injected dupes carry +1000000 ids, so the id-range guard
+    # excludes them; 1000000%50==0 would otherwise alias dupes in), and
+    # the corpus blocks already hold their text — re-scanning the
+    # one-file parquet cost a fourth 1-task full-text scan per run.
+    bench = corpus.filter(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1000000)
+    ).select("doc_id", "text")
     contaminated = sdedup.decontaminate(
         s2, bench, "text", "doc_id", ngram=8
     ).select(F.col("doc").alias("doc_id"))

@@ -31,7 +31,7 @@ from sdc_spark.operators.retrieval import (
     topk_ranking,
 )
 from sdc_spark.plans.registry import oracle, query
-from sdc_spark.sources.readers import read_table
+from sdc_spark.sources.readers import local_rows, read_table
 
 _BM25_TERMS = ["vector", "stream", "filter", "hash"]
 
@@ -181,7 +181,7 @@ def retrieval_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     doc = read_table(spark, sf_dir, "documents")
-    q = spark.createDataFrame(_BATCH_QUERIES, "qid int, term string")
+    q = local_rows(spark, _BATCH_QUERIES, "qid int, term string")
     scored = bm25_multi(doc, q, "text", "doc_id").select(
         "qid", "doc", "n_hit_terms", F.round("score", 4).alias("score")
     )
@@ -336,7 +336,7 @@ def retrieval_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = doc.filter(F.col("doc_id") % 5 != 0)
     batch = doc.filter(F.col("doc_id") % 5 == 0)
-    q = spark.createDataFrame(_BATCH_QUERIES, "qid int, term string")
+    q = local_rows(spark, _BATCH_QUERIES, "qid int, term string")
     name = f"lexidx_{_sf_tag(sf_dir)}"
 
     sret.drop_posting_index(spark, name)
@@ -400,7 +400,7 @@ def retrieval_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     import sdc_spark.operators.retrieval as sret
 
     doc = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    q = spark.createDataFrame(_BATCH_QUERIES, "qid int, term string")
+    q = local_rows(spark, _BATCH_QUERIES, "qid int, term string")
     name = f"lextd_{_sf_tag(sf_dir)}"
 
     sret.drop_posting_index(spark, name)

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sdc_spark.plans.registry import oracle, query
-from sdc_spark.sources.readers import read_table
+from sdc_spark.sources.readers import local_rows, read_table
 from sdc_spark.streaming.windows import session_agg_batch, tumbling_agg_batch
 
 
@@ -196,7 +196,7 @@ def streaming_bm25_gate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="sdc_bm25_gate_")
     try:
-        qdf = spark.createDataFrame(_BATCH_QUERIES, "qid int, term string")
+        qdf = local_rows(spark, _BATCH_QUERIES, "qid int, term string")
         qdf.coalesce(1).write.mode("overwrite").parquet(f"{work}/queries")
         qstream = spark.readStream.schema("qid int, term string").parquet(
             f"{work}/queries"
@@ -236,8 +236,8 @@ def streaming_bm25_gate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         sq.awaitTermination()
-        out = spark.createDataFrame(
-            collected, "qid int, doc long, n_hit_terms bigint, score double"
+        out = local_rows(
+            spark, collected, "qid int, doc long, n_hit_terms bigint, score double"
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -74,6 +74,21 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def local_rows(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Tiny driver-local literal frame (query workloads, audit rows) in
+    ONE partition. ``spark.createDataFrame(list)`` parallelizes the list
+    over defaultParallelism Python slices — 32 Python-worker round trips
+    to evaluate a 7-row table, and a downstream ``coalesce(1)`` runs
+    those round trips SEQUENTIALLY inside one task (profiled: 4-5s to
+    write seven rows in the streaming gate; the noop-sink form still
+    paid a 32-task storm). One slice = one worker round trip."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the standard test tables with schema normalization.
 
