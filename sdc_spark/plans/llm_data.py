@@ -505,13 +505,24 @@ def ann_ivf_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             ssim.norm(F.col("embedding")).alias("qnrm"),
         )
 
+    # ONE corpus assignment pass feeds BOTH in-session verification
+    # rankings (guide §1.2): ivf_assign is per-vector (crossJoin with the
+    # broadcast codebook + per-id argmax) and the corpus/batch id sets are
+    # disjoint, so assign(corpus ∪ batch1) ≡ assign(corpus) ∪ assign(batch1)
+    # row-for-row. Un-shared, t2 re-ran the full-corpus assignment the t1
+    # subtree had already computed — a redundant full corpus scan +
+    # n_cells-wide score pass per run at 100 TB. The shared frame is
+    # materialized because Spark shares no subplan across the two
+    # verification branches (same discipline as ml.kmeans_fit's feature
+    # frame, r11 §9).
+    a_corpus = materialize(ssim.ivf_assign(vsel(corpus), cent, "nid", "nvec"))
     t1 = ssim._ivf_rank(
-        ssim.ivf_assign(vsel(corpus), cent, "nid", "nvec"),
+        a_corpus,
         ssim._ivf_probes(cent, qsel(q1), 4),
         5,
     )
     t2 = ssim._ivf_rank(
-        ssim.ivf_assign(vsel(corpus.unionByName(batch1)), cent, "nid", "nvec"),
+        a_corpus.unionByName(ssim.ivf_assign(vsel(batch1), cent, "nid", "nvec")),
         ssim._ivf_probes(cent, qsel(q2), 4),
         5,
     )

@@ -98,10 +98,21 @@ def pipeline_dump_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = sdedup.keep_best_in_cluster(
         s1.select("doc_id", "quality"), pairs, "doc_id", "quality"
     )
-    s2 = s1.join(
-        best.filter(F.col("keep")).select(F.col("doc").alias("doc_id")),
+    # The survivor semi-join's output is AQE-coalesced to ONE partition at
+    # bench scale (a few MB), so the s2 checkpoint collapsed to 1 partition
+    # and the decontamination gram pass below started from a 1-task
+    # full-text map stage (profiled: 1.9-3.3s CPU single-task per run,
+    # ~25% of the query). Spreading BEFORE the checkpoint re-widens the
+    # stage boundary once; spread_scan self-disables on any multi-partition
+    # frame, so at real corpus scale this is a no-op (guide §2.5).
+    # Measured A/B (same session): the s2 gram pass 2.2-3.2s → 0.3-0.5s.
+    s2 = spread_scan(
+        s1.join(
+            best.filter(F.col("keep")).select(F.col("doc").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        ),
         "doc_id",
-        "left_semi",
     ).transform(_materialize)
 
     # The held-out slice is read from the MATERIALIZED corpus, not the
