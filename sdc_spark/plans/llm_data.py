@@ -1682,15 +1682,29 @@ def dedup_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index the append grows.
     base1 = materialize(sdedup.hashed_grams(batch1, "text", "doc_id"))
     out1 = screen(batch1, 1, base1)
-    sdedup.append_lsh_index(
-        spark, batch1, "text", "doc_id", name, hashed_grams=base1
+    # batch 2's hashed-gram materialization derives ONLY from the
+    # immutable batch-2 text — it never reads the index the append below
+    # grows — so it overlaps the append (guide §2.6): its scan+shingle
+    # tasks back-fill the executors the two bucketed writes' commit
+    # tails leave idle. Ordering stays safe: screen 2 (which DOES read
+    # the grown index) still runs strictly after both finish.
+    from sdc_spark.operators.maintenance import run_concurrently
+
+    base2_box: list = []
+    run_concurrently(
+        lambda: sdedup.append_lsh_index(
+            spark, batch1, "text", "doc_id", name, hashed_grams=base1
+        ),
+        lambda: base2_box.append(
+            materialize(sdedup.hashed_grams(batch2, "text", "doc_id"))
+        ),
     )
     unmaterialize(base1)  # out1 is truncated; nothing reads base1 again
     # refreshed metadata: the append added files the cached relation
     # doesn't know about
     spark.catalog.refreshTable(bands_t)
     spark.catalog.refreshTable(grams_t)
-    base2 = materialize(sdedup.hashed_grams(batch2, "text", "doc_id"))
+    base2 = base2_box[0]
     out2 = screen(batch2, 2, base2)
     unmaterialize(base2)
     return out1.unionByName(out2)

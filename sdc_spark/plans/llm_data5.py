@@ -399,13 +399,25 @@ def substring_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index the append grows.
     kpos1 = materialize(kgram_positions(batch1, "text", "doc_id", _K))
     out1 = screen(batch1, 1, kpos1)
-    append_substring_index(
-        spark, batch1, "text", "doc_id", name, min_len=_K,
-        kgram_positions=kpos1,
+    # batch 2's (doc, pos, h) materialization reads only the immutable
+    # batch-2 text — never the index the append grows — so it overlaps
+    # the append's bucketed write (guide §2.6); screen 2, which does
+    # read the grown index, still runs strictly after both finish
+    from sdc_spark.operators.maintenance import run_concurrently
+
+    kpos2_box: list = []
+    run_concurrently(
+        lambda: append_substring_index(
+            spark, batch1, "text", "doc_id", name, min_len=_K,
+            kgram_positions=kpos1,
+        ),
+        lambda: kpos2_box.append(
+            materialize(kgram_positions(batch2, "text", "doc_id", _K))
+        ),
     )
     unmaterialize(kpos1)  # out1 is truncated; nothing reads kpos1 again
     spark.catalog.refreshTable(f"sub_grams_{name}")
-    kpos2 = materialize(kgram_positions(batch2, "text", "doc_id", _K))
+    kpos2 = kpos2_box[0]
     out2 = screen(batch2, 2, kpos2)
     unmaterialize(kpos2)
     return (
