@@ -1651,9 +1651,16 @@ def dedup_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch1 = doc.filter(F.col("doc_id") % 5 == 0)
     batch2 = doc.filter(F.col("doc_id") % 5 == 1)
 
+    # NOT overlapped with the batch gram pass (measured, r12): the corpus
+    # index build saturates every core with the 128-aggregate band
+    # compute, so a concurrent batch job only contends (ingest loop 7.2
+    # → 14.9s with the build∥gram overlap); §2.6 backfill pays only
+    # where the foreground job leaves cores idle (the append's commit
+    # tail below does; the build does not).
     bands_t, grams_t = sdedup.write_lsh_index(
         spark, corpus, "text", "doc_id", name
     )
+    from sdc_spark.operators.maintenance import run_concurrently
 
     def screen(batch: DataFrame, n: int, base: DataFrame) -> DataFrame:
         pairs = sdedup.screen_against_index(
@@ -1688,8 +1695,6 @@ def dedup_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tasks back-fill the executors the two bucketed writes' commit
     # tails leave idle. Ordering stays safe: screen 2 (which DOES read
     # the grown index) still runs strictly after both finish.
-    from sdc_spark.operators.maintenance import run_concurrently
-
     base2_box: list = []
     run_concurrently(
         lambda: sdedup.append_lsh_index(
@@ -2023,6 +2028,7 @@ def dedup_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = _t(spark, sf_dir, "documents")
     corpus = doc.filter(F.col("doc_id") % 5 != 0)
     batch = doc.filter(F.col("doc_id") % 5 == 0)
+
     bands_t, grams_t = sdedup.write_lsh_index(
         spark, corpus, "text", "doc_id", name
     )
@@ -2036,10 +2042,12 @@ def dedup_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized hashed-gram frame feeds both screens (guide §1.2) —
     # unshared, the normalize+shingle+hash pass over the batch text ran
     # per snapshot. The frame derives only from the immutable batch
-    # text, so compaction cannot invalidate it. truncate=True: under
-    # persist mode, kept lineage re-reading the batch via an evicted
-    # block would still be safe here, but truncation matches the
-    # snapshot discipline of the screen results below.
+    # text, so compaction cannot invalidate it. NOT overlapped with the
+    # index build (measured, r12: the build saturates every core — see
+    # dedup_index_ingest_loop). truncate=True: under persist mode, kept
+    # lineage re-reading the batch via an evicted block would still be
+    # safe here, but truncation matches the snapshot discipline of the
+    # screen results below.
     base = materialize(
         sdedup.hashed_grams(batch, "text", "doc_id"), truncate=True
     )

@@ -377,7 +377,11 @@ def substring_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = doc.filter(F.col("doc_id") % 5 >= 2)
     batch1 = doc.filter(F.col("doc_id") % 5 == 0)
     batch2 = doc.filter(F.col("doc_id") % 5 == 1)
+    # NOT overlapped with the batch kgram pass (measured, r12: the index
+    # build saturates every core — a concurrent batch job only contends;
+    # 5.3 → 10.5s with the build∥kgram overlap)
     write_substring_index(spark, corpus, "text", "doc_id", name, min_len=_K)
+    from sdc_spark.operators.maintenance import run_concurrently
 
     def screen(batch: DataFrame, n: int, kpos: DataFrame) -> DataFrame:
         spans = screen_substrings_against_index(
@@ -403,8 +407,6 @@ def substring_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch-2 text — never the index the append grows — so it overlaps
     # the append's bucketed write (guide §2.6); screen 2, which does
     # read the grown index, still runs strictly after both finish
-    from sdc_spark.operators.maintenance import run_concurrently
-
     kpos2_box: list = []
     run_concurrently(
         lambda: append_substring_index(

@@ -109,15 +109,20 @@ def main() -> None:
             continue
         ms = j["end"] - j["start"]
         total_ms += ms
+        gap = 0
         if prev_end is not None:
-            gap_ms += max(0, j["start"] - prev_end)
+            gap = max(0, j["start"] - prev_end)
+            gap_ms += gap
         prev_end = j["end"]
         stg = ", ".join(
             f"{stages[s]['tasks']}t/{stages[s]['ms']}ms:{stages[s]['name'][:40]}"
             for s in j["stages"]
             if s in stages
         )
-        print(f"job {jid:>3} {ms:>6} ms  {j['desc'] or '-':<50} [{stg}]")
+        print(
+            f"job {jid:>3} {ms:>6} ms  gap {gap:>5} ms  "
+            f"{j['desc'] or '-':<40} [{stg}]"
+        )
     n = max(1, runs + 1)
     print(f"jobs total {total_ms} ms over {len(ordered)} jobs (warm+timed), "
           f"inter-job driver gaps {gap_ms} ms")
