@@ -261,8 +261,10 @@ class SparkFrame:
         key = "__ord__" if "__ord__" in self._df.columns else IDX
         pos = sorder.with_position(self._df, [key], "__pos__")
         spark = self._df.sparkSession
-        req = spark.createDataFrame(
-            list(enumerate(idx)), schema="__rk__ long, __pos__ long"
+        from sdc_spark.sources.readers import local_rows
+
+        req = local_rows(
+            spark, list(enumerate(idx)), "__rk__ long, __pos__ long"
         )
         hit = pos.join(F.broadcast(req), "__pos__")
         if validate:

@@ -37,7 +37,9 @@ def from_product(
     cols = _names(len(iterables), names)
     out: DataFrame | None = None
     for level, name in zip(iterables, cols):
-        lf = spark.createDataFrame([(v,) for v in level], f"`{name}` {_ddl(level)}")
+        from sdc_spark.sources.readers import local_rows
+
+        lf = local_rows(spark, [(v,) for v in level], f"`{name}` {_ddl(level)}")
         out = lf if out is None else out.crossJoin(lf)
     if out is None:
         raise ValueError("need at least one level")
@@ -57,7 +59,9 @@ def from_tuples(
     ddl = ", ".join(
         f"`{c}` {_ddl([t[i] for t in tuples])}" for i, c in enumerate(cols)
     )
-    return spark.createDataFrame([tuple(t) for t in tuples], ddl)
+    from sdc_spark.sources.readers import local_rows
+
+    return local_rows(spark, [tuple(t) for t in tuples], ddl)
 
 
 def _ddl(values: Sequence) -> str:

@@ -616,9 +616,12 @@ class SparkSeries:
         gather itself is a broadcast join, no collect of self."""
         labels = list(labels)
         spark = self._df.sparkSession
-        tgt = spark.createDataFrame(
+        from sdc_spark.sources.readers import local_rows
+
+        tgt = local_rows(
+            spark,
             [(lab, i) for i, lab in enumerate(labels)],
-            schema=self._df.select(F.col(IDX)).withColumn("__ord__", F.lit(0)).schema,
+            self._df.select(F.col(IDX)).withColumn("__ord__", F.lit(0)).schema,
         )
         out = tgt.join(self._df.select(IDX, VAL), IDX, "left")
         numeric = dict(self._df.dtypes)[VAL] not in ("string", "boolean", "binary")

@@ -121,6 +121,50 @@ def materialize(df: DataFrame, truncate: bool = False) -> DataFrame:
     return out
 
 
+def materialize_lazy(df: DataFrame, truncate: bool = False) -> DataFrame:
+    """``materialize`` deferred to the CALLER's next action: the returned
+    frame is marked for checkpoint/persist but not yet computed, so an
+    iterative loop can run its convergence aggregate AS the materializing
+    action — one job per round instead of a checkpoint job followed by an
+    aggregate job over the checkpointed blocks (the per-round fixed cost
+    is driver gaps + job submission, measured ~100-300 ms each on the
+    profiler, dwarfing the aggregate itself).
+
+    Contract: the caller MUST run exactly ONE action over the returned
+    frame before handing it to multiple consumers (the loops' convergence
+    check is that action). Until then the frame is a single lazy plan; a
+    first action from two branches concurrently could compute partitions
+    twice (persist races are correct but wasteful). Mode mapping mirrors
+    ``materialize``: localCheckpoint/checkpoint have native lazy forms;
+    ``persist`` without truncate is naturally lazy; ``persist`` with
+    truncate escalates exactly like the eager path."""
+    spark = df.sparkSession
+    mode = spark.conf.get(MODE_KEY, "localCheckpoint")
+    if mode not in _VALID:
+        raise ValueError(f"{MODE_KEY}={mode!r}; expected one of {_VALID}")
+    if mode == "localCheckpoint":
+        out = df.localCheckpoint(eager=False)
+    elif mode == "persist":
+        if truncate:
+            if _checkpoint_dir(spark) is not None:
+                out = df.checkpoint(eager=False)
+            else:
+                out = df.localCheckpoint(eager=False)
+        else:
+            from pyspark import StorageLevel
+
+            out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    else:  # mode == "checkpoint"
+        if _checkpoint_dir(spark) is None:
+            raise ValueError(
+                f"materialize mode 'checkpoint' needs {DIR_KEY} or "
+                "sparkContext.setCheckpointDir()"
+            )
+        out = df.checkpoint(eager=False)
+    _record_plan(df)
+    return out
+
+
 def _checkpoint_dir(spark) -> str | None:
     """Resolve (and lazily apply) the configured reliable-checkpoint dir."""
     sc = spark.sparkContext

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sdc_spark.materialize import materialize as _materialize
+from sdc_spark.materialize import materialize_lazy as _materialize_lazy
 from sdc_spark.materialize import unmaterialize as _unmaterialize
 from sdc_spark.operators.scan import spread_scan
 
@@ -37,6 +38,16 @@ def _materialize_iter(df):
     persist mode this escalates to checkpoint/localCheckpoint; see
     sdc_spark.materialize)."""
     return _materialize(df, truncate=True)
+
+
+def _materialize_iter_lazy(df):
+    """Lazy twin of ``_materialize_iter`` for loops whose convergence
+    aggregate immediately follows the round materialization: the
+    aggregate IS the materializing action, fusing two jobs (checkpoint
+    then agg-over-blocks) into one per round (guide §1.2 — the loops are
+    driver-fixed-cost bound at bench scale: profiled ~120 ms of job gap
+    per job on dedup_components_star)."""
+    return _materialize_lazy(df, truncate=True)
 
 
 def normalized_text(col) -> Column:
@@ -697,7 +708,10 @@ def dedup_components(
             rounds += 1
             if rounds >= max_iter:
                 break
-        snap = cur.transform(_materialize_iter)
+        # lazy + agg = ONE job per fused block: the sum is the action
+        # that computes and pins the round's labels (checkpoint-then-agg
+        # was two jobs plus an inter-job driver gap)
+        snap = cur.transform(_materialize_iter_lazy)
         s = snap.agg(
             F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
@@ -773,15 +787,22 @@ def components_star(
     by a (count, hash-sum) checksum — one scalar agg per round."""
     from pyspark.sql import Window as _W
 
-    edges = (
+    # ONE materialized pass over `pairs` serves both the edge set and the
+    # terminal node set (r12): `pairs` usually arrives UN-materialized
+    # (minhash's verify subtree), and the old terminal
+    # `pairs.select(a) ∪ pairs.select(b)` replayed that subtree twice
+    # more inside the final job. Self-pairs (a == b) are kept in `base`
+    # so isolated nodes survive into the node set; the loop filters them
+    # out of the working edge set.
+    base = (
         pairs.select(
             F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
             F.least(F.col(a_col), F.col(b_col)).alias("v"),
         )
-        .filter(F.col("u") != F.col("v"))
         .distinct()
         .transform(_materialize)
     )
+    edges = base.filter(F.col("u") != F.col("v"))
     wu = _W.partitionBy("u")
     prev = None
     converged = False
@@ -816,18 +837,23 @@ def components_star(
             .filter(F.col("n") != F.col("m"))
             .distinct()
             .select(F.col("n").alias("u"), F.col("m").alias("v"))
-            .transform(_materialize_iter)
+            .transform(_materialize_iter_lazy)
         )
-        # persist-mode hygiene: this round's edge set is computed, so the
-        # superseded round's blocks are never read again (ls is a linear
-        # unmaterialized segment of this round's plan — nothing to free)
-        _unmaterialize(old_edges)
         # set fingerprint: edges are distinct, so count + bit_xor of row
-        # hashes identifies the set (xor never overflows under ANSI mode)
+        # hashes identifies the set (xor never overflows under ANSI mode).
+        # The fingerprint action is ALSO the round's materializing job
+        # (lazy checkpoint above) — one job per alternation, not two.
         row = edges.agg(
             F.count(F.lit(1)).alias("c"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),
         ).first()
+        # persist-mode hygiene: this round's edge set is computed, so the
+        # superseded round's blocks are never read again (ls is a linear
+        # unmaterialized segment of this round's plan — nothing to free).
+        # Round 1's `old_edges` is the unmaterialized filter view of
+        # `base` — unmaterialize() no-ops on it; `base` itself stays
+        # pinned for the terminal node set.
+        _unmaterialize(old_edges)
         cur = (row["c"], row["h"])
         if cur == prev:
             converged = True
@@ -842,9 +868,12 @@ def components_star(
             "alternations (expected O(log n)); raise max_iter — returning "
             "non-converged labels would mislabel components."
         )
+    # node set from the MATERIALIZED base (self-pairs preserved isolated
+    # nodes), not from `pairs` — the old union replayed the whole pair
+    # subtree twice inside this final job
     nodes = (
-        pairs.select(F.col(a_col).alias("doc"))
-        .union(pairs.select(F.col(b_col).alias("doc")))
+        base.select(F.col("u").alias("doc"))
+        .union(base.select(F.col("v").alias("doc")))
         .distinct()
     )
     return nodes.join(

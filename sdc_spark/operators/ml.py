@@ -91,12 +91,14 @@ def logreg_fit_gd(
     with labels y ∈ {−1, +1}. Each iteration is ONE aggregate; w enters
     the plan as literals, so every pass is a fresh codegen'd scan with
     the current weights constant-folded."""
-    from sdc_spark.materialize import materialize, unmaterialize
+    from sdc_spark.materialize import materialize_lazy, unmaterialize
 
     # materialized ONCE (narrow: d+1 doubles per row): every GD step is
     # its own aggregate action, and un-materialized each step replays
-    # the caller's upstream plan — iterations full corpus scans at scale
-    v = materialize(
+    # the caller's upstream plan — iterations full corpus scans at scale.
+    # LAZY: the first gradient aggregate below is the materializing
+    # action, fusing the projection job into it (one job saved per fit)
+    v = materialize_lazy(
         df.select(
             F.col(label_col).cast("double").alias("__y__"),
             *[F.col(c).cast("double").alias(f"__x{i}__") for i, c in enumerate(feature_cols)],
@@ -159,14 +161,15 @@ def kmeans_fit(
     no shuffle of the feature matrix, no Python in the loop. The center
     table (k·d doubles) is collected per round: driver state independent
     of row count."""
-    from sdc_spark.materialize import materialize, unmaterialize
+    from sdc_spark.materialize import materialize_lazy, unmaterialize
 
     feats = [F.col(c).cast("double").alias(c) for c in feature_cols]
     # materialized ONCE: the seed pass plus every Lloyd round is a
     # separate action over this frame — un-materialized, each action
     # replays the source scan+cast, i.e. iterations+1 full corpus scans
-    # at 100 TB for a frame that is d doubles per row
-    v = materialize(df.select(*feats))
+    # at 100 TB for a frame that is d doubles per row. LAZY: the seed
+    # collect below is the materializing action (one job saved per fit)
+    v = materialize_lazy(df.select(*feats))
     seed_key = F.xxhash64(*[F.col(c) for c in feature_cols])
     centers = [
         [r[c] for c in feature_cols]
@@ -204,12 +207,17 @@ def kmeans_fit(
     # the centers are driver state now; release the feature blocks
     unmaterialize(v)
     spark = df.sparkSession
-    return spark.createDataFrame(
-        [
-            (ci, *[float(x) for x in ctr])
-            for ci, ctr in enumerate(centers)
-        ],
-        ["center_id"] + [f"c_{c}" for c in feature_cols],
+    from sdc_spark.sources.readers import local_rows
+
+    # k-row driver-local result: ONE slice, not defaultParallelism
+    # Python round trips (see local_rows)
+    schema = ", ".join(
+        ["center_id bigint"] + [f"`c_{c}` double" for c in feature_cols]
+    )
+    return local_rows(
+        spark,
+        [(ci, *[float(x) for x in ctr]) for ci, ctr in enumerate(centers)],
+        schema,
     )
 
 

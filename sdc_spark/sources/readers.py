@@ -205,8 +205,8 @@ def _drop_preamble(spark: SparkSession, text: DataFrame, pre_lines: Sequence[str
         return text
     pre_vals = list(cnt)
     clean = text.filter(~F.col("value").isin(pre_vals))
-    k_df = spark.createDataFrame(
-        [(v, k) for v, k in cnt.items()], "value string, __k__ int"
+    k_df = local_rows(
+        spark, [(v, k) for v, k in cnt.items()], "value string, __k__ int"
     )
     w = Window.partitionBy("value").orderBy(F.monotonically_increasing_id())
     kept = (

@@ -121,3 +121,41 @@ def test_run_concurrently_chains_simultaneous_failures(spark):  # noqa: F811
         seen.add(type(err))
         err = err.__context__
     assert {ValueError, KeyError} <= seen
+
+
+def test_materialize_lazy_single_computation(spark):  # noqa: F811
+    from pyspark.sql import functions as F
+
+    from sdc_spark.materialize import materialize_lazy, unmaterialize
+
+    # a per-row accumulator counts how often the source is COMPUTED: after
+    # the lazy materialize + ONE action, two further consumers must read
+    # the pinned blocks, not replay the lineage
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(x):
+        acc.add(1)
+        return x
+
+    bump_udf = F.udf(bump, "long").asNondeterministic()
+    src = spark.range(100).select(bump_udf("id").alias("v"))
+    lazy = materialize_lazy(src, truncate=True)
+    assert lazy.agg(F.sum("v")).first()[0] == 4950  # the materializing action
+    n_after_action = acc.value
+    assert lazy.agg(F.count("v")).first()[0] == 100  # consumer 1
+    assert lazy.filter(F.col("v") < 10).count() == 10  # consumer 2
+    assert acc.value == n_after_action  # blocks read, lineage NOT replayed
+    unmaterialize(lazy)
+
+
+def test_components_star_keeps_self_pair_nodes(spark):  # noqa: F811
+    from sdc_spark.operators.dedup import components_star
+
+    # (5,5) is a self-pair: its node must survive into the output as its
+    # own singleton component (the r12 base-frame rewrite derives the
+    # terminal node set from the materialized base, which keeps self-pairs)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 5)], "doc_a long, doc_b long"
+    )
+    got = {(r["doc"], r["component"]) for r in components_star(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (5, 5)}
