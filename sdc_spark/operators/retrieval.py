@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sdc_spark.materialize import materialize as _materialize
+from sdc_spark.materialize import materialize_lazy as _materialize_lazy
 from sdc_spark.materialize import unmaterialize as _unmaterialize
 from sdc_spark.operators.dedup import normalized_text
 
@@ -93,13 +94,18 @@ def bm25_scores(
     # (and the raw text scan under it) runs twice per query, which at
     # corpus scale is a second full-text scan for a table that holds no
     # text at all (one row of small ints per doc).
+    # LAZY (r12): the two consumers are strictly sequenced inside the
+    # consumer's one action — the broadcast stats build (executeBroadcast
+    # completes before any probe task starts) computes and pins the
+    # blocks, the probe side then reads them — so the eager checkpoint
+    # job + its driver gap are pure overhead (profiled ~0.3-0.5 s/query).
     per_doc = toks.groupBy("doc").agg(
         F.count(F.lit(1)).alias("dl"),
         *[
             F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf{i}")
             for i, t in enumerate(terms)
         ],
-    ).transform(_materialize)
+    ).transform(_materialize_lazy)
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
