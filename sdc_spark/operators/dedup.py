@@ -602,10 +602,38 @@ def embedding_near_dups(
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("nrm"),
     )
-    a = v.alias("a")
-    b = v.alias("b")
+    # Hot-key salting (guide §2.5): blocking keys are LOW-CARDINALITY by
+    # design (labels, cluster ids), so a plain self-join on blk caps the
+    # quadratic cosine stage's parallelism at n_blocks — profiled as ONE
+    # 2.3 s task at bench scale (AQE coalesces the byte-light, CPU-heavy
+    # stage), and at corpus scale one task per giant block, which AQE's
+    # skew-split cannot divide (single key). The a-side is salted
+    # DETERMINISTICALLY by vid (never rand() — retried map tasks must
+    # reproduce the assignment, SPARK-38388); the (narrow) b-side
+    # replicates across the salt space, so pair (a, b) is emitted exactly
+    # once, at a's salt. Work per join key drops from O(block²) to
+    # O(block² / S) for an S-fold replication of the b-side shuffle. The
+    # explicit repartition pins REPARTITION_BY_NUM width (the r11
+    # _pid_grouped mechanism) so byte-based coalescing cannot re-collapse
+    # the stage.
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    s_salts = max(1, min(16, n_part))
+    a = v.withColumn(
+        "__sa__", F.pmod(F.xxhash64("vid"), F.lit(s_salts)).cast("int")
+    ).repartition(n_part, "blk", "__sa__")
+    b = v.withColumn(
+        "__sa__", F.explode(F.array(*[F.lit(i) for i in range(s_salts)]))
+    )
+    a = a.alias("a")
+    b = b.alias("b")
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vid") < F.col("b.vid")))
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.__sa__") == F.col("b.__sa__"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
         .select(
             F.col("a.blk").alias("block"),
             F.col("a.vid").alias("vec_a"),

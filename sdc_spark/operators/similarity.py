@@ -271,20 +271,34 @@ def semantic_dedup(
     # verdict join); materialize it once so the seed/assign pipeline doesn't
     # re-run per branch (observed 9 corpus scans without this).
     assigned = ivf_assign(v, centroids, "nid", "nvec").transform(_materialize)
+    # Salted cell self-join (guide §2.5, same mechanism as
+    # dedup.embedding_near_dups): the pair stage's parallelism would
+    # otherwise cap at n_cells, and a hot Voronoi cell is a SINGLE join
+    # key AQE's skew-split cannot divide. The a-side salts
+    # deterministically by id; the b-side replicates across the salt
+    # space, so each (a, b) pair is emitted exactly once, at a's salt —
+    # O(cell²) per task becomes O(cell²/S) for an S-fold b-side shuffle.
+    # The explicit repartition pins the width against byte-based
+    # coalescing of a CPU-bound stage.
+    spark = vectors.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    s_salts = max(1, min(16, n_part))
     a = assigned.select(
         F.col("cell"),
         F.col("nid").alias("aid"),
         F.col("nvec").alias("avec"),
         F.col("nrm").alias("anrm"),
-    )
+        F.pmod(F.xxhash64("nid"), F.lit(s_salts)).cast("int").alias("__sa__"),
+    ).repartition(n_part, "cell", "__sa__")
     b = assigned.select(
         F.col("cell"),
         F.col("nid").alias("bid"),
         F.col("nvec").alias("bvec"),
         F.col("nrm").alias("bnrm"),
+        F.explode(F.array(*[F.lit(i) for i in range(s_salts)])).alias("__sa__"),
     )
     dup_pairs = (
-        a.join(b, "cell")
+        a.join(b, ["cell", "__sa__"])
         .filter(F.col("aid") < F.col("bid"))
         .filter(
             F.try_divide(

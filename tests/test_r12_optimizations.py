@@ -159,3 +159,42 @@ def test_components_star_keeps_self_pair_nodes(spark):  # noqa: F811
     )
     got = {(r["doc"], r["component"]) for r in components_star(pairs).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (5, 5)}
+
+
+def test_salted_block_self_join_emits_each_pair_once(spark):  # noqa: F811
+    from pyspark.sql import functions as F
+
+    from sdc_spark.operators.dedup import embedding_near_dups
+
+    # 3 blocks x up to 40 ids spanning every salt bucket: the salted join
+    # (a-side salted by id, b-side replicated across the salt space) must
+    # emit each qualifying (a < b) pair EXACTLY once — a duplicate or a
+    # dropped pair here means the salt replication is wrong
+    rows = [(i, f"b{i % 3}", [float(i % 7 + 1), float(i % 5 + 1)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    out = embedding_near_dups(df, "embedding", "vec_id", "label", threshold=-1.0)
+    got = [(r["block"], r["vec_a"], r["vec_b"]) for r in out.collect()]
+    assert len(got) == len(set(got))  # exactly-once
+    import itertools
+
+    want = {
+        (f"b{a % 3}", a, b)
+        for a, b in itertools.combinations(range(40), 2)
+        if a % 3 == b % 3
+    }
+    assert set(got) == want  # threshold=-1 keeps every in-block pair
+
+
+def test_semantic_dedup_salted_cell_join_matches_unsalted_rule(spark):  # noqa: F811
+    from sdc_spark.operators.similarity import semantic_dedup
+
+    # near-identical vector triplet (1,5,9) + isolated vectors: the salted
+    # cell join must still find every >threshold pair and keep-lowest-id
+    rows = [(i, [1.0 + 0.001 * (i in (5, 9)), 2.0]) for i in (1, 5, 9)] + [
+        (i, [float(i), 1.0]) for i in (20, 30, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, n_cells=2, threshold=0.95)
+    got = {r["vec_id"]: (r["is_dup"], r["dup_of"]) for r in out.collect()}
+    assert got[1] == (False, None)
+    assert got[5] == (True, 1) and got[9] == (True, 1)
